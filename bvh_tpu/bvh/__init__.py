@@ -1,0 +1,31 @@
+"""BVH construction, traversal and maintenance."""
+
+from .flat import LEAF, FlatBvh
+from .sah_build import build_sah
+from .traverse import (
+    HitRecord,
+    any_hit_triangles,
+    brute_force_closest_hit,
+    brute_force_collect,
+    closest_hit_triangles,
+    nearest_to_triangles,
+    traverse,
+)
+from .validate import assert_consistent, assert_tight, check_consistent, check_tight
+
+__all__ = [
+    "FlatBvh",
+    "LEAF",
+    "build_sah",
+    "traverse",
+    "HitRecord",
+    "closest_hit_triangles",
+    "any_hit_triangles",
+    "nearest_to_triangles",
+    "brute_force_closest_hit",
+    "brute_force_collect",
+    "assert_consistent",
+    "assert_tight",
+    "check_consistent",
+    "check_tight",
+]
