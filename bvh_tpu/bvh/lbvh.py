@@ -1,0 +1,220 @@
+"""Device-side LBVH construction — fully jittable, no host round-trip.
+
+Replaces the reference's recursive fork-join builder with the GPU-style
+linear BVH (Karras 2012 radix tree): Morton-code the shape centroids, sort,
+emit all internal nodes in parallel from longest-common-prefix ranges, then
+refit AABBs bottom-up and renumber into the same DFS entry/exit flat layout
+the SAH builder produces. Build cost is one sort plus O(log n) vectorized
+passes — ideal for per-frame rebuilds of dynamic scenes; tree quality is
+below binned SAH (use ``build_sah`` for static scenes).
+
+Every step is jit-compatible (static shapes, ``fori_loop``/``while_loop``),
+so builds can live inside a larger jitted pipeline or a ``shard_map``.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+
+from .flat import LEAF, FlatBvh
+
+_MORTON_BITS = 10  # bits per axis; 30-bit codes in int32
+
+
+def _expand_bits_10(v: jnp.ndarray) -> jnp.ndarray:
+    """Spread the low 10 bits of v so there are two zero bits between each."""
+    v = (v | (v << 16)) & 0x030000FF
+    v = (v | (v << 8)) & 0x0300F00F
+    v = (v | (v << 4)) & 0x030C30C3
+    v = (v | (v << 2)) & 0x09249249
+    return v
+
+
+def morton_codes(centroids: jnp.ndarray, scene_min: jnp.ndarray, scene_max: jnp.ndarray):
+    """30-bit Morton codes of centroids quantized to a 1024^3 grid (int32)."""
+    extent = jnp.maximum(scene_max - scene_min, 1e-30)
+    q = (centroids - scene_min) / extent
+    grid = jnp.clip((q * 1024.0).astype(jnp.int32), 0, 1023)
+    x = _expand_bits_10(grid[..., 0])
+    y = _expand_bits_10(grid[..., 1])
+    z = _expand_bits_10(grid[..., 2])
+    return (x << 2) | (y << 1) | z
+
+
+def _delta(codes: jnp.ndarray, i: jnp.ndarray, j: jnp.ndarray, n: int) -> jnp.ndarray:
+    """Common-prefix length of sorted keys i and j; -1 when j out of range.
+
+    Duplicate codes are disambiguated with the index bits (conceptual 64-bit
+    key ``code << 32 | position``, the Karras duplicate trick)."""
+    valid = (j >= 0) & (j < n)
+    jc = jnp.clip(j, 0, n - 1)
+    ci = codes[i]
+    cj = codes[jc]
+    x = ci ^ cj
+    same = x == 0
+    d_code = jax.lax.clz(x)  # 32 when equal
+    d_idx = 32 + jax.lax.clz(i ^ jc)
+    d = jnp.where(same, d_idx, d_code)
+    return jnp.where(valid, d, -1)
+
+
+def _karras_topology(codes: jnp.ndarray):
+    """Parent/children arrays of the radix tree over n sorted keys.
+
+    Node ids: internal 0..n-2, leaves n-1..2n-2 (leaf k = n-1+k).
+    Returns (left, right, parent) over all 2n-1 nodes.
+    """
+    n = codes.shape[0]
+    i = jnp.arange(n - 1, dtype=jnp.int32)
+
+    d = jnp.sign(_delta(codes, i, i + 1, n) - _delta(codes, i, i - 1, n)).astype(jnp.int32)
+    d = jnp.where(d == 0, 1, d)
+    delta_min = _delta(codes, i, i - d, n)
+
+    # Range length: largest l with delta(i, i + l*d) > delta_min, by a
+    # fixed-size (log n) descending-powers binary search.
+    nbits = max(int(n - 1).bit_length(), 1)
+    l = jnp.zeros_like(i)
+    for k in range(nbits, -1, -1):
+        t = jnp.int32(1 << k)
+        cand = i + (l + t) * d
+        ok = _delta(codes, i, cand, n) > delta_min
+        l = l + jnp.where(ok, t, 0)
+    j = i + l * d
+    delta_node = _delta(codes, i, j, n)
+
+    # Split position: largest s with delta(i, i + s*d) > delta_node
+    # (searching within [0, l)).
+    s = jnp.zeros_like(i)
+    for k in range(nbits, -1, -1):
+        t = jnp.int32(1 << k)
+        cand_s = s + t
+        ok = (cand_s < l) & (_delta(codes, i, i + cand_s * d, n) > delta_node)
+        s = s + jnp.where(ok, t, 0)
+    gamma = i + s * d + jnp.minimum(d, 0)
+
+    lo = jnp.minimum(i, j)
+    hi = jnp.maximum(i, j)
+    left = jnp.where(lo == gamma, (n - 1) + gamma, gamma)
+    right = jnp.where(hi == gamma + 1, n + gamma, gamma + 1)
+
+    total = 2 * n - 1
+    parent = jnp.full(total, -1, jnp.int32)
+    parent = parent.at[left].set(i)
+    parent = parent.at[right].set(i)
+    left_full = jnp.full(total, -1, jnp.int32)
+    right_full = jnp.full(total, -1, jnp.int32)
+    left_full = left_full.at[:n - 1].set(left)
+    right_full = right_full.at[:n - 1].set(right)
+    return left_full, right_full, parent
+
+
+@partial(jax.jit)
+def build_lbvh(shape_min: jnp.ndarray, shape_max: jnp.ndarray) -> tuple:
+    """Builds an LBVH over shape AABBs, on device, inside jit.
+
+    Returns ``(flat, shape_to_node)`` exactly like ``build_sah``: a DFS-layout
+    ``FlatBvh`` (left child at i+1, skip pointers, 2n-1 nodes) and the
+    shape -> leaf-node backlink.
+    """
+    n = shape_min.shape[0]
+    if n == 0:
+        raise ValueError("build_lbvh requires at least one shape")
+    if n == 1:
+        flat = FlatBvh(
+            aabb_min=shape_min,
+            aabb_max=shape_max,
+            entry=jnp.full((1,), LEAF, jnp.int32),
+            exit=jnp.ones((1,), jnp.int32),
+            shape=jnp.zeros((1,), jnp.int32),
+            parent=jnp.full((1,), -1, jnp.int32),
+        )
+        return flat, jnp.zeros((1,), jnp.int32)
+
+    total = 2 * n - 1
+    centroid = shape_min * 0.5 + shape_max * 0.5
+    scene_min = shape_min.min(axis=0)
+    scene_max = shape_max.max(axis=0)
+    codes = morton_codes(centroid, scene_min, scene_max)
+    order = jnp.argsort(codes, stable=True).astype(jnp.int32)
+    codes = codes[order]
+
+    left, right, parent = _karras_topology(codes)
+    is_leaf = jnp.arange(total) >= n - 1
+    leaf_shape = jnp.where(is_leaf, order[jnp.clip(jnp.arange(total) - (n - 1), 0, n - 1)], -1)
+
+    # ---- bottom-up: subtree leaf counts and AABBs (<= 64 masked sweeps) ----
+    amin0 = jnp.where(is_leaf[:, None], shape_min[jnp.maximum(leaf_shape, 0)], jnp.inf)
+    amax0 = jnp.where(is_leaf[:, None], shape_max[jnp.maximum(leaf_shape, 0)], -jnp.inf)
+    counts0 = jnp.where(is_leaf, 1, 0).astype(jnp.int32)
+    ready0 = is_leaf
+
+    def up_cond(st):
+        return ~st[0][0]  # root not ready
+
+    def up_body(st):
+        ready, counts, amin, amax = st
+        lc = jnp.maximum(left, 0)
+        rc = jnp.maximum(right, 0)
+        can = ~ready & ~is_leaf & ready[lc] & ready[rc]
+        counts = jnp.where(can, counts[lc] + counts[rc], counts)
+        amin = jnp.where(can[:, None], jnp.minimum(amin[lc], amin[rc]), amin)
+        amax = jnp.where(can[:, None], jnp.maximum(amax[lc], amax[rc]), amax)
+        return (ready | can, counts, amin, amax)
+
+    ready, counts, amin, amax = jax.lax.while_loop(
+        up_cond, up_body, (ready0, counts0, amin0, amax0)
+    )
+
+    # ---- top-down: DFS index and exit pointers (<= 64 masked sweeps) ------
+    # dfs[left(p)] = dfs[p] + 1 ; dfs[right(p)] = dfs[p] + 2*counts[left(p)]
+    # exit[left(p)] = dfs[right(p)] ; exit[right(p)] = exit[p]; exit[root]=total
+    dfs0 = jnp.where(jnp.arange(total) == 0, 0, -1)
+    exit0 = jnp.where(jnp.arange(total) == 0, total, -1)
+
+    def dn_cond(st):
+        dfs, _ = st
+        return jnp.any(dfs < 0)
+
+    def dn_body(st):
+        dfs, ex = st
+        p = jnp.maximum(parent, 0)
+        p_known = dfs[p] >= 0
+        am_left = left[p] == jnp.arange(total)
+        new_dfs = jnp.where(
+            am_left, dfs[p] + 1, dfs[p] + 2 * counts[jnp.maximum(left[p], 0)]
+        )
+        # right sibling's dfs = dfs[p] + 2*counts[left(p)]
+        sib_dfs = dfs[p] + 2 * counts[jnp.maximum(left[p], 0)]
+        new_ex = jnp.where(am_left, sib_dfs, ex[p])
+        upd = (dfs < 0) & p_known & (parent >= 0) & jnp.where(am_left, True, ex[p] >= 0)
+        dfs = jnp.where(upd, new_dfs, dfs)
+        ex = jnp.where(upd, new_ex, ex)
+        return dfs, ex
+
+    dfs, ex = jax.lax.while_loop(dn_cond, dn_body, (dfs0, exit0))
+
+    # ---- scatter into DFS order -------------------------------------------
+    entry_old = jnp.where(is_leaf, LEAF, dfs[jnp.maximum(left, 0)])
+    parent_old = jnp.where(parent >= 0, dfs[jnp.maximum(parent, 0)], -1)
+
+    def scat(src, fill):
+        out = jnp.full(src.shape, fill, src.dtype)
+        return out.at[dfs].set(src)
+
+    flat = FlatBvh(
+        aabb_min=jnp.zeros_like(amin).at[dfs].set(amin),
+        aabb_max=jnp.zeros_like(amax).at[dfs].set(amax),
+        entry=scat(entry_old.astype(jnp.int32), 0),
+        exit=scat(ex.astype(jnp.int32), 0),
+        shape=scat(leaf_shape.astype(jnp.int32), 0),
+        parent=scat(parent_old.astype(jnp.int32), 0),
+    )
+    leaf_ids = jnp.arange(n - 1, total)
+    shape_to_node = jnp.zeros(n, jnp.int32).at[leaf_shape[leaf_ids]].set(
+        dfs[leaf_ids].astype(jnp.int32)
+    )
+    return flat, shape_to_node

@@ -278,3 +278,29 @@ def brute_force_collect(query, shape_min: jnp.ndarray, shape_max: jnp.ndarray):
     return jax.vmap(query.intersects_node, in_axes=(0, 0), out_axes=-1)(
         shape_min, shape_max
     )
+
+
+@partial(jax.jit, static_argnames=("chunk",))
+def closest_hit_chunked(
+    flat: FlatBvh,
+    rays: Ray,
+    tri_a: jnp.ndarray,
+    tri_b: jnp.ndarray,
+    tri_c: jnp.ndarray,
+    chunk: int = 8192,
+) -> HitRecord:
+    """Closest hit over a large ray batch, processed in fixed-size chunks.
+
+    One giant lockstep batch pays the *maximum* traversal length over all
+    rays each step; chunking bounds that divergence to within a chunk (the
+    ray-tile analog of the persistent-threads pattern). ``R`` must be a
+    multiple of ``chunk``.
+    """
+    r = rays.origin.shape[0]
+    if r % chunk:
+        raise ValueError(f"ray count {r} not a multiple of chunk {chunk}")
+    folded = Ray(*(x.reshape(r // chunk, chunk, -1) for x in rays))
+    out = jax.lax.map(
+        lambda rr: closest_hit_triangles(flat, rr, tri_a, tri_b, tri_c), folded
+    )
+    return HitRecord(*(x.reshape(r) for x in out))

@@ -1,0 +1,63 @@
+"""Differentiable closest-hit rendering.
+
+The reference crate is not differentiable; this module adds exact gradients of
+hit distance (and barycentrics) w.r.t. triangle vertices and ray origins /
+directions — the north-star capability of the TPU build.
+
+Design: traversal is a *discrete* search — it only selects WHICH triangle each
+ray hits. Gradients hold that hit topology fixed (the standard convention for
+differentiable ray casting away from visibility discontinuities): the
+traversal runs with gradients stopped, then the intersection quantities are
+recomputed differentiably from the selected triangle via Moller-Trumbore, so
+autodiff (or a custom VJP) flows through a single analytic expression.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+
+from ..ray import Ray, ray_intersects_triangle
+from ..bvh.flat import FlatBvh
+from ..bvh.traverse import HitRecord, closest_hit_triangles
+
+
+def render_hits(
+    flat: FlatBvh,
+    rays: Ray,
+    tri_a: jnp.ndarray,
+    tri_b: jnp.ndarray,
+    tri_c: jnp.ndarray,
+) -> HitRecord:
+    """Closest hit with differentiable t/u/v (w.r.t. vertices and rays).
+
+    ``shape_id`` is integer (no gradient); ``t`` is +inf on miss, and the
+    gradient of masked-out lanes is zero.
+    """
+    sg = jax.lax.stop_gradient
+    hard = closest_hit_triangles(
+        sg(flat), sg(rays), sg(tri_a), sg(tri_b), sg(tri_c)
+    )
+    sid = hard.shape_id
+    safe = jnp.maximum(sid, 0)
+    inter = ray_intersects_triangle(rays, tri_a[safe], tri_b[safe], tri_c[safe])
+    hit_mask = sid >= 0
+    inf = jnp.asarray(jnp.inf, hard.t.dtype)
+    t = jnp.where(hit_mask, inter.distance, inf)
+    u = jnp.where(hit_mask, inter.u, 0.0)
+    v = jnp.where(hit_mask, inter.v, 0.0)
+    return HitRecord(t, u, v, sid)
+
+
+def render_depth(
+    flat: FlatBvh,
+    rays: Ray,
+    tri_a: jnp.ndarray,
+    tri_b: jnp.ndarray,
+    tri_c: jnp.ndarray,
+    background: float = 0.0,
+):
+    """Depth image: hit distance, ``background`` on miss. Differentiable."""
+    hit = render_hits(flat, rays, tri_a, tri_b, tri_c)
+    depth = jnp.where(hit.shape_id >= 0, hit.t, background)
+    return depth, hit.shape_id >= 0

@@ -1,0 +1,27 @@
+"""Multi-chip scaling: device meshes, sharded traversal, gradient collectives.
+
+The reference's only parallelism is in-process work stealing
+(``src/bvh/bvh_impl.rs:525-543``). The TPU framework's first-class axes:
+
+* ``rays``  — data parallelism over the query batch (each chip traces a slice)
+* ``scene`` — range-sharding of primitives: each chip holds a triangle range
+  and a BVH over it; closest hits are min-reduced across the axis over ICI.
+
+Vertex gradients are summed back with ``psum`` during the backward pass.
+"""
+
+from .mesh import make_mesh
+from .shard import (
+    shard_scene,
+    sharded_loss_and_grads,
+    sharded_render_depth,
+    sharded_train_step,
+)
+
+__all__ = [
+    "make_mesh",
+    "shard_scene",
+    "sharded_render_depth",
+    "sharded_loss_and_grads",
+    "sharded_train_step",
+]

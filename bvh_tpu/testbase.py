@@ -172,3 +172,12 @@ def randomly_transform_scene(
     b2[idx] += offset
     c2[idx] += offset
     return a2, b2, c2, idx
+
+
+def seed_state_after(n_draws: int, seed: int = 0) -> int:
+    """splitmix64 state after ``n_draws`` next_point3 calls from ``seed``.
+
+    Lets a ray stream continue exactly where scene generation left off, like
+    the reference benches that thread one mutable seed through scene+rays.
+    """
+    return int((seed + n_draws * int(GOLDEN)) & 0xFFFFFFFFFFFFFFFF)
