@@ -46,14 +46,19 @@ def main():
     dev = flat.to_device()
     a_, b_, c_ = jnp.asarray(a), jnp.asarray(b), jnp.asarray(c)
 
-    out = closest_hit_chunked(dev, rays, a_, b_, c_, chunk=chunk)
-    jax.block_until_ready(out)  # compile + warmup
+    def run(r):
+        out = closest_hit_chunked(dev, r, a_, b_, c_, chunk=chunk)
+        # NOTE: block_until_ready does not actually block on the axon
+        # platform; a reduction forced to host is the only reliable fence.
+        fence = float(jnp.sum(jnp.where(jnp.isfinite(out.t), out.t, 0.0)))
+        return out, fence
+
+    out, _ = run(rays)  # compile + warmup
 
     best = float("inf")
     for _ in range(iters):
         t0 = time.perf_counter()
-        out = closest_hit_chunked(dev, rays, a_, b_, c_, chunk=chunk)
-        jax.block_until_ready(out)
+        out, _ = run(rays)
         best = min(best, time.perf_counter() - t0)
 
     rays_per_s = n_rays / best
@@ -67,11 +72,13 @@ def main():
     aim_orig = (centers[idx] + np.array([3000.0, 1500.0, -2000.0], np.float32)).astype(np.float32)
     aim_at = centers[idx] + np.array([0.11, 0.07, -0.13], np.float32)
     aimed = Ray.create(jnp.asarray(aim_orig), jnp.asarray((aim_at - aim_orig).astype(np.float32)))
-    out_a = closest_hit_chunked(dev, aimed, a_, b_, c_, chunk=chunk)
-    jax.block_until_ready(out_a)
+    def run_aimed():
+        out_a = closest_hit_chunked(dev, aimed, a_, b_, c_, chunk=chunk)
+        return out_a, float(jnp.sum(jnp.where(jnp.isfinite(out_a.t), out_a.t, 0.0)))
+
+    out_a, _ = run_aimed()
     t0 = time.perf_counter()
-    out_a = closest_hit_chunked(dev, aimed, a_, b_, c_, chunk=chunk)
-    jax.block_until_ready(out_a)
+    out_a, _ = run_aimed()
     aimed_s = time.perf_counter() - t0
     aimed_rays_per_s = n_aimed / aimed_s
     baseline = 1.0 / 853e-9  # reference: 853 ns/ray, README.md:178

@@ -1,0 +1,120 @@
+"""Cluster scene preparation for the Pallas trace kernel.
+
+Triangles are Morton-sorted and grouped into clusters of 128 (one VPU lane
+per triangle). A small binned-SAH BVH is built over the cluster AABBs — its
+node table is tiny (2*C-1 nodes) and lives in SMEM inside the kernel, where
+scalar reads cost a few cycles. Triangle vertices are stored
+cluster-relative (a' = a - cluster_centroid) so the MXU bilinear forms keep
+O(1) magnitudes even for scenes at +/-100k coordinates.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import numpy as np
+
+from ..bvh.sah_build import build_sah
+from ..testbase import tri_aabbs
+
+CLUSTER = 128  # triangles per cluster == VPU lane count
+
+
+class ClusterScene(NamedTuple):
+    """Device-ready tables for the packet trace kernel (numpy until shipped)."""
+
+    smem_nodes: np.ndarray  # [8, Nc] f32: amin(3), amax(3), entry, exit
+    smem_cc: np.ndarray  # [4, C] f32 cluster centroids (row 3 unused pad)
+    tris_rel: np.ndarray  # [C, 16, 128] f32 rows: a'(3) e1(3) e2(3) pad(7)
+    tri_map: np.ndarray  # [C * 128] i32: lane -> original triangle id (-1 pad)
+    num_clusters: int
+    num_nodes: int
+
+    @property
+    def num_tris(self) -> int:
+        return int((self.tri_map >= 0).sum())
+
+
+def _morton10(x: np.ndarray) -> np.ndarray:
+    v = x.astype(np.uint32)
+    v = (v | (v << 16)) & np.uint32(0x030000FF)
+    v = (v | (v << 8)) & np.uint32(0x0300F00F)
+    v = (v | (v << 4)) & np.uint32(0x030C30C3)
+    v = (v | (v << 2)) & np.uint32(0x09249249)
+    return v
+
+
+def build_cluster_scene(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> ClusterScene:
+    """Host-side prep: Morton-sort, clusterize, build the cluster-level BVH."""
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    c = np.asarray(c, np.float32)
+    n = a.shape[0]
+    if n == 0:
+        raise ValueError("empty scene")
+
+    centroid = (a + b + c) / np.float32(3.0)
+    lo = centroid.min(axis=0)
+    hi = centroid.max(axis=0)
+    q = (centroid - lo) / np.maximum(hi - lo, 1e-30)
+    grid = np.clip((q * 1024.0).astype(np.int64), 0, 1023).astype(np.uint32)
+    codes = (
+        (_morton10(grid[:, 0]).astype(np.uint64) << np.uint64(2))
+        | (_morton10(grid[:, 1]).astype(np.uint64) << np.uint64(1))
+        | _morton10(grid[:, 2]).astype(np.uint64)
+    )
+    order = np.argsort(codes, kind="stable")
+
+    pad = (-n) % CLUSTER
+    n_pad = n + pad
+    cidx = np.full(n_pad, -1, np.int64)
+    cidx[:n] = order
+    a_s = np.full((n_pad, 3), 1.0e30, np.float32)
+    b_s = np.full((n_pad, 3), 1.0e30, np.float32)
+    c_s = np.full((n_pad, 3), 1.0e30, np.float32)
+    a_s[:n], b_s[:n], c_s[:n] = a[order], b[order], c[order]
+
+    C = n_pad // CLUSTER
+    # cluster AABBs over real triangles only
+    mn, mx = tri_aabbs(a_s[:n], b_s[:n], c_s[:n])
+    mn_pad = np.full((n_pad, 3), np.inf, np.float32)
+    mx_pad = np.full((n_pad, 3), -np.inf, np.float32)
+    mn_pad[:n], mx_pad[:n] = mn, mx
+    cl_min = mn_pad.reshape(C, CLUSTER, 3).min(axis=1)
+    cl_max = mx_pad.reshape(C, CLUSTER, 3).max(axis=1)
+    cc = ((cl_min + cl_max) * 0.5).astype(np.float32)
+
+    # cluster-level SAH BVH; leaves encode -(cluster+1) in entry
+    flat, _ = build_sah(cl_min, cl_max)
+    nc = flat.num_nodes
+    entry = np.asarray(flat.entry, np.float32).copy()
+    leaf = np.asarray(flat.entry) < 0
+    entry[leaf] = -(np.asarray(flat.shape)[leaf].astype(np.float32) + 1.0)
+    smem_nodes = np.zeros((8, nc), np.float32)
+    smem_nodes[0:3] = np.asarray(flat.aabb_min).T
+    smem_nodes[3:6] = np.asarray(flat.aabb_max).T
+    smem_nodes[6] = entry
+    smem_nodes[7] = np.asarray(flat.exit, np.float32)
+
+    smem_cc = np.zeros((4, C), np.float32)
+    smem_cc[0:3] = cc.T
+
+    # cluster-relative triangle rows
+    ccl = np.repeat(cc, CLUSTER, axis=0)  # [n_pad, 3]
+    a_rel = a_s - ccl
+    e1 = b_s - a_s
+    e2 = c_s - a_s
+    # keep padding lanes degenerate: e1 = e2 = 0 => det = 0 => culled
+    if pad:
+        a_rel[n:] = 0.0
+        e1[n:] = 0.0
+        e2[n:] = 0.0
+    tris_rel = np.zeros((C, 16, CLUSTER), np.float32)
+    tris_rel[:, 0:3] = a_rel.reshape(C, CLUSTER, 3).transpose(0, 2, 1)
+    tris_rel[:, 3:6] = e1.reshape(C, CLUSTER, 3).transpose(0, 2, 1)
+    tris_rel[:, 6:9] = e2.reshape(C, CLUSTER, 3).transpose(0, 2, 1)
+
+    tri_map = np.full(n_pad, -1, np.int32)
+    tri_map[:n] = order.astype(np.int32)
+
+    return ClusterScene(smem_nodes, smem_cc, tris_rel, tri_map, C, nc)
