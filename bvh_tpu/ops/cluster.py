@@ -29,6 +29,7 @@ class ClusterScene(NamedTuple):
     tri_map: np.ndarray  # [C * 128] i32: lane -> original triangle id (-1 pad)
     num_clusters: int
     num_nodes: int
+    relative: bool = True  # triangle rows stored cluster-relative
 
     @property
     def num_tris(self) -> int:
@@ -44,8 +45,15 @@ def _morton10(x: np.ndarray) -> np.ndarray:
     return v
 
 
-def build_cluster_scene(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> ClusterScene:
-    """Host-side prep: Morton-sort, clusterize, build the cluster-level BVH."""
+def build_cluster_scene(
+    a: np.ndarray, b: np.ndarray, c: np.ndarray, relative: bool = True
+) -> ClusterScene:
+    """Host-side prep: Morton-sort, clusterize, build the cluster-level BVH.
+
+    ``relative=False`` stores global-frame vertices (skips the per-cluster ray
+    transform in the kernel — faster, but loses ~7 bits of precision on scenes
+    with 1e5-scale coordinates; fine for compact scenes).
+    """
     a = np.asarray(a, np.float32)
     b = np.asarray(b, np.float32)
     c = np.asarray(c, np.float32)
@@ -99,8 +107,8 @@ def build_cluster_scene(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> ClusterS
     smem_cc = np.zeros((4, C), np.float32)
     smem_cc[0:3] = cc.T
 
-    # cluster-relative triangle rows
-    ccl = np.repeat(cc, CLUSTER, axis=0)  # [n_pad, 3]
+    # cluster-relative triangle rows (or global when relative=False)
+    ccl = np.repeat(cc, CLUSTER, axis=0) if relative else np.float32(0.0)  # [n_pad, 3]
     a_rel = a_s - ccl
     e1 = b_s - a_s
     e2 = c_s - a_s
@@ -117,4 +125,4 @@ def build_cluster_scene(a: np.ndarray, b: np.ndarray, c: np.ndarray) -> ClusterS
     tri_map = np.full(n_pad, -1, np.int32)
     tri_map[:n] = order.astype(np.int32)
 
-    return ClusterScene(smem_nodes, smem_cc, tris_rel, tri_map, C, nc)
+    return ClusterScene(smem_nodes, smem_cc, tris_rel, tri_map, C, nc, relative)

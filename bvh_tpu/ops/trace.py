@@ -29,7 +29,7 @@ from ..ray import Ray
 from ..bvh.traverse import HitRecord
 from .cluster import CLUSTER, ClusterScene
 
-PACKET = 1024  # rays per packet: 8 sublanes x 128 lanes
+PACKET = 1024  # default rays per packet: 8 sublanes x 128 lanes
 _EPS = float(np.finfo(np.float32).eps)
 _INF = float(np.inf)
 
@@ -38,7 +38,17 @@ def _cross_rows(u0, u1, u2, v0, v1, v2):
     return (u1 * v2 - u2 * v1, u2 * v0 - u0 * v2, u0 * v1 - u1 * v0)
 
 
-def _kernel(nodes_ref, cc_ref, tris_ref, slab_ref, lmat_ref, out_ref, best_ref, tbar_ref):
+def _make_kernel(packet: int, precision, use_cc: bool):
+    def _kernel(nodes_ref, cc_ref, tris_ref, slab_ref, lmat_ref, out_ref, best_ref, tbar_ref):
+        return _kernel_body(
+            nodes_ref, cc_ref, tris_ref, slab_ref, lmat_ref, out_ref, best_ref,
+            tbar_ref, packet, precision, use_cc,
+        )
+    return _kernel
+
+
+def _kernel_body(nodes_ref, cc_ref, tris_ref, slab_ref, lmat_ref, out_ref, best_ref,
+                 tbar_ref, PACKET, PRECISION, USE_CC):
     nc = nodes_ref.shape[1]
 
     ox = slab_ref[0, 0]
@@ -49,11 +59,11 @@ def _kernel(nodes_ref, cc_ref, tris_ref, slab_ref, lmat_ref, out_ref, best_ref, 
     iz = slab_ref[0, 5]
 
     best_ref[:, 0:1] = jnp.full((PACKET, 1), _INF, jnp.float32)  # t
-    best_ref[:, 1:4] = jnp.zeros((PACKET, 3), jnp.float32)  # u, v, id(-1 later)
-    best_ref[:, 3:4] = jnp.full((PACKET, 1), -1.0, jnp.float32)
+    best_ref[:, 1:4] = jnp.zeros((PACKET, 3), jnp.float32)
+    best_ref[:, 3:4] = jnp.full((PACKET, 1), -1.0, jnp.float32)  # id
     tbar_ref[0] = _INF
 
-    lanes = jax.lax.broadcasted_iota(jnp.int32, (PACKET, CLUSTER), 1).astype(jnp.float32)
+    lanes_i = jax.lax.broadcasted_iota(jnp.int32, (PACKET, CLUSTER), 1)
 
     def narrowphase(cluster_f):
         c = (-cluster_f - 1.0).astype(jnp.int32)
@@ -83,33 +93,36 @@ def _kernel(nodes_ref, cc_ref, tris_ref, slab_ref, lmat_ref, out_ref, best_ref, 
         bmat = jnp.concatenate([b_det, b_u, b_v, b_t], axis=1)  # [16, 512]
 
         lm = lmat_ref[0]  # [PACKET, 16]: d(3) m(3) o(3) 1 pad(6)
-        dx, dy, dz = lm[:, 0:1], lm[:, 1:2], lm[:, 2:3]
-        ccx = cc_ref[0, c]
-        ccy = cc_ref[1, c]
-        ccz = cc_ref[2, c]
-        cxd0 = ccy * dz - ccz * dy
-        cxd1 = ccz * dx - ccx * dz
-        cxd2 = ccx * dy - ccy * dx
-        lp = jnp.concatenate(
-            [
-                lm[:, 0:3],
-                lm[:, 3:4] - cxd0,
-                lm[:, 4:5] - cxd1,
-                lm[:, 5:6] - cxd2,
-                lm[:, 6:7] - ccx,
-                lm[:, 7:8] - ccy,
-                lm[:, 8:9] - ccz,
-                lm[:, 9:16],
-            ],
-            axis=1,
-        )  # [PACKET, 16]
+        if USE_CC:
+            dx, dy, dz = lm[:, 0:1], lm[:, 1:2], lm[:, 2:3]
+            ccx = cc_ref[0, c]
+            ccy = cc_ref[1, c]
+            ccz = cc_ref[2, c]
+            cxd0 = ccy * dz - ccz * dy
+            cxd1 = ccz * dx - ccx * dz
+            cxd2 = ccx * dy - ccy * dx
+            lp = jnp.concatenate(
+                [
+                    lm[:, 0:3],
+                    lm[:, 3:4] - cxd0,
+                    lm[:, 4:5] - cxd1,
+                    lm[:, 5:6] - cxd2,
+                    lm[:, 6:7] - ccx,
+                    lm[:, 7:8] - ccy,
+                    lm[:, 8:9] - ccz,
+                    lm[:, 9:16],
+                ],
+                axis=1,
+            )  # [PACKET, 16]
+        else:
+            lp = lm
 
         m = jax.lax.dot_general(
             lp,
             bmat,
             (((1,), (0,)), ((), ())),
             preferred_element_type=jnp.float32,
-            precision=jax.lax.Precision.HIGHEST,
+            precision=PRECISION,
         )  # [PACKET, 512]
 
         det = m[:, 0:128]
@@ -126,11 +139,20 @@ def _kernel(nodes_ref, cc_ref, tris_ref, slab_ref, lmat_ref, out_ref, best_ref, 
             & (udet + vdet <= det)
             & (tdet > _EPS * det)
         )
-        t = tdet / jnp.where(cull, 1.0, det)
+        # approximate reciprocal is fine: the kernel's t only drives
+        # comparisons; the exact distance is recomputed outside on the winner
+        t = tdet * pl.reciprocal(jnp.where(cull, 1.0, det), approx=True)
         dist = jnp.where(ok, t, _INF)
 
-        tmin_c = jnp.min(dist, axis=1, keepdims=True)  # [PACKET, 1]
-        first = jnp.min(jnp.where(dist == tmin_c, lanes, float(CLUSTER)), axis=1, keepdims=True)
+        # single packed min-reduce: steal the low 7 mantissa bits of t for the
+        # lane index (t > 0 ==> f32 bit pattern is order-preserving)
+        key = pltpu.bitcast(dist, jnp.int32)
+        key = jnp.where(ok, (key & ~jnp.int32(127)) | lanes_i, jnp.int32(0x7F000000))
+        kmin = jnp.min(key, axis=1, keepdims=True)  # [PACKET, 1]
+        hit_any = kmin < jnp.int32(0x7F000000)
+        tmin_c = pltpu.bitcast(kmin & ~jnp.int32(127), jnp.float32)
+        tmin_c = jnp.where(hit_any, tmin_c, _INF)
+        first = (kmin & jnp.int32(127)).astype(jnp.float32)
         id_c = c.astype(jnp.float32) * float(CLUSTER) + first
 
         bt = best_ref[:, 0:1]
@@ -178,9 +200,11 @@ def _kernel(nodes_ref, cc_ref, tris_ref, slab_ref, lmat_ref, out_ref, best_ref, 
     out_ref[0] = best_ref[:, :]
 
 
-@partial(jax.jit, static_argnames=("num_nodes", "interpret"))
-def _trace(smem_nodes, smem_cc, tris_rel, slab, lmat, num_nodes, interpret=False):
+@partial(jax.jit, static_argnames=("num_nodes", "interpret", "packet", "precision", "use_cc"))
+def _trace(smem_nodes, smem_cc, tris_rel, slab, lmat, num_nodes, interpret=False,
+           packet=PACKET, precision=jax.lax.Precision.HIGHEST, use_cc=True):
     p = slab.shape[0]
+    sub = packet // CLUSTER
     # nodes/cc ride as scalar-prefetch operands: they are loaded into SMEM
     # once per kernel call and persist across all grid steps (a per-step SMEM
     # input block would be re-DMA'd every packet at ~270us a pop).
@@ -188,7 +212,7 @@ def _trace(smem_nodes, smem_cc, tris_rel, slab, lmat, num_nodes, interpret=False
         num_scalar_prefetch=2,
         grid=(p,),
         scratch_shapes=[
-            pltpu.VMEM((PACKET, 4), jnp.float32),
+            pltpu.VMEM((packet, 4), jnp.float32),
             pltpu.SMEM((1,), jnp.float32),
         ],
         in_specs=[
@@ -196,11 +220,11 @@ def _trace(smem_nodes, smem_cc, tris_rel, slab, lmat, num_nodes, interpret=False
             pl.BlockSpec((1,) + slab.shape[1:], lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1,) + lmat.shape[1:], lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, PACKET, 4), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, packet, 4), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
-        _kernel,
-        out_shape=jax.ShapeDtypeStruct((p, PACKET, 4), jnp.float32),
+        _make_kernel(packet, precision, use_cc),
+        out_shape=jax.ShapeDtypeStruct((p, packet, 4), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -210,7 +234,8 @@ def _trace(smem_nodes, smem_cc, tris_rel, slab, lmat, num_nodes, interpret=False
 
 
 def trace_closest_hit(
-    scene: ClusterScene, rays: Ray, tris=None, interpret: bool = False
+    scene: ClusterScene, rays: Ray, tris=None, interpret: bool = False,
+    packet: int = PACKET, precision=jax.lax.Precision.HIGHEST,
 ) -> HitRecord:
     """Closest hit of a ray batch against a ClusterScene (flagship fast path).
 
@@ -221,20 +246,21 @@ def trace_closest_hit(
     on the winning triangle (this is also the differentiable path).
     """
     r = rays.origin.shape[0]
-    pad = (-r) % PACKET
+    pad = (-r) % packet
     o = jnp.concatenate([rays.origin, jnp.full((pad, 3), 2.0e30, jnp.float32)], axis=0) if pad else rays.origin
     d = jnp.concatenate([rays.direction, jnp.ones((pad, 3), jnp.float32)], axis=0) if pad else rays.direction
     inv = jnp.concatenate([rays.inv_direction, jnp.ones((pad, 3), jnp.float32)], axis=0) if pad else rays.inv_direction
     rp = r + pad
-    p = rp // PACKET
+    p = rp // packet
+    sub = packet // CLUSTER
 
     slab = jnp.concatenate([o, inv], axis=1)  # [rp, 6]
-    slab = slab.reshape(p, 8, CLUSTER, 6).transpose(0, 3, 1, 2)  # [p, 6, 8, 128]
+    slab = slab.reshape(p, sub, CLUSTER, 6).transpose(0, 3, 1, 2)  # [p, 6, sub, 128]
 
     m = jnp.cross(o, d)
     ones = jnp.ones((rp, 1), jnp.float32)
     zeros = jnp.zeros((rp, 6), jnp.float32)
-    lmat = jnp.concatenate([d, m, o, ones, zeros], axis=1).reshape(p, PACKET, 16)
+    lmat = jnp.concatenate([d, m, o, ones, zeros], axis=1).reshape(p, packet, 16)
 
     out = _trace(
         jnp.asarray(scene.smem_nodes),
@@ -244,6 +270,9 @@ def trace_closest_hit(
         lmat,
         num_nodes=int(scene.num_nodes),
         interpret=interpret,
+        packet=packet,
+        precision=precision,
+        use_cc=bool(scene.relative),
     )
     out = out.reshape(rp, 4)[:r]
     t = out[:, 0]
