@@ -1,7 +1,11 @@
 """BVH construction, traversal and maintenance."""
 
 from .flat import LEAF, FlatBvh
+from .lbvh import build_lbvh
+from .ordered import farthest_traverse, nearest_traverse, ordered_traverse
+from .refit import refit, update_shapes
 from .sah_build import build_sah
+from .tree import Bvh
 from .traverse import (
     HitRecord,
     any_hit_triangles,
@@ -16,7 +20,14 @@ from .validate import assert_consistent, assert_tight, check_consistent, check_t
 __all__ = [
     "FlatBvh",
     "LEAF",
+    "Bvh",
     "build_sah",
+    "build_lbvh",
+    "refit",
+    "update_shapes",
+    "ordered_traverse",
+    "nearest_traverse",
+    "farthest_traverse",
     "traverse",
     "HitRecord",
     "closest_hit_triangles",

@@ -1,0 +1,69 @@
+"""Checkpointing of acceleration structures.
+
+The reference's only persistence is optional serde derives on
+``Aabb``/``Bvh``/``BvhNode`` (Cargo.toml:19, survey §5). Flat SoA arrays
+serialize trivially: one compressed npz per structure, with a format version
+for forward compatibility. (For training-state checkpointing of the
+differentiable pipeline, use orbax on the pytrees directly — these helpers
+cover the acceleration structures.)
+"""
+
+from __future__ import annotations
+
+import numpy as np
+
+from ..bvh.flat import FlatBvh
+from ..ops.cluster import ClusterScene
+
+_BVH_VERSION = 1
+_SCENE_VERSION = 1
+
+
+def save_bvh(path: str, flat: FlatBvh, shape_to_node=None) -> None:
+    f = flat.to_host()
+    payload = {name: getattr(f, name) for name in FlatBvh._fields}
+    payload["__version__"] = np.int64(_BVH_VERSION)
+    if shape_to_node is not None:
+        payload["shape_to_node"] = np.asarray(shape_to_node)
+    np.savez_compressed(path, **payload)
+
+
+def load_bvh(path: str):
+    """Returns (FlatBvh, shape_to_node or None)."""
+    with np.load(path) as z:
+        version = int(z["__version__"])
+        if version > _BVH_VERSION:
+            raise ValueError(f"bvh file version {version} is newer than supported")
+        flat = FlatBvh(*(z[name] for name in FlatBvh._fields))
+        s2n = z["shape_to_node"] if "shape_to_node" in z.files else None
+    return flat, s2n
+
+
+def save_cluster_scene(path: str, scene: ClusterScene) -> None:
+    np.savez_compressed(
+        path,
+        __version__=np.int64(_SCENE_VERSION),
+        smem_nodes=scene.smem_nodes,
+        smem_cc=scene.smem_cc,
+        tris_rel=scene.tris_rel,
+        tri_map=scene.tri_map,
+        num_clusters=np.int64(scene.num_clusters),
+        num_nodes=np.int64(scene.num_nodes),
+        relative=np.bool_(scene.relative),
+    )
+
+
+def load_cluster_scene(path: str) -> ClusterScene:
+    with np.load(path) as z:
+        version = int(z["__version__"])
+        if version > _SCENE_VERSION:
+            raise ValueError(f"scene file version {version} is newer than supported")
+        return ClusterScene(
+            smem_nodes=z["smem_nodes"],
+            smem_cc=z["smem_cc"],
+            tris_rel=z["tris_rel"],
+            tri_map=z["tri_map"],
+            num_clusters=int(z["num_clusters"]),
+            num_nodes=int(z["num_nodes"]),
+            relative=bool(z["relative"]),
+        )

@@ -1,0 +1,57 @@
+"""Serialization + OBJ loader tests."""
+
+import numpy as np
+
+from bvh_tpu import testbase as tb
+from bvh_tpu.bvh import build_sah
+from bvh_tpu.io import (
+    load_bvh,
+    load_cluster_scene,
+    load_obj_triangles,
+    save_bvh,
+    save_cluster_scene,
+)
+from bvh_tpu.ops import build_cluster_scene
+
+
+def test_bvh_roundtrip(tmp_path):
+    a, b, c = tb.create_n_cubes(20)
+    mn, mx = tb.tri_aabbs(a, b, c)
+    flat, s2n = build_sah(mn, mx)
+    p = str(tmp_path / "t.npz")
+    save_bvh(p, flat, s2n)
+    flat2, s2n2 = load_bvh(p)
+    for name in flat._fields:
+        assert np.array_equal(np.asarray(getattr(flat, name)), getattr(flat2, name))
+    assert np.array_equal(s2n, s2n2)
+
+
+def test_cluster_scene_roundtrip(tmp_path):
+    a, b, c = tb.create_n_cubes(20)
+    scene = build_cluster_scene(a, b, c)
+    p = str(tmp_path / "s.npz")
+    save_cluster_scene(p, scene)
+    s2 = load_cluster_scene(p)
+    assert np.array_equal(scene.smem_nodes, s2.smem_nodes)
+    assert np.array_equal(scene.tris_rel, s2.tris_rel)
+    assert scene.num_clusters == s2.num_clusters and scene.relative == s2.relative
+
+
+def test_obj_loader(tmp_path):
+    obj = """
+# comment
+v 0.0 0.0 0.0
+v 1.0 0.0 0.0
+v 1.0 1.0 0.0
+v 0.0 1.0 0.0
+f 1 2 3 4
+f -4//1 -3/2/1 -2
+"""
+    p = tmp_path / "quad.obj"
+    p.write_text(obj)
+    a, b, c = load_obj_triangles(str(p))
+    # quad fan-triangulates into 2 + the second face into 1 triangle
+    assert a.shape == (3, 3)
+    assert np.allclose(a[0], [0, 0, 0]) and np.allclose(b[0], [1, 0, 0])
+    assert np.allclose(c[1], [0, 1, 0])
+    assert np.allclose(a[2], [0, 0, 0]) and np.allclose(c[2], [1, 1, 0])
