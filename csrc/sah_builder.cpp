@@ -1,0 +1,248 @@
+// Native host-side binned-SAH BVH builder.
+//
+// The device path builds with JAX/Pallas; this is the framework's native
+// runtime component for host-side construction (large static scenes loaded
+// from disk, or hosts feeding many TPU workers). It emits the flat DFS
+// entry/exit layout directly (see bvh_tpu/bvh/flat.py) and is required to be
+// bit-identical to the Python reference builder (bvh_tpu/bvh/sah_build.py):
+// same 6-bucket binning, strict-< SAH plane selection, stable bucket
+// partition, median fallback, all in float32 (compile with contraction off).
+//
+// Parallelism: fork-join over subtrees (std::thread) above a size cutoff —
+// the natural CPU shape, analogous to the reference crate's rayon executor.
+//
+// Build: make -C csrc   (produces libbvhbuild.so; loaded via ctypes)
+
+#include <algorithm>
+#include <atomic>
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+#include <limits>
+#include <thread>
+#include <vector>
+
+namespace {
+
+constexpr int NB = 6;
+constexpr float BUCKET_SCALE = 6.0f - 0.01f;
+const float F32_EPS = std::numeric_limits<float>::epsilon();
+const float INF = std::numeric_limits<float>::infinity();
+
+struct V3 {
+  float x, y, z;
+};
+
+inline V3 vmin(const V3& a, const V3& b) {
+  return {std::min(a.x, b.x), std::min(a.y, b.y), std::min(a.z, b.z)};
+}
+inline V3 vmax(const V3& a, const V3& b) {
+  return {std::max(a.x, b.x), std::max(a.y, b.y), std::max(a.z, b.z)};
+}
+
+inline float surface_area(const V3& mn, const V3& mx) {
+  // reference area proxy: 2 * size.dot(size)
+  float sx = mx.x - mn.x, sy = mx.y - mn.y, sz = mx.z - mn.z;
+  return 2.0f * (sx * sx + sy * sy + sz * sz);
+}
+
+struct Ctx {
+  const float* smin;
+  const float* smax;
+  std::vector<V3> centroid;
+  float* out_amin;
+  float* out_amax;
+  int32_t* entry;
+  int32_t* exit_;
+  int32_t* shape;
+  int32_t* parent;
+  int32_t* s2n;
+  int64_t total;
+  std::atomic<int> threads_left;
+  int64_t par_cutoff;
+};
+
+inline V3 load(const float* p, int64_t i) { return {p[3 * i], p[3 * i + 1], p[3 * i + 2]}; }
+
+struct Bounds {
+  V3 amin, amax, cmin, cmax;
+};
+
+Bounds bounds_of(const Ctx& ctx, const int64_t* idx, int64_t len) {
+  Bounds b{{INF, INF, INF}, {-INF, -INF, -INF}, {INF, INF, INF}, {-INF, -INF, -INF}};
+  for (int64_t k = 0; k < len; ++k) {
+    int64_t s = idx[k];
+    b.amin = vmin(b.amin, load(ctx.smin, s));
+    b.amax = vmax(b.amax, load(ctx.smax, s));
+    b.cmin = vmin(b.cmin, ctx.centroid[s]);
+    b.cmax = vmax(b.cmax, ctx.centroid[s]);
+  }
+  return b;
+}
+
+// Builds the subtree over idx[0..len) into node slot `node`, whose skip
+// pointer is `exit_idx`. Returns nothing; recursion handles children.
+void build_node(Ctx& ctx, int64_t* idx, int64_t len, int64_t node, int64_t parent,
+                int64_t exit_idx, const Bounds& b) {
+  ctx.parent[node] = (int32_t)parent;
+  ctx.exit_[node] = (int32_t)exit_idx;
+  ctx.out_amin[3 * node] = b.amin.x;
+  ctx.out_amin[3 * node + 1] = b.amin.y;
+  ctx.out_amin[3 * node + 2] = b.amin.z;
+  ctx.out_amax[3 * node] = b.amax.x;
+  ctx.out_amax[3 * node + 1] = b.amax.y;
+  ctx.out_amax[3 * node + 2] = b.amax.z;
+
+  if (len == 1) {
+    ctx.entry[node] = -1;
+    ctx.shape[node] = (int32_t)idx[0];
+    ctx.s2n[idx[0]] = (int32_t)node;
+    return;
+  }
+  ctx.shape[node] = -1;
+
+  // split axis = largest centroid extent
+  float ext[3] = {b.cmax.x - b.cmin.x, b.cmax.y - b.cmin.y, b.cmax.z - b.cmin.z};
+  int axis = 0;
+  if (ext[1] > ext[axis]) axis = 1;
+  if (ext[2] > ext[axis]) axis = 2;
+  float axis_size = ext[axis];
+  float cmin_ax = axis == 0 ? b.cmin.x : (axis == 1 ? b.cmin.y : b.cmin.z);
+
+  int64_t l_count;
+  Bounds lb, rb;
+  std::vector<int64_t> scratch(len);
+
+  if (axis_size < F32_EPS) {
+    // degenerate: median split of the current order
+    l_count = len / 2;
+    lb = bounds_of(ctx, idx, l_count);
+    rb = bounds_of(ctx, idx + l_count, len - l_count);
+  } else {
+    // stable 6-bucket binning on the centroid axis
+    Bounds bb[NB];
+    int64_t cnt[NB] = {0};
+    for (auto& x : bb) x = {{INF, INF, INF}, {-INF, -INF, -INF}, {INF, INF, INF}, {-INF, -INF, -INF}};
+    std::vector<int8_t> bucket(len);
+    for (int64_t k = 0; k < len; ++k) {
+      int64_t s = idx[k];
+      const V3& c = ctx.centroid[s];
+      float ca = axis == 0 ? c.x : (axis == 1 ? c.y : c.z);
+      float rel = (ca - cmin_ax) / axis_size;
+      int bkt = (int)(rel * BUCKET_SCALE);
+      bucket[k] = (int8_t)bkt;
+      cnt[bkt]++;
+      bb[bkt].amin = vmin(bb[bkt].amin, load(ctx.smin, s));
+      bb[bkt].amax = vmax(bb[bkt].amax, load(ctx.smax, s));
+      bb[bkt].cmin = vmin(bb[bkt].cmin, c);
+      bb[bkt].cmax = vmax(bb[bkt].cmax, c);
+    }
+    // sweep the 5 planes, strict < keeps the first minimum
+    float parent_sa = surface_area(b.amin, b.amax);
+    float best_cost = INF;
+    Bounds best_l, best_r;
+    int64_t best_lc = 0;
+    for (int plane = 0; plane < NB - 1; ++plane) {
+      Bounds l{{INF, INF, INF}, {-INF, -INF, -INF}, {INF, INF, INF}, {-INF, -INF, -INF}};
+      Bounds r = l;
+      int64_t nl = 0, nr = 0;
+      for (int i = 0; i <= plane; ++i) {
+        nl += cnt[i];
+        l.amin = vmin(l.amin, bb[i].amin);
+        l.amax = vmax(l.amax, bb[i].amax);
+        l.cmin = vmin(l.cmin, bb[i].cmin);
+        l.cmax = vmax(l.cmax, bb[i].cmax);
+      }
+      for (int i = plane + 1; i < NB; ++i) {
+        nr += cnt[i];
+        r.amin = vmin(r.amin, bb[i].amin);
+        r.amax = vmax(r.amax, bb[i].amax);
+        r.cmin = vmin(r.cmin, bb[i].cmin);
+        r.cmax = vmax(r.cmax, bb[i].cmax);
+      }
+      if (nl == 0 || nr == 0) continue;
+      float cost = ((float)nl * surface_area(l.amin, l.amax) +
+                    (float)nr * surface_area(r.amin, r.amax)) /
+                   parent_sa;
+      if (cost < best_cost) {
+        best_cost = cost;
+        best_l = l;
+        best_r = r;
+        best_lc = nl;
+      }
+    }
+    // stable partition: group by bucket number, preserving in-bucket order
+    int64_t offs[NB + 1] = {0};
+    for (int i = 0; i < NB; ++i) offs[i + 1] = offs[i] + cnt[i];
+    int64_t pos[NB];
+    std::memcpy(pos, offs, sizeof(pos));
+    for (int64_t k = 0; k < len; ++k) scratch[pos[bucket[k]]++] = idx[k];
+    std::memcpy(idx, scratch.data(), len * sizeof(int64_t));
+    l_count = best_lc;
+    lb = best_l;
+    rb = best_r;
+  }
+
+  int64_t left = node + 1;
+  int64_t right = left + 2 * l_count - 1;
+  ctx.entry[node] = (int32_t)left;
+  // left child's skip pointer is its right sibling; right child inherits ours
+
+  bool parallel = false;
+  if (len >= ctx.par_cutoff) {
+    if (ctx.threads_left.fetch_sub(1) > 0) {
+      parallel = true;
+    } else {
+      ctx.threads_left.fetch_add(1);  // undo: no budget left
+    }
+  }
+  if (parallel) {
+    std::thread tl([&ctx, idx, l_count, left, node, right, lb] {
+      build_node(ctx, idx, l_count, left, node, right, lb);
+    });
+    build_node(ctx, idx + l_count, len - l_count, right, node, exit_idx, rb);
+    tl.join();
+    ctx.threads_left.fetch_add(1);
+  } else {
+    build_node(ctx, idx, l_count, left, node, right, lb);
+    build_node(ctx, idx + l_count, len - l_count, right, node, exit_idx, rb);
+  }
+}
+
+}  // namespace
+
+extern "C" int bvh_build_sah(const float* shape_min, const float* shape_max, int64_t n,
+                             float* out_amin, float* out_amax, int32_t* entry,
+                             int32_t* exit_, int32_t* shape, int32_t* parent, int32_t* s2n,
+                             int32_t nthreads) {
+  if (n <= 0) return -1;
+  Ctx ctx;
+  ctx.smin = shape_min;
+  ctx.smax = shape_max;
+  ctx.out_amin = out_amin;
+  ctx.out_amax = out_amax;
+  ctx.entry = entry;
+  ctx.exit_ = exit_;
+  ctx.shape = shape;
+  ctx.parent = parent;
+  ctx.s2n = s2n;
+  ctx.total = 2 * n - 1;
+  int hw = nthreads > 0 ? nthreads : (int)std::thread::hardware_concurrency();
+  ctx.threads_left.store(std::max(hw - 1, 0));
+  ctx.par_cutoff = 4096;
+
+  ctx.centroid.resize(n);
+  for (int64_t i = 0; i < n; ++i) {
+    V3 mn = load(shape_min, i), mx = load(shape_max, i);
+    ctx.centroid[i] = {mn.x * 0.5f + mx.x * 0.5f, mn.y * 0.5f + mx.y * 0.5f,
+                       mn.z * 0.5f + mx.z * 0.5f};
+  }
+  std::vector<int64_t> idx(n);
+  for (int64_t i = 0; i < n; ++i) idx[i] = i;
+
+  Bounds root = bounds_of(ctx, idx.data(), n);
+  build_node(ctx, idx.data(), n, 0, -1, ctx.total, root);
+  return 0;
+}
+
+extern "C" int bvh_native_version() { return 1; }
