@@ -3,9 +3,15 @@
 Workload mirrors the reference's flagship bench (`bench_intersect_120k_triangles_bvh`,
 README.md:178): the deterministic 120k-triangle random-cube scene and the same
 splitmix64 ray distribution (origin and direction drawn inside the ±100k
-bounds), traced closest-hit through a SAH BVH. The reference measures
+bounds), traced closest-hit through a SAH-quality BVH. The reference measures
 853 ns/ray on one Ryzen 3900X core = 1.172 M rays/s; `vs_baseline` is the
 ratio of this chip's rays/s over that number.
+
+The TPU path is the tight-cluster Pallas packet kernel (`ops/trace.py`):
+SAH-cut <=16-triangle leaf clusters, SMEM broadphase, per-lane best-t
+pruning, 16-wide MXU Moller-Trumbore narrowphase. Rays are coherence-sorted
+(direction octant + origin Morton) and results scattered back — part of the
+measured time.
 
 Prints ONE JSON line on stdout.
 """
@@ -24,65 +30,78 @@ def main():
 
     from bvh_tpu import Ray
     from bvh_tpu import testbase as tb
-    from bvh_tpu.bvh import build_sah
-    from bvh_tpu.bvh.traverse import closest_hit_chunked
+    from bvh_tpu.ops.cluster import build_tight_scene
+    from bvh_tpu.ops.trace import sort_rays_device, trace_closest_hit_tight
 
     n_cubes = int(os.environ.get("BENCH_CUBES", "10000"))  # 120k triangles
     n_rays = int(os.environ.get("BENCH_RAYS", str(1 << 20)))
-    chunk = int(os.environ.get("BENCH_CHUNK", "16384"))
-    iters = int(os.environ.get("BENCH_ITERS", "3"))
+    packet = int(os.environ.get("BENCH_PACKET", "4096"))
+    iters = int(os.environ.get("BENCH_ITERS", "5"))
 
     a, b, c = tb.create_n_cubes(n_cubes)
-    mn, mx = tb.tri_aabbs(a, b, c)
 
     t0 = time.perf_counter()
-    flat, _ = build_sah(mn, mx)
+    scene = build_tight_scene(a, b, c)
     build_s = time.perf_counter() - t0
 
     # Reference-distribution rays, continuing the scene's seed stream.
+    # Uploaded once; the coherence sort runs on device as part of each
+    # measured iteration (it is per-batch work the tracer needs).
     seed = tb.seed_state_after(n_cubes)
     origins, dirs = tb.create_rays(n_rays, seed=seed)
-    rays = Ray.create(jnp.asarray(origins), jnp.asarray(dirs))
-    dev = flat.to_device()
-    a_, b_, c_ = jnp.asarray(a), jnp.asarray(b), jnp.asarray(c)
+    o_dev = jnp.asarray(origins)
+    d_dev = jnp.asarray(dirs)
 
-    def run(r):
-        out = closest_hit_chunked(dev, r, a_, b_, c_, chunk=chunk)
+    def run(o, d):
+        perm, inv = sort_rays_device(o, d)
+        rays = Ray.create(o[perm], d[perm])
+        out = trace_closest_hit_tight(scene, rays, packet=packet)
+        t = out.t[inv]
+        sid = out.shape_id[inv]
         # NOTE: block_until_ready does not actually block on the axon
         # platform; a reduction forced to host is the only reliable fence.
-        fence = float(jnp.sum(jnp.where(jnp.isfinite(out.t), out.t, 0.0)))
-        return out, fence
+        fence = float(jnp.sum(jnp.where(jnp.isfinite(t), t, 0.0)))
+        return t, sid, fence
 
-    out, _ = run(rays)  # compile + warmup
+    t, sid, _ = run(o_dev, d_dev)  # compile + warmup
 
     best = float("inf")
     for _ in range(iters):
         t0 = time.perf_counter()
-        out, _ = run(rays)
+        t, sid, _ = run(o_dev, d_dev)
         best = min(best, time.perf_counter() - t0)
 
     rays_per_s = n_rays / best
 
-    # Secondary (hard) workload: aimed rays that all hit — deep traversals,
-    # the path the Sponza-class target cares about. Not the headline because
-    # the reference's own bench uses the sparse random-ray distribution above.
-    n_aimed = min(n_rays, 1 << 17)
+    # Secondary (hard) workload: rays aimed at cube faces so every ray hits —
+    # the all-hit path a renderer cares about. Not the headline because the
+    # reference's own bench uses the sparse random-ray distribution above.
+    n_aimed = min(n_rays, 1 << 20)
     centers = a.reshape(-1, 12, 3).mean(axis=1)
     idx = np.resize(np.arange(len(centers)), n_aimed)
-    aim_orig = (centers[idx] + np.array([3000.0, 1500.0, -2000.0], np.float32)).astype(np.float32)
-    aim_at = centers[idx] + np.array([0.11, 0.07, -0.13], np.float32)
-    aimed = Ray.create(jnp.asarray(aim_orig), jnp.asarray((aim_at - aim_orig).astype(np.float32)))
+    order = np.argsort(idx, kind="stable")
+    idx = idx[order]
+    rng = np.random.default_rng(0)
+    offs = rng.normal(size=(n_aimed, 3)).astype(np.float32)
+    offs /= np.linalg.norm(offs, axis=1, keepdims=True)
+    aim_orig = (centers[idx] + offs * 50.0).astype(np.float32)
+    aim_dirs = (centers[idx] + 0.1 - aim_orig).astype(np.float32)
+    aimed = Ray.create(jnp.asarray(aim_orig), jnp.asarray(aim_dirs))
+
     def run_aimed():
-        out_a = closest_hit_chunked(dev, aimed, a_, b_, c_, chunk=chunk)
-        return out_a, float(jnp.sum(jnp.where(jnp.isfinite(out_a.t), out_a.t, 0.0)))
+        out = trace_closest_hit_tight(scene, aimed, packet=packet)
+        return out, float(jnp.sum(jnp.where(jnp.isfinite(out.t), out.t, 0.0)))
 
     out_a, _ = run_aimed()
-    t0 = time.perf_counter()
-    out_a, _ = run_aimed()
-    aimed_s = time.perf_counter() - t0
-    aimed_rays_per_s = n_aimed / aimed_s
+    best_a = float("inf")
+    for _ in range(max(iters - 2, 1)):
+        t0 = time.perf_counter()
+        out_a, _ = run_aimed()
+        best_a = min(best_a, time.perf_counter() - t0)
+    aimed_rays_per_s = n_aimed / best_a
+
     baseline = 1.0 / 853e-9  # reference: 853 ns/ray, README.md:178
-    hit_frac = float(np.isfinite(np.asarray(out.t)).mean())
+    hit_frac = float(np.isfinite(np.asarray(t)).mean())
     result = {
         "metric": f"closest_hit_rays_per_s_{12 * n_cubes // 1000}k_tris",
         "value": round(rays_per_s),
@@ -91,11 +110,12 @@ def main():
         "detail": {
             "device": str(jax.devices()[0]),
             "n_rays": n_rays,
-            "chunk": chunk,
+            "packet": packet,
             "best_s": round(best, 4),
-            "host_sah_build_s": round(build_s, 3),
+            "host_build_s": round(build_s, 3),
             "hit_fraction": round(hit_frac, 4),
             "aimed_all_hit_rays_per_s": round(aimed_rays_per_s),
+            "aimed_hit_fraction": round(float(jnp.isfinite(out_a.t).mean()), 4),
             "baseline": "svenstaro/bvh 853ns/ray (120k tris, Ryzen 3900X core, README.md:178)",
         },
     }

@@ -18,6 +18,8 @@ from ..bvh.sah_build import build_sah
 from ..testbase import tri_aabbs
 
 CLUSTER = 128  # triangles per cluster == VPU lane count
+TIGHT = 16  # triangles per tight cluster (16 lanes; 8 clusters share a VPU row)
+GROUP = 128 // TIGHT  # tight clusters packed per 128-lane group row
 
 
 class ClusterScene(NamedTuple):
@@ -126,3 +128,120 @@ def build_cluster_scene(
     tri_map[:n] = order.astype(np.int32)
 
     return ClusterScene(smem_nodes, smem_cc, tris_rel, tri_map, C, nc, relative)
+
+
+class TightScene(NamedTuple):
+    """Device tables for the tight-cluster trace kernel (``ops/trace.py``).
+
+    The loose-Morton ``ClusterScene`` groups 128 triangles per leaf, which in
+    sparse scenes produces leaf AABBs thousands of units wide around unit-scale
+    geometry — every packet then funnels through the 128-wide narrowphase.
+    Here leaves are *SAH-cut* clusters of at most ``TIGHT``=16 triangles: the
+    binary SAH tree over all triangles (the same splits as the reference's
+    build, ``src/bvh/bvh_node.rs:183-279``) is cut at subtrees of <=16 shapes,
+    so a leaf box is as tight as the reference's own subtree boxes. The upper
+    BVH over cluster AABBs lives in SMEM; triangles are packed 8 clusters to a
+    128-lane VPU row and stored cluster-relative.
+    """
+
+    smem_nodes: np.ndarray  # [8, Nn] f32: amin(3), amax(3), entry, exit
+    groups: np.ndarray  # [G, 16, 128] f32 rows: a'(3) e1(3) e2(3) pad(7); lane = (cluster%8)*16+tri
+    tri_map: np.ndarray  # [C * 16] i32 lane -> original triangle id (-1 pad)
+    num_clusters: int
+    num_nodes: int
+
+    @property
+    def num_tris(self) -> int:
+        return int((self.tri_map >= 0).sum())
+
+
+def cut_clusters(flat, leaf_size: int = TIGHT):
+    """Cuts a host FlatBvh into maximal subtrees of <= leaf_size shapes.
+
+    Returns (roots, cluster_of_leaf): cluster root node indices in DFS order,
+    and for every tree leaf the cluster it belongs to.
+    """
+    entry = np.asarray(flat.entry)
+    exit_ = np.asarray(flat.exit)
+    parent = np.asarray(flat.parent)
+    idx = np.arange(entry.shape[0], dtype=np.int64)
+    count = (exit_ - idx + 1) // 2  # shapes under each node (2k-1 nodes <=> k shapes)
+    small = count <= leaf_size
+    psmall = np.where(parent >= 0, small[np.maximum(parent, 0)], False)
+    roots = np.nonzero(small & ~psmall)[0]  # maximal small subtrees, DFS order
+    # Map each leaf node to its cluster: cluster roots partition DFS index
+    # space into [root, exit) intervals.
+    leaves = np.nonzero(entry == -1)[0]
+    cluster_of_leaf = np.searchsorted(roots, leaves, side="right") - 1
+    return roots, leaves, cluster_of_leaf
+
+
+def build_tight_scene(
+    a: np.ndarray, b: np.ndarray, c: np.ndarray, leaf_size: int = TIGHT,
+    config=None, use_native: bool = True,
+) -> TightScene:
+    """Host prep for the tight-cluster kernel: SAH build, cut, pack, upper BVH."""
+    from ..config import DEFAULT_CONFIG
+    from ..native import build_sah_auto
+
+    if config is None:
+        config = DEFAULT_CONFIG
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    c = np.asarray(c, np.float32)
+    n = a.shape[0]
+    if n == 0:
+        raise ValueError("empty scene")
+    mn, mx = tri_aabbs(a, b, c)
+    if use_native:
+        flat, _ = build_sah_auto(mn, mx, config)
+    else:
+        flat, _ = build_sah(mn, mx, config)
+
+    roots, leaves, cluster_of_leaf = cut_clusters(flat, leaf_size)
+    C = roots.shape[0]
+    shape_ids = np.asarray(flat.shape)[leaves]  # tri id per tree leaf, DFS order
+
+    # Per-cluster contiguous triangle lists (DFS leaf order within a cluster).
+    counts = np.bincount(cluster_of_leaf, minlength=C)
+    assert counts.max() <= leaf_size
+    slot = np.arange(leaves.shape[0]) - np.concatenate([[0], np.cumsum(counts)])[cluster_of_leaf]
+    lane = cluster_of_leaf * TIGHT + slot  # [n] packed lane per triangle
+    tri_map = np.full(C * TIGHT, -1, np.int32)
+    tri_map[lane] = shape_ids.astype(np.int32)
+
+    # Cluster AABBs and centers from the cut roots (tight by construction).
+    cl_min = np.asarray(flat.aabb_min)[roots]
+    cl_max = np.asarray(flat.aabb_max)[roots]
+    cc = ((cl_min + cl_max) * 0.5).astype(np.float32)
+
+    # Upper BVH over cluster AABBs -> SMEM table; leaves encode -(cluster+1).
+    up, _ = build_sah(cl_min, cl_max, config)
+    nn = up.num_nodes
+    entry = np.asarray(up.entry, np.float32).copy()
+    leaf_m = np.asarray(up.entry) < 0
+    entry[leaf_m] = -(np.asarray(up.shape)[leaf_m].astype(np.float32) + 1.0)
+    smem_nodes = np.zeros((8, nn), np.float32)
+    smem_nodes[0:3] = np.asarray(up.aabb_min).T
+    smem_nodes[3:6] = np.asarray(up.aabb_max).T
+    smem_nodes[6] = entry
+    smem_nodes[7] = np.asarray(up.exit, np.float32)
+
+    # Triangle rows, cluster-relative, packed 8 clusters per 128-lane row.
+    G = (C + GROUP - 1) // GROUP
+    av = np.zeros((C * TIGHT, 3), np.float32)
+    e1 = np.zeros((C * TIGHT, 3), np.float32)
+    e2 = np.zeros((C * TIGHT, 3), np.float32)
+    ccl = np.repeat(cc, TIGHT, axis=0)  # [C*16, 3]
+    av[lane] = a[shape_ids] - ccl[lane]
+    e1[lane] = b[shape_ids] - a[shape_ids]
+    e2[lane] = c[shape_ids] - a[shape_ids]
+    rows = np.zeros((G * GROUP * TIGHT, 16), np.float32)  # [lane, row]
+    rows[: C * TIGHT, 0:3] = av
+    rows[: C * TIGHT, 3:6] = e1
+    rows[: C * TIGHT, 6:9] = e2
+    groups = rows.reshape(G, 128, 16).transpose(0, 2, 1).copy()  # [G, 16, 128]
+
+    tri_map_pad = np.full(G * GROUP * TIGHT, -1, np.int32)
+    tri_map_pad[: C * TIGHT] = tri_map
+    return TightScene(smem_nodes, groups, tri_map_pad, C, nn)

@@ -38,17 +38,17 @@ def _cross_rows(u0, u1, u2, v0, v1, v2):
     return (u1 * v2 - u2 * v1, u2 * v0 - u0 * v2, u0 * v1 - u1 * v0)
 
 
-def _make_kernel(packet: int, precision, use_cc: bool):
+def _make_kernel(packet: int, precision, use_cc: bool, skip_narrow: bool = False):
     def _kernel(nodes_ref, cc_ref, tris_ref, slab_ref, lmat_ref, out_ref, best_ref, tbar_ref):
         return _kernel_body(
             nodes_ref, cc_ref, tris_ref, slab_ref, lmat_ref, out_ref, best_ref,
-            tbar_ref, packet, precision, use_cc,
+            tbar_ref, packet, precision, use_cc, skip_narrow,
         )
     return _kernel
 
 
 def _kernel_body(nodes_ref, cc_ref, tris_ref, slab_ref, lmat_ref, out_ref, best_ref,
-                 tbar_ref, PACKET, PRECISION, USE_CC):
+                 tbar_ref, PACKET, PRECISION, USE_CC, SKIP_NARROW=False):
     nc = nodes_ref.shape[1]
 
     ox = slab_ref[0, 0]
@@ -188,7 +188,7 @@ def _kernel_body(nodes_ref, cc_ref, tris_ref, slab_ref, lmat_ref, out_ref, best_
         anyhit = jnp.any(useful)
         is_leaf = entry < 0.0
 
-        @pl.when(is_leaf & anyhit)
+        @pl.when(is_leaf & anyhit & (not SKIP_NARROW))
         def _():
             narrowphase(entry)
 
@@ -200,9 +200,10 @@ def _kernel_body(nodes_ref, cc_ref, tris_ref, slab_ref, lmat_ref, out_ref, best_
     out_ref[0] = best_ref[:, :]
 
 
-@partial(jax.jit, static_argnames=("num_nodes", "interpret", "packet", "precision", "use_cc"))
+@partial(jax.jit, static_argnames=("num_nodes", "interpret", "packet", "precision", "use_cc", "skip_narrow"))
 def _trace(smem_nodes, smem_cc, tris_rel, slab, lmat, num_nodes, interpret=False,
-           packet=PACKET, precision=jax.lax.Precision.HIGHEST, use_cc=True):
+           packet=PACKET, precision=jax.lax.Precision.HIGHEST, use_cc=True,
+           skip_narrow=False):
     p = slab.shape[0]
     sub = packet // CLUSTER
     # nodes/cc ride as scalar-prefetch operands: they are loaded into SMEM
@@ -223,7 +224,7 @@ def _trace(smem_nodes, smem_cc, tris_rel, slab, lmat, num_nodes, interpret=False
         out_specs=pl.BlockSpec((1, packet, 4), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
-        _make_kernel(packet, precision, use_cc),
+        _make_kernel(packet, precision, use_cc, skip_narrow),
         out_shape=jax.ShapeDtypeStruct((p, packet, 4), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -236,6 +237,7 @@ def _trace(smem_nodes, smem_cc, tris_rel, slab, lmat, num_nodes, interpret=False
 def trace_closest_hit(
     scene: ClusterScene, rays: Ray, tris=None, interpret: bool = False,
     packet: int = PACKET, precision=jax.lax.Precision.HIGHEST,
+    skip_narrow: bool = False,
 ) -> HitRecord:
     """Closest hit of a ray batch against a ClusterScene (flagship fast path).
 
@@ -273,6 +275,7 @@ def trace_closest_hit(
         packet=packet,
         precision=precision,
         use_cc=bool(scene.relative),
+        skip_narrow=skip_narrow,
     )
     out = out.reshape(rp, 4)[:r]
     t = out[:, 0]
@@ -310,4 +313,304 @@ def sort_rays(origins: np.ndarray, directions: np.ndarray):
     perm = np.argsort(key, kind="stable")
     inv = np.empty_like(perm)
     inv[perm] = np.arange(len(perm))
+    return perm, inv
+
+
+# ---------------------------------------------------------------------------
+# Tight-cluster kernel: SAH-cut 16-triangle leaves, 16-wide narrowphase.
+#
+# The 128-wide packet kernel above funnels every leaf visit through a
+# [P,16]@[16,512] MXU call; with loose Morton leaves that is ~40x more
+# ray-triangle work than the rays need. Here leaves are tight SAH subtrees
+# (<= 16 tris, see ``cluster.build_tight_scene``), so the broadphase prunes
+# like the reference tree does, and the narrowphase is a [P,16]@[16,64]
+# matmul on the one 16-lane cluster extracted from its 128-lane group row
+# with a dynamic lane roll.
+
+
+def _make_tight_kernel(packet: int, precision, skip_narrow: bool = False,
+                       subtile: int = 1024):
+    def _kernel(nodes_ref, groups_ref, slab_ref, lmat_ref, out_ref, best_ref, vb_ref):
+        return _tight_body(nodes_ref, groups_ref, slab_ref, lmat_ref, out_ref,
+                           best_ref, vb_ref, packet, precision, skip_narrow, subtile)
+    return _kernel
+
+
+def _tight_body(nodes_ref, groups_ref, slab_ref, lmat_ref, out_ref, best_ref,
+                vb_ref, PACKET, PRECISION, SKIP_NARROW=False, SUBTILE=1024):
+    nn = nodes_ref.shape[1]
+    W = 16  # tris per tight cluster
+    SUB = PACKET // 128  # sublane tiles of the ray packet
+    SUBTILE = min(SUBTILE, PACKET)
+    NT = max(PACKET // SUBTILE, 1)  # narrowphase subtiles
+    ST = SUBTILE // 128  # sublane rows per subtile
+
+    ox = slab_ref[0, 0]
+    oy = slab_ref[0, 1]
+    oz = slab_ref[0, 2]
+    ix = slab_ref[0, 3]
+    iy = slab_ref[0, 4]
+    iz = slab_ref[0, 5]
+
+    best_ref[:, 0:1] = jnp.full((PACKET, 1), _INF, jnp.float32)  # t
+    best_ref[:, 1:2] = jnp.full((PACKET, 1), -1.0, jnp.float32)  # id
+    # per-lane best distance, in slab layout, for traversal pruning
+    vb_ref[:, :] = jnp.full((SUB, 128), _INF, jnp.float32)
+
+    lanes_i = jax.lax.broadcasted_iota(jnp.int32, (SUBTILE, W), 1)
+
+    def narrowphase(cluster_f, ax, ay, az, bx, by, bz, useful):
+        c = (-cluster_f - 1.0).astype(jnp.int32)
+        g = jax.lax.shift_right_logical(c, 3)
+        sub = jax.lax.bitwise_and(c, 7)
+        tile = groups_ref[pl.ds(g, 1)][0]  # [16, 128]
+        shift = jax.lax.bitwise_and(128 - sub * W, 127)
+        tr = pltpu.roll(tile, shift, axis=1)  # cluster's tris at lanes 0..15
+
+        a0, a1, a2 = tr[0:1, 0:W], tr[1:2, 0:W], tr[2:3, 0:W]
+        e10, e11, e12 = tr[3:4, 0:W], tr[4:5, 0:W], tr[5:6, 0:W]
+        e20, e21, e22 = tr[6:7, 0:W], tr[7:8, 0:W], tr[8:9, 0:W]
+
+        p00, p01, p02 = _cross_rows(e20, e21, e22, e10, e11, e12)  # e2 x e1
+        q0, q1, q2 = _cross_rows(e20, e21, e22, a0, a1, a2)  # e2 x a'
+        r0, r1, r2 = _cross_rows(e10, e11, e12, a0, a1, a2)  # e1 x a'
+        n0, n1, n2 = _cross_rows(e10, e11, e12, e20, e21, e22)  # e1 x e2
+        an = a0 * n0 + a1 * n1 + a2 * n2
+
+        z1 = jnp.zeros((1, W), jnp.float32)
+
+        def rows(*rs):
+            out = list(rs)
+            while len(out) < 16:
+                out.append(z1)
+            return jnp.concatenate(out, axis=0)
+
+        b_det = rows(p00, p01, p02)
+        b_u = rows(-q0, -q1, -q2, e20, e21, e22)
+        b_v = rows(r0, r1, r2, -e10, -e11, -e12)
+        b_t = rows(z1, z1, z1, z1, z1, z1, n0, n1, n2, -an)
+        bmat = jnp.concatenate([b_det, b_u, b_v, b_t], axis=1)  # [16, 4W]
+
+        # ray transform into the cluster frame (center of the leaf box)
+        ccx = (ax + bx) * 0.5
+        ccy = (ay + by) * 0.5
+        ccz = (az + bz) * 0.5
+
+        def narrow_subtile(st):
+            lm = lmat_ref[0, st * SUBTILE:(st + 1) * SUBTILE]  # [SUBTILE, 16]
+            dx, dy, dz = lm[:, 0:1], lm[:, 1:2], lm[:, 2:3]
+            cxd0 = ccy * dz - ccz * dy
+            cxd1 = ccz * dx - ccx * dz
+            cxd2 = ccx * dy - ccy * dx
+            lp = jnp.concatenate(
+                [
+                    lm[:, 0:3],
+                    lm[:, 3:4] - cxd0,
+                    lm[:, 4:5] - cxd1,
+                    lm[:, 5:6] - cxd2,
+                    lm[:, 6:7] - ccx,
+                    lm[:, 7:8] - ccy,
+                    lm[:, 8:9] - ccz,
+                    lm[:, 9:16],
+                ],
+                axis=1,
+            )
+
+            m = jax.lax.dot_general(
+                lp, bmat, (((1,), (0,)), ((), ())),
+                preferred_element_type=jnp.float32, precision=PRECISION,
+            )  # [SUBTILE, 4W]
+
+            det = m[:, 0:W]
+            udet = m[:, W:2 * W]
+            vdet = m[:, 2 * W:3 * W]
+            tdet = m[:, 3 * W:4 * W]
+            cull = det < _EPS
+            ok = (
+                ~cull
+                & (udet >= 0.0)
+                & (udet <= det)
+                & (vdet >= 0.0)
+                & (udet + vdet <= det)
+                & (tdet > _EPS * det)
+            )
+            t = tdet * pl.reciprocal(jnp.where(cull, 1.0, det), approx=True)
+            dist = jnp.where(ok, t, _INF)
+
+            # packed min-reduce: steal the low 4 mantissa bits of t for the lane
+            key = pltpu.bitcast(dist, jnp.int32)
+            key = jnp.where(ok, (key & ~jnp.int32(15)) | lanes_i, jnp.int32(0x7F000000))
+            kmin = jnp.min(key, axis=1, keepdims=True)  # [SUBTILE, 1]
+            hit_any = kmin < jnp.int32(0x7F000000)
+            tmin_c = pltpu.bitcast(kmin & ~jnp.int32(15), jnp.float32)
+            tmin_c = jnp.where(hit_any, tmin_c, _INF)
+            lane = (kmin & jnp.int32(15)).astype(jnp.float32)
+            id_c = c.astype(jnp.float32) * float(W) + lane
+
+            lo, hi = st * SUBTILE, (st + 1) * SUBTILE
+            bt = best_ref[lo:hi, 0:1]
+            closer = tmin_c < bt
+            nt = jnp.where(closer, tmin_c, bt)
+            best_ref[lo:hi, 0:1] = nt
+            best_ref[lo:hi, 1:2] = jnp.where(closer, id_c, best_ref[lo:hi, 1:2])
+            # refresh the per-lane pruning distances (slab layout)
+            vb_ref[st * ST:(st + 1) * ST, :] = nt.reshape(ST, 128)
+
+        if NT == 1:
+            narrow_subtile(0)
+        else:
+            for st in range(NT):
+                flag = jnp.any(useful[st * ST:(st + 1) * ST, :])
+
+                @pl.when(flag)
+                def _(st=st):
+                    narrow_subtile(st)
+
+    def body(cursor):
+        ax = nodes_ref[0, cursor]
+        ay = nodes_ref[1, cursor]
+        az = nodes_ref[2, cursor]
+        bx = nodes_ref[3, cursor]
+        by = nodes_ref[4, cursor]
+        bz = nodes_ref[5, cursor]
+        entry = nodes_ref[6, cursor]
+        exit_ = nodes_ref[7, cursor]
+
+        t1 = (ax - ox) * ix
+        t2 = (bx - ox) * ix
+        u1 = (ay - oy) * iy
+        u2 = (by - oy) * iy
+        v1 = (az - oz) * iz
+        v2 = (bz - oz) * iz
+        tmin = jnp.maximum(
+            jnp.maximum(jnp.minimum(t1, t2), jnp.minimum(u1, u2)), jnp.minimum(v1, v2)
+        )
+        tmax = jnp.minimum(
+            jnp.minimum(jnp.maximum(t1, t2), jnp.maximum(u1, u2)), jnp.maximum(v1, v2)
+        )
+        useful = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < vb_ref[:, :])
+        anyhit = jnp.any(useful)
+        is_leaf = entry < 0.0
+
+        @pl.when(is_leaf & anyhit & (not SKIP_NARROW))
+        def _():
+            narrowphase(entry, ax, ay, az, bx, by, bz, useful)
+
+        nxt = jax.lax.select(is_leaf | jnp.logical_not(anyhit), exit_, entry)
+        return nxt.astype(jnp.int32)
+
+    jax.lax.while_loop(lambda cur: cur < nn, body, 0)
+
+    out_ref[0] = best_ref[:, :]
+
+
+@partial(jax.jit, static_argnames=("num_nodes", "interpret", "packet", "precision", "skip_narrow"))
+def _trace_tight(smem_nodes, groups, slab, lmat, num_nodes, interpret=False,
+                 packet=2048, precision=jax.lax.Precision.HIGHEST, skip_narrow=False):
+    p = slab.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(p,),
+        scratch_shapes=[
+            pltpu.VMEM((packet, 4), jnp.float32),
+            pltpu.VMEM((packet // 128, 128), jnp.float32),
+        ],
+        in_specs=[
+            pl.BlockSpec(groups.shape, lambda i, *_: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + slab.shape[1:], lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + lmat.shape[1:], lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, packet, 4), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        _make_tight_kernel(packet, precision, skip_narrow),
+        out_shape=jax.ShapeDtypeStruct((p, packet, 4), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+    )(smem_nodes, groups, slab, lmat)
+
+
+def trace_closest_hit_tight(scene, rays: Ray, tris=None, interpret: bool = False,
+                            packet: int = 2048,
+                            precision=jax.lax.Precision.HIGHEST,
+                            skip_narrow: bool = False) -> HitRecord:
+    """Closest hit against a ``TightScene`` (the fast path for sparse scenes).
+
+    Same contract as ``trace_closest_hit``: returns packed (t, triangle id);
+    pass ``tris=(a, b, c)`` for exact (u, v, t) recomputed on the winner.
+    """
+    r = rays.origin.shape[0]
+    pad = (-r) % packet
+    o = jnp.concatenate([rays.origin, jnp.full((pad, 3), 2.0e30, jnp.float32)], axis=0) if pad else rays.origin
+    d = jnp.concatenate([rays.direction, jnp.ones((pad, 3), jnp.float32)], axis=0) if pad else rays.direction
+    inv = jnp.concatenate([rays.inv_direction, jnp.ones((pad, 3), jnp.float32)], axis=0) if pad else rays.inv_direction
+    rp = r + pad
+    p = rp // packet
+    sub = packet // 128
+
+    slab = jnp.concatenate([o, inv], axis=1)  # [rp, 6]
+    slab = slab.reshape(p, sub, 128, 6).transpose(0, 3, 1, 2)  # [p, 6, sub, 128]
+
+    m = jnp.cross(o, d)
+    ones = jnp.ones((rp, 1), jnp.float32)
+    zeros = jnp.zeros((rp, 6), jnp.float32)
+    lmat = jnp.concatenate([d, m, o, ones, zeros], axis=1).reshape(p, packet, 16)
+
+    out = _trace_tight(
+        jnp.asarray(scene.smem_nodes),
+        jnp.asarray(scene.groups),
+        slab,
+        lmat,
+        num_nodes=int(scene.num_nodes),
+        interpret=interpret,
+        packet=packet,
+        precision=precision,
+        skip_narrow=skip_narrow,
+    )
+    out = out.reshape(rp, 4)[:r]
+    t = out[:, 0]
+    lane_id = out[:, 1].astype(jnp.int32)
+    hit = jnp.isfinite(t)
+    tri_map = jnp.asarray(scene.tri_map)
+    sid = jnp.where(hit, tri_map[jnp.clip(lane_id, 0, tri_map.shape[0] - 1)], -1)
+    if tris is not None:
+        from ..ray import ray_intersects_triangle
+
+        ta, tb, tc = tris
+        safe = jnp.maximum(sid, 0)
+        inter = ray_intersects_triangle(rays, ta[safe], tb[safe], tc[safe])
+        u = jnp.where(hit, inter.u, 0.0)
+        v = jnp.where(hit, inter.v, 0.0)
+        t = jnp.where(hit, jnp.where(jnp.isfinite(inter.distance), inter.distance, t), t)
+    else:
+        u = jnp.zeros_like(t)
+        v = jnp.zeros_like(t)
+    return HitRecord(t, u, v, sid)
+
+
+@partial(jax.jit, static_argnames=("bits",))
+def sort_rays_device(origins: jnp.ndarray, directions: jnp.ndarray, bits: int = 6):
+    """Device-side coherence sort: direction octant, then origin Morton cell.
+
+    The jnp analog of ``sort_rays`` — keeps the whole pipeline on-chip (the
+    host round trip costs more than the sort on a remote-attached TPU).
+    Returns (perm, inv) int32 permutations.
+    """
+    o = origins
+    d = directions
+    octant = (
+        (d[:, 0] > 0).astype(jnp.int32) * 4
+        + (d[:, 1] > 0).astype(jnp.int32) * 2
+        + (d[:, 2] > 0).astype(jnp.int32)
+    )
+    lo = o.min(axis=0)
+    hi = o.max(axis=0)
+    scale = (2.0**bits - 1.0) / jnp.maximum(hi - lo, 1e-30)
+    q = ((o - lo) * scale).astype(jnp.int32)
+    key = (((octant << (3 * bits)) | (q[:, 0] << (2 * bits)) | (q[:, 1] << bits)) | q[:, 2])
+    perm = jnp.argsort(key, stable=True).astype(jnp.int32)
+    inv = jnp.zeros_like(perm).at[perm].set(jnp.arange(perm.shape[0], dtype=jnp.int32))
     return perm, inv

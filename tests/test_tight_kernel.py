@@ -1,0 +1,118 @@
+"""Tight-cluster trace kernel: SAH-cut leaves, per-lane pruning (interpret mode)."""
+
+import numpy as np
+import pytest
+
+import jax.numpy as jnp
+
+from bvh_tpu import Ray
+from bvh_tpu import testbase as tb
+from bvh_tpu.bvh.traverse import brute_force_closest_hit
+from bvh_tpu.ops.cluster import TIGHT, build_tight_scene, cut_clusters
+from bvh_tpu.ops.trace import trace_closest_hit_tight
+
+
+@pytest.fixture(scope="module")
+def cube_scene():
+    a, b, c = tb.create_n_cubes(40)  # 480 tris
+    scene = build_tight_scene(a, b, c, use_native=False)
+    return a, b, c, scene
+
+
+def test_cut_clusters_partition():
+    """Every triangle lands in exactly one cluster; clusters are <= TIGHT."""
+    a, b, c = tb.create_n_cubes(25)
+    scene = build_tight_scene(a, b, c, use_native=False)
+    ids = scene.tri_map[scene.tri_map >= 0]
+    assert sorted(ids.tolist()) == list(range(25 * 12))
+    # per-cluster occupancy <= TIGHT
+    occupied = (scene.tri_map.reshape(-1, TIGHT) >= 0).sum(axis=1)
+    assert occupied[: scene.num_clusters].max() <= TIGHT
+
+
+def test_tight_leaves_are_tight():
+    """SAH-cut leaves hug the geometry: unit cubes => ~unit leaf boxes."""
+    a, b, c = tb.create_n_cubes(60)
+    scene = build_tight_scene(a, b, c, use_native=False)
+    nodes = scene.smem_nodes
+    leaf = nodes[6] < 0
+    ext = (nodes[3:6] - nodes[0:3])[:, leaf]
+    assert np.median(ext) <= 2.0  # Morton-128 clusters measured ~4000 here
+
+
+def test_tight_matches_brute_force(cube_scene):
+    a, b, c, scene = cube_scene
+    centers = a.reshape(-1, 12, 3).mean(axis=1)
+    n = 1024
+    idx = np.resize(np.arange(len(centers)), n)
+    rng = np.random.default_rng(3)
+    offs = rng.normal(size=(n, 3)).astype(np.float32)
+    offs /= np.linalg.norm(offs, axis=1, keepdims=True)
+    o = (centers[idx] + offs * 40.0).astype(np.float32)
+    d = (centers[idx] + 0.17 - o).astype(np.float32)
+    rays = Ray.create(jnp.asarray(o), jnp.asarray(d))
+    aj, bj, cj = jnp.asarray(a), jnp.asarray(b), jnp.asarray(c)
+
+    got = trace_closest_hit_tight(scene, rays, tris=(aj, bj, cj), packet=1024, interpret=True)
+    want = brute_force_closest_hit(rays, aj, bj, cj)
+    tg, tw = np.asarray(got.t), np.asarray(want.t)
+    assert (np.isfinite(tg) == np.isfinite(tw)).all()
+    both = np.isfinite(tg)
+    assert both.mean() > 0.9  # aimed rays should nearly all hit
+    # Rays grazing a triangle edge may resolve to the adjacent triangle (the
+    # MXU bilinear form rounds differently from direct Moller-Trumbore at the
+    # u/v boundary — the float-boundary class the reference fuzzer's Grid mode
+    # exists to sidestep). Everything must still agree to 0.3% in distance,
+    # and >99% of rays must agree exactly on the winning triangle.
+    np.testing.assert_allclose(tg[both], tw[both], rtol=3e-3)
+    ids_agree = np.asarray(got.shape_id)[both] == np.asarray(want.shape_id)[both]
+    assert ids_agree.mean() > 0.99
+    np.testing.assert_allclose(
+        np.asarray(got.u)[both][ids_agree], np.asarray(want.u)[both][ids_agree], atol=1e-4
+    )
+    exact = ids_agree
+    np.testing.assert_allclose(tg[both][exact], tw[both][exact], rtol=1e-4)
+
+
+def test_tight_grid_exact():
+    """Grid-mode oracle: axis-parallel rays at face centers agree exactly."""
+    a, b, c = tb.create_n_cubes(32)
+    scene = build_tight_scene(a, b, c, use_native=False)
+    centers = a.reshape(-1, 12, 3).mean(axis=1)
+    n = len(centers)
+    o = centers + np.array([37.0, 0.0, 0.0], np.float32)  # off +x face center
+    d = np.tile(np.array([[-1.0, 0.0, 0.0]], np.float32), (n, 1))
+    rays = Ray.create(jnp.asarray(o), jnp.asarray(d))
+    aj, bj, cj = jnp.asarray(a), jnp.asarray(b), jnp.asarray(c)
+    got = trace_closest_hit_tight(scene, rays, tris=(aj, bj, cj), packet=512, interpret=True)
+    want = brute_force_closest_hit(rays, aj, bj, cj)
+    assert (np.isfinite(np.asarray(got.t)) == np.isfinite(np.asarray(want.t))).all()
+    both = np.isfinite(np.asarray(got.t))
+    assert (np.asarray(got.shape_id)[both] == np.asarray(want.shape_id)[both]).all()
+    np.testing.assert_allclose(np.asarray(got.t)[both], np.asarray(want.t)[both], rtol=1e-6)
+
+
+def test_tight_miss_and_padding(cube_scene):
+    a, b, c, scene = cube_scene
+    # 100 rays (pads to one packet), pointing away from the scene: all miss.
+    o = np.full((100, 3), 250_000.0, np.float32)
+    d = np.tile(np.array([[1.0, 0.5, 0.25]], np.float32), (100, 1))
+    rays = Ray.create(jnp.asarray(o), jnp.asarray(d))
+    got = trace_closest_hit_tight(scene, rays, packet=1024, interpret=True)
+    assert not np.isfinite(np.asarray(got.t)).any()
+    assert (np.asarray(got.shape_id) == -1).all()
+
+
+def test_tight_multi_packet(cube_scene):
+    """Results are identical whether rays fit one packet or span several."""
+    a, b, c, scene = cube_scene
+    centers = a.reshape(-1, 12, 3).mean(axis=1)
+    n = 512
+    idx = np.resize(np.arange(len(centers)), n)
+    o = (centers[idx] + np.array([90.0, 60.0, -70.0], np.float32)).astype(np.float32)
+    d = (centers[idx] - o).astype(np.float32)
+    rays = Ray.create(jnp.asarray(o), jnp.asarray(d))
+    one = trace_closest_hit_tight(scene, rays, packet=512, interpret=True)
+    four = trace_closest_hit_tight(scene, rays, packet=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(one.t), np.asarray(four.t), rtol=1e-5)
+    assert (np.asarray(one.shape_id) == np.asarray(four.shape_id)).all()
