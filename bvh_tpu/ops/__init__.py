@@ -14,7 +14,16 @@ here to TPU kernels built around two hardware facts measured on-chip:
   matmul per cluster of 128 triangles.
 """
 
-from .cluster import ClusterScene, build_cluster_scene
-from .trace import trace_closest_hit
+from .cluster import ClusterScene, TightScene, build_cluster_scene, build_tight_scene
+from .trace import sort_rays, sort_rays_device, trace_closest_hit, trace_closest_hit_tight
 
-__all__ = ["ClusterScene", "build_cluster_scene", "trace_closest_hit"]
+__all__ = [
+    "ClusterScene",
+    "TightScene",
+    "build_cluster_scene",
+    "build_tight_scene",
+    "trace_closest_hit",
+    "trace_closest_hit_tight",
+    "sort_rays",
+    "sort_rays_device",
+]
