@@ -326,6 +326,21 @@ def sort_rays(origins: np.ndarray, directions: np.ndarray):
 # like the reference tree does, and the narrowphase is a [P,16]@[16,64]
 # matmul on the one 16-lane cluster extracted from its 128-lane group row
 # with a dynamic lane roll.
+#
+# Shapes tried and measured on TPU v5e before settling on this flat loop
+# (120k-tri scene, 1M random rays; broadphase-only floor 0.14s):
+# * per-visit pl.when region (even with a trivial body): +~100 ns/visit;
+# * reduce-dependent SMEM store (trigger list at a counted slot): +87 ns;
+# * carried scalar bool (has_trig |= ...): +23 ns/visit;
+# * nested while loops (inner traversal + outer drain, any cond shape):
+#   inherit the full region cost — Mosaic stops pipelining the inner body;
+# * vector trigger accumulators ([SUB,128] or folded [1,128] carry):
+#   register spills at P=4096 erase the gain;
+# * multi-stream cursors (2-4 packets per kernel instance): spill the
+#   register file; >=4 streams degrade ~400x.
+# The winning levers were the opposite direction: LESS live state (slab
+# re-read from VMEM + FMA form), and a tighter tree (fewer visits), not a
+# cleverer loop.
 
 
 def _make_tight_kernel(packet: int, precision, skip_narrow: bool = False,
@@ -345,19 +360,10 @@ def _tight_body(nodes_ref, groups_ref, slab_ref, lmat_ref, out_ref, best_ref,
     NT = max(PACKET // SUBTILE, 1)  # narrowphase subtiles
     ST = SUBTILE // 128  # sublane rows per subtile
 
-    ox = slab_ref[0, 0]
-    oy = slab_ref[0, 1]
-    oz = slab_ref[0, 2]
-    ix = slab_ref[0, 3]
-    iy = slab_ref[0, 4]
-    iz = slab_ref[0, 5]
-
     best_ref[:, 0:1] = jnp.full((PACKET, 1), _INF, jnp.float32)  # t
     best_ref[:, 1:2] = jnp.full((PACKET, 1), -1.0, jnp.float32)  # id
     # per-lane best distance, in slab layout, for traversal pruning
     vb_ref[:, :] = jnp.full((SUB, 128), _INF, jnp.float32)
-
-    lanes_i = jax.lax.broadcasted_iota(jnp.int32, (SUBTILE, W), 1)
 
     def narrowphase(cluster_f, ax, ay, az, bx, by, bz, useful):
         c = (-cluster_f - 1.0).astype(jnp.int32)
@@ -438,6 +444,7 @@ def _tight_body(nodes_ref, groups_ref, slab_ref, lmat_ref, out_ref, best_ref,
             dist = jnp.where(ok, t, _INF)
 
             # packed min-reduce: steal the low 4 mantissa bits of t for the lane
+            lanes_i = jax.lax.broadcasted_iota(jnp.int32, (SUBTILE, W), 1)
             key = pltpu.bitcast(dist, jnp.int32)
             key = jnp.where(ok, (key & ~jnp.int32(15)) | lanes_i, jnp.int32(0x7F000000))
             kmin = jnp.min(key, axis=1, keepdims=True)  # [SUBTILE, 1]
@@ -476,12 +483,17 @@ def _tight_body(nodes_ref, groups_ref, slab_ref, lmat_ref, out_ref, best_ref,
         entry = nodes_ref[6, cursor]
         exit_ = nodes_ref[7, cursor]
 
-        t1 = (ax - ox) * ix
-        t2 = (bx - ox) * ix
-        u1 = (ay - oy) * iy
-        u2 = (by - oy) * iy
-        v1 = (az - oz) * iz
-        v2 = (bz - oz) * iz
+        # slab components re-read from VMEM each visit (holding them in
+        # registers across the loop spills the register file); rows 0-2 are
+        # o*inv precomputed so each bound costs one FMA
+        oix, oiy, oiz = slab_ref[0, 0], slab_ref[0, 1], slab_ref[0, 2]
+        ix, iy, iz = slab_ref[0, 3], slab_ref[0, 4], slab_ref[0, 5]
+        t1 = ax * ix - oix
+        t2 = bx * ix - oix
+        u1 = ay * iy - oiy
+        u2 = by * iy - oiy
+        v1 = az * iz - oiz
+        v2 = bz * iz - oiz
         tmin = jnp.maximum(
             jnp.maximum(jnp.minimum(t1, t2), jnp.minimum(u1, u2)), jnp.minimum(v1, v2)
         )
@@ -551,7 +563,13 @@ def trace_closest_hit_tight(scene, rays: Ray, tris=None, interpret: bool = False
     p = rp // packet
     sub = packet // 128
 
-    slab = jnp.concatenate([o, inv], axis=1)  # [rp, 6]
+    # Clamp infinite inverse directions so the kernel's FMA slab form
+    # (b*inv - o*inv) stays finite for axis-parallel rays. Consequence: a ray
+    # lying exactly in a box's face plane counts as touching (the reference's
+    # NaN quirk makes it a miss, src/ray/intersect_default.rs:22-28); the
+    # pure-JAX traversal path keeps the reference semantics exactly.
+    inv_c = jnp.clip(inv, -1.0e30, 1.0e30)
+    slab = jnp.concatenate([o * inv_c, inv_c], axis=1)  # [rp, 6]: o*inv | inv
     slab = slab.reshape(p, sub, 128, 6).transpose(0, 3, 1, 2)  # [p, 6, sub, 128]
 
     m = jnp.cross(o, d)

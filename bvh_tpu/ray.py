@@ -34,6 +34,10 @@ class Ray(NamedTuple):
         """Builds a ray batch; ``direction`` is normalized (reference Ray::new)."""
         origin = jnp.asarray(origin)
         direction = jnp.asarray(direction)
+        if origin.shape != direction.shape:
+            raise ValueError(
+                f"origin {origin.shape} and direction {direction.shape} must match"
+            )
         norm = jnp.sqrt(jnp.sum(direction * direction, axis=-1, keepdims=True))
         direction = direction / norm
         return Ray(origin, direction, 1.0 / direction)
