@@ -147,27 +147,40 @@ def build_lbvh(shape_min: jnp.ndarray, shape_max: jnp.ndarray) -> tuple:
     leaf_shape = jnp.where(is_leaf, order[jnp.clip(jnp.arange(total) - (n - 1), 0, n - 1)], -1)
 
     # ---- bottom-up: subtree leaf counts and AABBs (<= 64 masked sweeps) ----
+    # One packed [total, 8] record per node (amin 3, amax 3, count, ready) so
+    # each sweep costs two row-gathers instead of six — gathers dominate the
+    # build on TPU.
+    d = shape_min.shape[1]
     amin0 = jnp.where(is_leaf[:, None], shape_min[jnp.maximum(leaf_shape, 0)], jnp.inf)
     amax0 = jnp.where(is_leaf[:, None], shape_max[jnp.maximum(leaf_shape, 0)], -jnp.inf)
-    counts0 = jnp.where(is_leaf, 1, 0).astype(jnp.int32)
-    ready0 = is_leaf
+    counts0 = jnp.where(is_leaf, 1, 0).astype(jnp.float32)
+    ready0 = is_leaf.astype(jnp.float32)
+    rec0 = jnp.concatenate(
+        [amin0, amax0, counts0[:, None], ready0[:, None]], axis=1
+    )  # [total, 2d+2]
+    lc = jnp.maximum(left, 0)
+    rc = jnp.maximum(right, 0)
 
-    def up_cond(st):
-        return ~st[0][0]  # root not ready
+    def up_body(rec):
+        rl = rec[lc]
+        rr = rec[rc]
+        can = (rec[:, -1] == 0.0) & ~is_leaf & (rl[:, -1] > 0.0) & (rr[:, -1] > 0.0)
+        new = jnp.concatenate(
+            [
+                jnp.minimum(rl[:, :d], rr[:, :d]),
+                jnp.maximum(rl[:, d:2 * d], rr[:, d:2 * d]),
+                (rl[:, 2 * d:2 * d + 1] + rr[:, 2 * d:2 * d + 1]),
+                jnp.ones((rec.shape[0], 1), jnp.float32),
+            ],
+            axis=1,
+        )
+        return jnp.where(can[:, None], new, rec)
 
-    def up_body(st):
-        ready, counts, amin, amax = st
-        lc = jnp.maximum(left, 0)
-        rc = jnp.maximum(right, 0)
-        can = ~ready & ~is_leaf & ready[lc] & ready[rc]
-        counts = jnp.where(can, counts[lc] + counts[rc], counts)
-        amin = jnp.where(can[:, None], jnp.minimum(amin[lc], amin[rc]), amin)
-        amax = jnp.where(can[:, None], jnp.maximum(amax[lc], amax[rc]), amax)
-        return (ready | can, counts, amin, amax)
-
-    ready, counts, amin, amax = jax.lax.while_loop(
-        up_cond, up_body, (ready0, counts0, amin0, amax0)
-    )
+    # root is node 0: watch rec[0, -1]
+    rec = jax.lax.while_loop(lambda r: r[0, -1] == 0.0, up_body, rec0)
+    amin = rec[:, :d]
+    amax = rec[:, d:2 * d]
+    counts = rec[:, 2 * d].astype(jnp.int32)
 
     # ---- top-down: DFS index and exit pointers (<= 64 masked sweeps) ------
     # dfs[left(p)] = dfs[p] + 1 ; dfs[right(p)] = dfs[p] + 2*counts[left(p)]
@@ -175,27 +188,28 @@ def build_lbvh(shape_min: jnp.ndarray, shape_max: jnp.ndarray) -> tuple:
     dfs0 = jnp.where(jnp.arange(total) == 0, 0, -1)
     exit0 = jnp.where(jnp.arange(total) == 0, total, -1)
 
-    def dn_cond(st):
-        dfs, _ = st
-        return jnp.any(dfs < 0)
+    # Pack (dfs, exit) as one [total, 2] record: one parent-gather per sweep.
+    # Precompute per-node "offset from parent dfs" and the left-sibling counts
+    # once, outside the loop.
+    p_safe = jnp.maximum(parent, 0)
+    lcount_p = counts[jnp.maximum(left[p_safe], 0)]
+    am_left = left[p_safe] == jnp.arange(total)
+    dfs_off = jnp.where(am_left, 1, 2 * lcount_p)  # child dfs = parent dfs + off
+    de0 = jnp.stack([dfs0.astype(jnp.int32), exit0.astype(jnp.int32)], axis=1)
 
-    def dn_body(st):
-        dfs, ex = st
-        p = jnp.maximum(parent, 0)
-        p_known = dfs[p] >= 0
-        am_left = left[p] == jnp.arange(total)
-        new_dfs = jnp.where(
-            am_left, dfs[p] + 1, dfs[p] + 2 * counts[jnp.maximum(left[p], 0)]
+    def dn_body(de):
+        dp = de[p_safe]  # [total, 2] parent (dfs, exit)
+        p_known = dp[:, 0] >= 0
+        sib_dfs = dp[:, 0] + 2 * lcount_p
+        new_dfs = dp[:, 0] + dfs_off
+        new_ex = jnp.where(am_left, sib_dfs, dp[:, 1])
+        upd = (de[:, 0] < 0) & p_known & (parent >= 0) & (am_left | (dp[:, 1] >= 0))
+        return jnp.where(
+            upd[:, None], jnp.stack([new_dfs, new_ex], axis=1), de
         )
-        # right sibling's dfs = dfs[p] + 2*counts[left(p)]
-        sib_dfs = dfs[p] + 2 * counts[jnp.maximum(left[p], 0)]
-        new_ex = jnp.where(am_left, sib_dfs, ex[p])
-        upd = (dfs < 0) & p_known & (parent >= 0) & jnp.where(am_left, True, ex[p] >= 0)
-        dfs = jnp.where(upd, new_dfs, dfs)
-        ex = jnp.where(upd, new_ex, ex)
-        return dfs, ex
 
-    dfs, ex = jax.lax.while_loop(dn_cond, dn_body, (dfs0, exit0))
+    de = jax.lax.while_loop(lambda de: jnp.any(de[:, 0] < 0), dn_body, de0)
+    dfs, ex = de[:, 0], de[:, 1]
 
     # ---- scatter into DFS order -------------------------------------------
     entry_old = jnp.where(is_leaf, LEAF, dfs[jnp.maximum(left, 0)])

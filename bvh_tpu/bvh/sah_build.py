@@ -5,9 +5,10 @@ The reference builds its tree by depth-first recursion with rayon fork-join
 machine, so this builder re-architects the *same split algorithm* as a
 level-synchronous sweep: at each depth, ALL active segments are binned,
 SAH-swept and partitioned at once with segmented reductions — no recursion,
-no work-stealing, O(depth) vectorized passes. The identical structure runs on
-device in ``sah_device.py``; this numpy version is the host reference and
-oracle.
+no work-stealing, O(depth) vectorized passes. A native C++ port of the same
+algorithm lives in ``csrc/sah_builder.cpp`` (bit-identical outputs, used by
+default via ``native.build_sah_auto``); the device-side builder is the LBVH
+(``lbvh.py``), which trades SAH quality for one-sort construction.
 
 Split semantics are mirrored exactly from the reference so trees agree
 node-for-node (``src/bvh/bvh_node.rs:81-279``):

@@ -216,7 +216,10 @@ def build_tight_scene(
     cc = ((cl_min + cl_max) * 0.5).astype(np.float32)
 
     # Upper BVH over cluster AABBs -> SMEM table; leaves encode -(cluster+1).
-    up, _ = build_sah(cl_min, cl_max, config)
+    if use_native:
+        up, _ = build_sah_auto(cl_min, cl_max, config)
+    else:
+        up, _ = build_sah(cl_min, cl_max, config)
     nn = up.num_nodes
     entry = np.asarray(up.entry, np.float32).copy()
     leaf_m = np.asarray(up.entry) < 0
