@@ -100,6 +100,28 @@ def main():
         best_a = min(best_a, time.perf_counter() - t0)
     aimed_rays_per_s = n_aimed / best_a
 
+    # Differentiable render: forward + backward (vertex gradients) on the
+    # aimed all-hit batch — the capability the reference lacks entirely.
+    from bvh_tpu.diff import render_depth_fast
+
+    aj, bj, cj = jnp.asarray(a), jnp.asarray(b), jnp.asarray(c)
+    tgt = jnp.zeros((n_aimed,), jnp.float32)
+
+    def loss(av, bv, cv):
+        depth, hit_m = render_depth_fast(scene, aimed, av, bv, cv)
+        return jnp.sum(jnp.where(hit_m, (depth - tgt) ** 2, 0.0)) * 1e-9
+
+    gfn = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2)))
+    val, grads = gfn(aj, bj, cj)
+    _ = float(val)
+    best_g = float("inf")
+    for _ in range(max(iters - 3, 1)):
+        t0 = time.perf_counter()
+        val, grads = gfn(aj, bj, cj)
+        _ = float(val)
+        best_g = min(best_g, time.perf_counter() - t0)
+    fwd_bwd_rays_per_s = n_aimed / best_g
+
     baseline = 1.0 / 853e-9  # reference: 853 ns/ray, README.md:178
     hit_frac = float(np.isfinite(np.asarray(t)).mean())
     result = {
@@ -116,6 +138,7 @@ def main():
             "hit_fraction": round(hit_frac, 4),
             "aimed_all_hit_rays_per_s": round(aimed_rays_per_s),
             "aimed_hit_fraction": round(float(jnp.isfinite(out_a.t).mean()), 4),
+            "diff_fwd_bwd_rays_per_s": round(fwd_bwd_rays_per_s),
             "baseline": "svenstaro/bvh 853ns/ray (120k tris, Ryzen 3900X core, README.md:178)",
         },
     }

@@ -61,3 +61,46 @@ def render_depth(
     hit = render_hits(flat, rays, tri_a, tri_b, tri_c)
     depth = jnp.where(hit.shape_id >= 0, hit.t, background)
     return depth, hit.shape_id >= 0
+
+
+def render_hits_fast(scene, rays: Ray, tri_a, tri_b, tri_c, packet: int = 2048,
+                     interpret: bool = False) -> HitRecord:
+    """``render_hits`` with the Pallas tight-cluster kernel as the hard pass.
+
+    The kernel runs under ``stop_gradient`` (discrete hit selection carries no
+    gradient anyway); t/u/v are then recomputed differentiably on the winning
+    triangle exactly as in ``render_hits``. ``scene`` is a
+    ``ops.cluster.TightScene`` built over the same triangles.
+    """
+    from ..ops.trace import trace_closest_hit_tight
+
+    sg = jax.lax.stop_gradient
+    hard = trace_closest_hit_tight(
+        scene,
+        Ray(sg(rays.origin), sg(rays.direction), sg(rays.inv_direction)),
+        packet=packet,
+        interpret=interpret,
+    )
+    sid = sg(hard.shape_id)
+    safe = jnp.maximum(sid, 0)
+    inter = ray_intersects_triangle(rays, tri_a[safe], tri_b[safe], tri_c[safe])
+    # The kernel's bilinear test can accept a grazing hit the exact
+    # Moller-Trumbore recompute rejects (u/v boundary rounding); such rays
+    # count as misses here so depth/gradients stay finite.
+    hit_mask = (sid >= 0) & jnp.isfinite(sg(inter.distance))
+    sid = jnp.where(hit_mask, sid, -1)
+    inf = jnp.asarray(jnp.inf, hard.t.dtype)
+    t = jnp.where(hit_mask, inter.distance, inf)
+    u = jnp.where(hit_mask, inter.u, 0.0)
+    v = jnp.where(hit_mask, inter.v, 0.0)
+    return HitRecord(t, u, v, sid)
+
+
+def render_depth_fast(scene, rays: Ray, tri_a, tri_b, tri_c,
+                      background: float = 0.0, packet: int = 2048,
+                      interpret: bool = False):
+    """``render_depth`` on the Pallas fast path. Differentiable."""
+    hit = render_hits_fast(scene, rays, tri_a, tri_b, tri_c, packet=packet,
+                           interpret=interpret)
+    depth = jnp.where(hit.shape_id >= 0, hit.t, background)
+    return depth, hit.shape_id >= 0

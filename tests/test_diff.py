@@ -101,3 +101,46 @@ def test_miss_lanes_zero_gradient(small_scene):
     val, g = jax.value_and_grad(f)(a)
     assert float(val) == 7.0
     assert np.abs(np.asarray(g)).sum() == 0.0
+
+
+def test_fast_path_matches_slow_gradients():
+    """render_depth_fast (Pallas hard pass) vs render_depth: same loss and
+    gradients up to the ~1% of grazing rays whose winner differs between the
+    bilinear-form kernel and direct Moller-Trumbore."""
+    from bvh_tpu.diff import render_depth_fast
+    from bvh_tpu.ops import build_tight_scene
+
+    a, b, c = tb.create_n_cubes(40)
+    mn, mx = tb.tri_aabbs(a, b, c)
+    flat, _ = build_sah(mn, mx)
+    dev = flat.to_device()
+    scene = build_tight_scene(a, b, c, use_native=False)
+    centers = a.reshape(-1, 12, 3).mean(axis=1)
+    n = 1024
+    idx = np.resize(np.arange(len(centers)), n)
+    rng = np.random.default_rng(5)
+    offs = rng.normal(size=(n, 3)).astype(np.float32)
+    offs /= np.linalg.norm(offs, axis=1, keepdims=True)
+    o = (centers[idx] + offs * 40.0).astype(np.float32)
+    d = (centers[idx] + 0.23 - o).astype(np.float32)
+    rays = Ray.create(jnp.asarray(o), jnp.asarray(d))
+    aj, bj, cj = jnp.asarray(a), jnp.asarray(b), jnp.asarray(c)
+    tgt = jnp.full((n,), 40.0, jnp.float32)
+
+    def loss_slow(av):
+        depth, hit = render_depth(dev, rays, av, bj, cj)
+        return jnp.sum(jnp.where(hit, (depth - tgt) ** 2, 0.0))
+
+    def loss_fast(av):
+        depth, hit = render_depth_fast(scene, rays, av, bj, cj, packet=1024, interpret=True)
+        return jnp.sum(jnp.where(hit, (depth - tgt) ** 2, 0.0))
+
+    vs, gs = jax.value_and_grad(loss_slow)(aj)
+    vf, gf = jax.value_and_grad(loss_fast)(aj)
+    assert np.isfinite(float(vf))
+    assert abs(float(vs) - float(vf)) / float(vs) < 2e-2
+    gs, gf = np.asarray(gs), np.asarray(gf)
+    assert abs(np.abs(gs).sum() - np.abs(gf).sum()) / np.abs(gs).sum() < 2e-2
+    # vertices of triangles whose winner agrees get identical gradients
+    agree = np.isclose(gs, gf, rtol=1e-4, atol=1e-6).mean()
+    assert agree > 0.97
