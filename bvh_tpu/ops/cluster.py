@@ -145,10 +145,11 @@ class TightScene(NamedTuple):
     """
 
     smem_nodes: np.ndarray  # [8, Nn] f32: amin(3), amax(3), entry, exit
-    groups: np.ndarray  # [G, 16, 128] f32 rows: a'(3) e1(3) e2(3) pad(7); lane = (cluster%8)*16+tri
-    tri_map: np.ndarray  # [C * 16] i32 lane -> original triangle id (-1 pad)
+    groups: np.ndarray  # [G, 16, 128] f32 rows: a'(3) e1(3) e2(3) pad(7); lane = (cluster % (128//W))*W + tri
+    tri_map: np.ndarray  # [C * W] i32 lane -> original triangle id (-1 pad)
     num_clusters: int
     num_nodes: int
+    width: int = TIGHT  # triangles per cluster (16 or 32)
 
     @property
     def num_tris(self) -> int:
@@ -177,10 +178,18 @@ def cut_clusters(flat, leaf_size: int = TIGHT):
 
 
 def build_tight_scene(
-    a: np.ndarray, b: np.ndarray, c: np.ndarray, leaf_size: int = TIGHT,
+    a: np.ndarray, b: np.ndarray, c: np.ndarray, leaf_size: int | None = None,
     config=None, use_native: bool = True,
 ) -> TightScene:
-    """Host prep for the tight-cluster kernel: SAH build, cut, pack, upper BVH."""
+    """Host prep for the tight-cluster kernel: SAH build, cut, pack, upper BVH.
+
+    ``leaf_size`` (16/32/64/128 triangles per cluster) defaults to 16,
+    widening to 32 when the upper tree's SMEM node table would exceed the
+    ~640KB scalar memory budget (roughly > 10k clusters / 160k triangles).
+    Sparse scenes want small leaves (tight boxes around isolated geometry);
+    dense connected meshes trace faster with 64-128 (fewer, still-tight
+    leaves => far fewer broadphase visits).
+    """
     from ..config import DEFAULT_CONFIG
     from ..native import build_sah_auto
 
@@ -192,6 +201,10 @@ def build_tight_scene(
     n = a.shape[0]
     if n == 0:
         raise ValueError("empty scene")
+    if leaf_size is None:
+        leaf_size = TIGHT if n <= 160_000 else 32
+    if leaf_size not in (16, 32, 64, 128):
+        raise ValueError("leaf_size must be 16/32/64/128 (VPU lane packing)")
     mn, mx = tri_aabbs(a, b, c)
     if use_native:
         flat, _ = build_sah_auto(mn, mx, config)
@@ -200,14 +213,16 @@ def build_tight_scene(
 
     roots, leaves, cluster_of_leaf = cut_clusters(flat, leaf_size)
     C = roots.shape[0]
+    W = leaf_size
+    group = 128 // W
     shape_ids = np.asarray(flat.shape)[leaves]  # tri id per tree leaf, DFS order
 
     # Per-cluster contiguous triangle lists (DFS leaf order within a cluster).
     counts = np.bincount(cluster_of_leaf, minlength=C)
     assert counts.max() <= leaf_size
     slot = np.arange(leaves.shape[0]) - np.concatenate([[0], np.cumsum(counts)])[cluster_of_leaf]
-    lane = cluster_of_leaf * TIGHT + slot  # [n] packed lane per triangle
-    tri_map = np.full(C * TIGHT, -1, np.int32)
+    lane = cluster_of_leaf * W + slot  # [n] packed lane per triangle
+    tri_map = np.full(C * W, -1, np.int32)
     tri_map[lane] = shape_ids.astype(np.int32)
 
     # Cluster AABBs and centers from the cut roots (tight by construction).
@@ -230,21 +245,21 @@ def build_tight_scene(
     smem_nodes[6] = entry
     smem_nodes[7] = np.asarray(up.exit, np.float32)
 
-    # Triangle rows, cluster-relative, packed 8 clusters per 128-lane row.
-    G = (C + GROUP - 1) // GROUP
-    av = np.zeros((C * TIGHT, 3), np.float32)
-    e1 = np.zeros((C * TIGHT, 3), np.float32)
-    e2 = np.zeros((C * TIGHT, 3), np.float32)
-    ccl = np.repeat(cc, TIGHT, axis=0)  # [C*16, 3]
+    # Triangle rows, cluster-relative, packed 128//W clusters per lane row.
+    G = (C + group - 1) // group
+    av = np.zeros((C * W, 3), np.float32)
+    e1 = np.zeros((C * W, 3), np.float32)
+    e2 = np.zeros((C * W, 3), np.float32)
+    ccl = np.repeat(cc, W, axis=0)  # [C*W, 3]
     av[lane] = a[shape_ids] - ccl[lane]
     e1[lane] = b[shape_ids] - a[shape_ids]
     e2[lane] = c[shape_ids] - a[shape_ids]
-    rows = np.zeros((G * GROUP * TIGHT, 16), np.float32)  # [lane, row]
-    rows[: C * TIGHT, 0:3] = av
-    rows[: C * TIGHT, 3:6] = e1
-    rows[: C * TIGHT, 6:9] = e2
+    rows = np.zeros((G * group * W, 16), np.float32)  # [lane, row]
+    rows[: C * W, 0:3] = av
+    rows[: C * W, 3:6] = e1
+    rows[: C * W, 6:9] = e2
     groups = rows.reshape(G, 128, 16).transpose(0, 2, 1).copy()  # [G, 16, 128]
 
-    tri_map_pad = np.full(G * GROUP * TIGHT, -1, np.int32)
-    tri_map_pad[: C * TIGHT] = tri_map
-    return TightScene(smem_nodes, groups, tri_map_pad, C, nn)
+    tri_map_pad = np.full(G * group * W, -1, np.int32)
+    tri_map_pad[: C * W] = tri_map
+    return TightScene(smem_nodes, groups, tri_map_pad, C, nn, W)

@@ -344,17 +344,21 @@ def sort_rays(origins: np.ndarray, directions: np.ndarray):
 
 
 def _make_tight_kernel(packet: int, precision, skip_narrow: bool = False,
-                       subtile: int = 1024):
+                       subtile: int = 1024, width: int = 16):
     def _kernel(nodes_ref, groups_ref, slab_ref, lmat_ref, out_ref, best_ref, vb_ref):
         return _tight_body(nodes_ref, groups_ref, slab_ref, lmat_ref, out_ref,
-                           best_ref, vb_ref, packet, precision, skip_narrow, subtile)
+                           best_ref, vb_ref, packet, precision, skip_narrow,
+                           subtile, width)
     return _kernel
 
 
 def _tight_body(nodes_ref, groups_ref, slab_ref, lmat_ref, out_ref, best_ref,
-                vb_ref, PACKET, PRECISION, SKIP_NARROW=False, SUBTILE=1024):
+                vb_ref, PACKET, PRECISION, SKIP_NARROW=False, SUBTILE=1024,
+                W=16):
+    assert W in (16, 32, 64, 128)
     nn = nodes_ref.shape[1]
-    W = 16  # tris per tight cluster
+    GSHIFT = (128 // W).bit_length() - 1  # log2(clusters per group row)
+    GMASK = (128 // W) - 1
     SUB = PACKET // 128  # sublane tiles of the ray packet
     SUBTILE = min(SUBTILE, PACKET)
     NT = max(PACKET // SUBTILE, 1)  # narrowphase subtiles
@@ -367,11 +371,11 @@ def _tight_body(nodes_ref, groups_ref, slab_ref, lmat_ref, out_ref, best_ref,
 
     def narrowphase(cluster_f, ax, ay, az, bx, by, bz, useful):
         c = (-cluster_f - 1.0).astype(jnp.int32)
-        g = jax.lax.shift_right_logical(c, 3)
-        sub = jax.lax.bitwise_and(c, 7)
+        g = jax.lax.shift_right_logical(c, GSHIFT)
+        sub = jax.lax.bitwise_and(c, GMASK)
         tile = groups_ref[pl.ds(g, 1)][0]  # [16, 128]
         shift = jax.lax.bitwise_and(128 - sub * W, 127)
-        tr = pltpu.roll(tile, shift, axis=1)  # cluster's tris at lanes 0..15
+        tr = pltpu.roll(tile, shift, axis=1)  # cluster's tris at lanes 0..W-1
 
         a0, a1, a2 = tr[0:1, 0:W], tr[1:2, 0:W], tr[2:3, 0:W]
         e10, e11, e12 = tr[3:4, 0:W], tr[4:5, 0:W], tr[5:6, 0:W]
@@ -443,15 +447,17 @@ def _tight_body(nodes_ref, groups_ref, slab_ref, lmat_ref, out_ref, best_ref,
             t = tdet * pl.reciprocal(jnp.where(cull, 1.0, det), approx=True)
             dist = jnp.where(ok, t, _INF)
 
-            # packed min-reduce: steal the low 4 mantissa bits of t for the lane
+            # packed min-reduce: steal the low log2(W) mantissa bits of t
+            # for the lane index (t > 0 => f32 bits are order-preserving)
+            LMASK = jnp.int32(W - 1)
             lanes_i = jax.lax.broadcasted_iota(jnp.int32, (SUBTILE, W), 1)
             key = pltpu.bitcast(dist, jnp.int32)
-            key = jnp.where(ok, (key & ~jnp.int32(15)) | lanes_i, jnp.int32(0x7F000000))
+            key = jnp.where(ok, (key & ~LMASK) | lanes_i, jnp.int32(0x7F000000))
             kmin = jnp.min(key, axis=1, keepdims=True)  # [SUBTILE, 1]
             hit_any = kmin < jnp.int32(0x7F000000)
-            tmin_c = pltpu.bitcast(kmin & ~jnp.int32(15), jnp.float32)
+            tmin_c = pltpu.bitcast(kmin & ~LMASK, jnp.float32)
             tmin_c = jnp.where(hit_any, tmin_c, _INF)
-            lane = (kmin & jnp.int32(15)).astype(jnp.float32)
+            lane = (kmin & LMASK).astype(jnp.float32)
             id_c = c.astype(jnp.float32) * float(W) + lane
 
             lo, hi = st * SUBTILE, (st + 1) * SUBTILE
@@ -516,9 +522,10 @@ def _tight_body(nodes_ref, groups_ref, slab_ref, lmat_ref, out_ref, best_ref,
     out_ref[0] = best_ref[:, :]
 
 
-@partial(jax.jit, static_argnames=("num_nodes", "interpret", "packet", "precision", "skip_narrow"))
+@partial(jax.jit, static_argnames=("num_nodes", "interpret", "packet", "precision", "skip_narrow", "width"))
 def _trace_tight(smem_nodes, groups, slab, lmat, num_nodes, interpret=False,
-                 packet=2048, precision=jax.lax.Precision.HIGHEST, skip_narrow=False):
+                 packet=2048, precision=jax.lax.Precision.HIGHEST, skip_narrow=False,
+                 width=16):
     p = slab.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -535,7 +542,7 @@ def _trace_tight(smem_nodes, groups, slab, lmat, num_nodes, interpret=False,
         out_specs=pl.BlockSpec((1, packet, 4), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
-        _make_tight_kernel(packet, precision, skip_narrow),
+        _make_tight_kernel(packet, precision, skip_narrow, width=width),
         out_shape=jax.ShapeDtypeStruct((p, packet, 4), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -587,6 +594,7 @@ def trace_closest_hit_tight(scene, rays: Ray, tris=None, interpret: bool = False
         packet=packet,
         precision=precision,
         skip_narrow=skip_narrow,
+        width=int(getattr(scene, "width", 16)),
     )
     out = out.reshape(rp, 4)[:r]
     t = out[:, 0]

@@ -181,3 +181,34 @@ def seed_state_after(n_draws: int, seed: int = 0) -> int:
     the reference benches that thread one mutable seed through scene+rays.
     """
     return int((seed + n_draws * int(GOLDEN)) & 0xFFFFFFFFFFFFFFFF)
+
+
+def create_dense_mesh(res: int = 362, extent: float = 100.0, seed: int = 0):
+    """Deterministic dense connected mesh: a multi-octave wavy heightfield
+    over a ``res x res`` grid => ``2*(res-1)^2`` triangles (SoA a, b, c).
+
+    A stand-in for the reference's Sponza scene (``media/sponza.obj`` is a
+    stripped large blob in the mirror): architectural-density connected
+    geometry with coherent normals, the workload class where camera renders
+    hit ~every pixel. res=362 gives ~260k triangles (Sponza is ~262k).
+    """
+    xs = np.linspace(-extent, extent, res, dtype=np.float32)
+    zs = np.linspace(-extent, extent, res, dtype=np.float32)
+    X, Z = np.meshgrid(xs, zs, indexing="ij")
+    # deterministic multi-octave displacement (no RNG: pure trig)
+    Y = (
+        6.0 * np.sin(X * 0.11 + 1.0) * np.cos(Z * 0.13 + 2.0)
+        + 2.5 * np.sin(X * 0.37 + 0.5) * np.sin(Z * 0.29 + 1.7)
+        + 1.0 * np.cos(X * 0.83) * np.sin(Z * 0.71 + 0.3)
+    ).astype(np.float32)
+    V = np.stack([X, Y, Z], axis=-1)  # [res, res, 3]
+
+    v00 = V[:-1, :-1].reshape(-1, 3)
+    v10 = V[1:, :-1].reshape(-1, 3)
+    v01 = V[:-1, 1:].reshape(-1, 3)
+    v11 = V[1:, 1:].reshape(-1, 3)
+    # two triangles per quad, consistent upward-facing winding
+    a = np.concatenate([v00, v10], axis=0)
+    b = np.concatenate([v01, v01], axis=0)
+    c = np.concatenate([v10, v11], axis=0)
+    return a.astype(np.float32), b.astype(np.float32), c.astype(np.float32)

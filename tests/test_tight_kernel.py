@@ -116,3 +116,28 @@ def test_tight_multi_packet(cube_scene):
     four = trace_closest_hit_tight(scene, rays, packet=128, interpret=True)
     np.testing.assert_allclose(np.asarray(one.t), np.asarray(four.t), rtol=1e-5)
     assert (np.asarray(one.shape_id) == np.asarray(four.shape_id)).all()
+
+
+def test_tight_width32_dense_mesh():
+    """32-wide clusters (dense-scene mode) agree with brute force."""
+    a, b, c = tb.create_dense_mesh(res=24, extent=20.0)  # 1058 tris
+    scene = build_tight_scene(a, b, c, leaf_size=32, use_native=False)
+    assert scene.width == 32
+    # camera above the heightfield looking down
+    n = 512
+    rng = np.random.default_rng(9)
+    ox = rng.uniform(-18, 18, n).astype(np.float32)
+    oz = rng.uniform(-18, 18, n).astype(np.float32)
+    o = np.stack([ox, np.full(n, 50.0, np.float32), oz], axis=1)
+    d = np.tile(np.array([[0.01, -1.0, 0.02]], np.float32), (n, 1))
+    rays = Ray.create(jnp.asarray(o), jnp.asarray(d))
+    aj, bj, cj = jnp.asarray(a), jnp.asarray(b), jnp.asarray(c)
+    got = trace_closest_hit_tight(scene, rays, tris=(aj, bj, cj), packet=512, interpret=True)
+    want = brute_force_closest_hit(rays, aj, bj, cj)
+    tg, tw = np.asarray(got.t), np.asarray(want.t)
+    assert (np.isfinite(tg) == np.isfinite(tw)).all()
+    both = np.isfinite(tg)
+    assert both.mean() > 0.95  # downward rays over the field almost all hit
+    np.testing.assert_allclose(tg[both], tw[both], rtol=3e-3)
+    ids_agree = (np.asarray(got.shape_id)[both] == np.asarray(want.shape_id)[both]).mean()
+    assert ids_agree > 0.99
