@@ -337,10 +337,16 @@ def sort_rays(origins: np.ndarray, directions: np.ndarray):
 # * vector trigger accumulators ([SUB,128] or folded [1,128] carry):
 #   register spills at P=4096 erase the gain;
 # * multi-stream cursors (2-4 packets per kernel instance): spill the
-#   register file; >=4 streams degrade ~400x.
-# The winning levers were the opposite direction: LESS live state (slab
-# re-read from VMEM + FMA form), and a tighter tree (fewer visits), not a
-# cleverer loop.
+#   register file; >=4 streams degrade ~400x;
+# * exit-at-trigger loops (trigger node in the carry / packed into the
+#   cursor / written to SMEM outputs) feeding a separate narrowphase phase,
+#   including a full two-kernel sweep+narrowphase wavefront with host
+#   resumption: the trigger-aware loop alone costs ~60 ns/visit extra
+#   (0.14s -> 0.38s per 1M rays), eating the entire separation win.
+# Every mechanism that extracts per-visit trigger information from the loop
+# pays the same reduce-consumer stall. The winning levers were the opposite
+# direction: LESS live state (slab re-read from VMEM + FMA form), and a
+# tighter/shallower tree (fewer visits), not a cleverer loop.
 
 
 def _make_tight_kernel(packet: int, precision, skip_narrow: bool = False,
