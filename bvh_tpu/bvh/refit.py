@@ -38,23 +38,31 @@ def refit(flat: FlatBvh, shape_min: jnp.ndarray, shape_max: jnp.ndarray) -> Flat
     left = jnp.clip(flat.entry, 0, n - 1)
     right = jnp.clip(flat.exit[left], 0, n - 1)
 
+    d = shape_min.shape[1]
     amin0 = jnp.where(is_leaf[:, None], leaf_min, jnp.inf)
     amax0 = jnp.where(is_leaf[:, None], leaf_max, -jnp.inf)
-    ready0 = is_leaf
+    # One packed record per node (amin, amax, ready) so each sweep costs two
+    # row-gathers instead of six — gathers dominate the sweep on TPU.
+    rec0 = jnp.concatenate(
+        [amin0, amax0, is_leaf.astype(jnp.float32)[:, None]], axis=1
+    )  # [n, 2d+1]
 
-    def cond(state):
-        ready, _, _ = state
-        return ~ready[0]
+    def body(rec):
+        rl = rec[left]
+        rr = rec[right]
+        can = (rec[:, -1] == 0.0) & (rl[:, -1] > 0.0) & (rr[:, -1] > 0.0)
+        new = jnp.concatenate(
+            [
+                jnp.minimum(rl[:, :d], rr[:, :d]),
+                jnp.maximum(rl[:, d:2 * d], rr[:, d:2 * d]),
+                jnp.ones((rec.shape[0], 1), jnp.float32),
+            ],
+            axis=1,
+        )
+        return jnp.where(can[:, None], new, rec)
 
-    def body(state):
-        ready, amin, amax = state
-        can = ~ready & ready[left] & ready[right]
-        amin = jnp.where(can[:, None], jnp.minimum(amin[left], amin[right]), amin)
-        amax = jnp.where(can[:, None], jnp.maximum(amax[left], amax[right]), amax)
-        return ready | can, amin, amax
-
-    _, amin, amax = jax.lax.while_loop(cond, body, (ready0, amin0, amax0))
-    return flat._replace(aabb_min=amin, aabb_max=amax)
+    rec = jax.lax.while_loop(lambda r: r[0, -1] == 0.0, body, rec0)
+    return flat._replace(aabb_min=rec[:, :d], aabb_max=rec[:, d:2 * d])
 
 
 @jax.jit

@@ -67,3 +67,39 @@ def load_cluster_scene(path: str) -> ClusterScene:
             num_nodes=int(z["num_nodes"]),
             relative=bool(z["relative"]),
         )
+
+
+_TIGHT_VERSION = 1
+
+
+def save_tight_scene(path: str, scene) -> None:
+    """Persists a ``TightScene`` (one compressed npz)."""
+    from ..ops.cluster import TightScene
+
+    np.savez_compressed(
+        path,
+        __tight_version__=np.int64(_TIGHT_VERSION),
+        smem_nodes=scene.smem_nodes,
+        groups=scene.groups,
+        tri_map=scene.tri_map,
+        num_clusters=np.int64(scene.num_clusters),
+        num_nodes=np.int64(scene.num_nodes),
+        width=np.int64(scene.width),
+    )
+
+
+def load_tight_scene(path: str):
+    from ..ops.cluster import TightScene
+
+    with np.load(path) as z:
+        version = int(z["__tight_version__"])
+        if version > _TIGHT_VERSION:
+            raise ValueError(f"tight scene version {version} is newer than supported")
+        return TightScene(
+            smem_nodes=z["smem_nodes"],
+            groups=z["groups"],
+            tri_map=z["tri_map"],
+            num_clusters=int(z["num_clusters"]),
+            num_nodes=int(z["num_nodes"]),
+            width=int(z["width"]),
+        )

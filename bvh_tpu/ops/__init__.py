@@ -2,16 +2,22 @@
 
 The reference's performance-native components (SIMD slab test, flat
 traversal, SAH build inner loops — survey §2 items 1,4,5,6,10-13,16,17) map
-here to TPU kernels built around two hardware facts measured on-chip:
+here to TPU kernels built around hardware facts measured on-chip:
 
-* a scalar-driven while loop step costs ~10 ns, and an SMEM-scalar +
-  8x128-VPU packet step ~150 ns — so traversal runs as *packet* traversal
-  (one shared cursor per 1024-ray packet, scalar reads from SMEM);
-* per-lane dynamic gathers don't exist on the VPU — so the triangle test
-  runs *dense* on the MXU: Moller-Trumbore decomposes into bilinear forms
-  (det = d.(e2 x e1), u.det = m.e2 - d.(e2 x a), v.det = -m.e1 + d.(e1 x a),
-  t.det = o.n - a.n with m = o x d), i.e. one [rays, 16] @ [16, 4*128]
-  matmul per cluster of 128 triangles.
+* per-lane dynamic gathers don't exist on the VPU — so traversal runs as
+  *packet* traversal (one shared cursor per 1024-4096-ray packet, node
+  scalars read from SMEM, the slab test as one FMA per bound on the whole
+  packet) and the triangle test runs *dense* on the MXU: Moller-Trumbore
+  decomposes into bilinear forms (det = d.(e2 x e1), u.det = m.e2 - d.(e2 x a),
+  v.det = -m.e1 + d.(e1 x a), t.det = o.n - a.n with m = o x d), i.e. one
+  [rays, 16] @ [16, 4W] matmul per W-triangle leaf cluster;
+* leaf clusters are SAH-cut subtrees (16 triangles for sparse scenes, up to
+  128 for dense meshes) so leaf boxes stay as tight as the reference's own
+  subtrees — the loose-Morton 128-clusters of ``ClusterScene`` are kept as
+  the earlier/simpler variant;
+* the traversal loop tolerates exactly one consumer of its anyhit reduce
+  (the cursor select); every other extraction mechanism measured costs
+  60-100 ns/visit (see the notes in ``trace.py``).
 """
 
 from .cluster import ClusterScene, TightScene, build_cluster_scene, build_tight_scene

@@ -55,3 +55,19 @@ f -4//1 -3/2/1 -2
     assert np.allclose(a[0], [0, 0, 0]) and np.allclose(b[0], [1, 0, 0])
     assert np.allclose(c[1], [0, 1, 0])
     assert np.allclose(a[2], [0, 0, 0]) and np.allclose(c[2], [1, 1, 0])
+
+
+def test_tight_scene_roundtrip(tmp_path):
+    from bvh_tpu.io import load_tight_scene, save_tight_scene
+    from bvh_tpu.ops.cluster import build_tight_scene
+
+    a, b, c = tb.create_n_cubes(20)
+    scene = build_tight_scene(a, b, c, use_native=False)
+    path = str(tmp_path / "scene.npz")
+    save_tight_scene(path, scene)
+    back = load_tight_scene(path)
+    assert back.width == scene.width
+    assert back.num_clusters == scene.num_clusters
+    np.testing.assert_array_equal(back.smem_nodes, scene.smem_nodes)
+    np.testing.assert_array_equal(back.groups, scene.groups)
+    np.testing.assert_array_equal(back.tri_map, scene.tri_map)
