@@ -201,7 +201,8 @@ def build_tight_scene(
     n = a.shape[0]
     if n == 0:
         raise ValueError("empty scene")
-    if leaf_size is None:
+    auto = leaf_size is None
+    if auto:
         leaf_size = TIGHT if n <= 160_000 else 32
     if leaf_size not in (16, 32, 64, 128):
         raise ValueError("leaf_size must be 16/32/64/128 (VPU lane packing)")
@@ -212,6 +213,11 @@ def build_tight_scene(
         flat, _ = build_sah(mn, mx, config)
 
     roots, leaves, cluster_of_leaf = cut_clusters(flat, leaf_size)
+    # The upper tree's SMEM node table holds 2C-1 nodes of 32 bytes; widen
+    # auto-sized leaves until it fits the ~640KB scalar-memory budget.
+    while auto and leaf_size < 128 and (2 * roots.shape[0] - 1) * 32 > 640_000:
+        leaf_size *= 2
+        roots, leaves, cluster_of_leaf = cut_clusters(flat, leaf_size)
     C = roots.shape[0]
     W = leaf_size
     group = 128 // W
