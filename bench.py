@@ -142,6 +142,39 @@ def main():
         _ = float(jnp.sum(out_f.aabb_min))
         best_r = min(best_r, time.perf_counter() - t0)
 
+    # Sponza-class workload: camera render of the ~260k-triangle dense mesh
+    # (the reference's Sponza bench is 1,381 ns/ray = 0.72 M rays/s per core;
+    # its sponza.obj is a stripped blob, so testbase.create_dense_mesh stands
+    # in with the same density class). 1024x1024 primary rays in 32x32 tiles.
+    cam_rays_per_s = None
+    if os.environ.get("BENCH_DENSE", "1") == "1":
+        from bvh_tpu.diff.camera import camera_rays
+
+        ad, bd, cd = tb.create_dense_mesh()
+        scene_d = build_tight_scene(ad, bd, cd, leaf_size=128)
+        Wd = Hd = 1024
+        cam = camera_rays(
+            np.array([0.0, 60.0, -120.0], np.float32),
+            np.array([0.0, 0.0, 0.0]), np.array([0.0, 1.0, 0.0]), 55.0, Wd, Hd,
+        )
+        oc = np.asarray(cam.origin).reshape(Hd // 32, 32, Wd // 32, 32, 3)
+        oc = oc.transpose(0, 2, 1, 3, 4).reshape(-1, 3)
+        dc = np.asarray(cam.direction).reshape(Hd // 32, 32, Wd // 32, 32, 3)
+        dc = dc.transpose(0, 2, 1, 3, 4).reshape(-1, 3)
+        cam_tiled = Ray.create(jnp.asarray(oc), jnp.asarray(dc))
+
+        def run_cam():
+            out = trace_closest_hit_tight(scene_d, cam_tiled, packet=1024)
+            return float(jnp.sum(jnp.where(jnp.isfinite(out.t), out.t, 0.0)))
+
+        run_cam()
+        best_c = float("inf")
+        for _ in range(max(iters - 2, 1)):
+            t0 = time.perf_counter()
+            run_cam()
+            best_c = min(best_c, time.perf_counter() - t0)
+        cam_rays_per_s = Wd * Hd / best_c
+
     baseline = 1.0 / 853e-9  # reference: 853 ns/ray, README.md:178
     hit_frac = float(np.isfinite(np.asarray(t)).mean())
     result = {
@@ -160,6 +193,7 @@ def main():
             "aimed_hit_fraction": round(float(jnp.isfinite(out_a.t).mean()), 4),
             "diff_fwd_bwd_rays_per_s": round(fwd_bwd_rays_per_s),
             "update_shapes_50pct_device_ms": round(best_r * 1e3, 2),
+            "camera_260k_dense_rays_per_s": round(cam_rays_per_s) if cam_rays_per_s else None,
             "baseline": "svenstaro/bvh 853ns/ray (120k tris, Ryzen 3900X core, README.md:178)",
         },
     }

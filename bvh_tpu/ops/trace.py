@@ -568,6 +568,9 @@ def trace_closest_hit_tight(scene, rays: Ray, tris=None, interpret: bool = False
     pass ``tris=(a, b, c)`` for exact (u, v, t) recomputed on the winner.
     """
     r = rays.origin.shape[0]
+    if r == 0:
+        z = jnp.zeros((0,), jnp.float32)
+        return HitRecord(z, z, z, jnp.zeros((0,), jnp.int32))
     pad = (-r) % packet
     o = jnp.concatenate([rays.origin, jnp.full((pad, 3), 2.0e30, jnp.float32)], axis=0) if pad else rays.origin
     d = jnp.concatenate([rays.direction, jnp.ones((pad, 3), jnp.float32)], axis=0) if pad else rays.direction
