@@ -350,17 +350,18 @@ def sort_rays(origins: np.ndarray, directions: np.ndarray):
 
 
 def _make_tight_kernel(packet: int, precision, skip_narrow: bool = False,
-                       subtile: int = 1024, width: int = 16):
-    def _kernel(nodes_ref, groups_ref, slab_ref, lmat_ref, out_ref, best_ref, vb_ref):
-        return _tight_body(nodes_ref, groups_ref, slab_ref, lmat_ref, out_ref,
-                           best_ref, vb_ref, packet, precision, skip_narrow,
-                           subtile, width)
+                       subtile: int = 1024, width: int = 16, n_hints: int = 0):
+    def _kernel(nodes_ref, hints_ref, groups_ref, slab_ref, lmat_ref, out_ref,
+                best_ref, vb_ref):
+        return _tight_body(nodes_ref, hints_ref, groups_ref, slab_ref, lmat_ref,
+                           out_ref, best_ref, vb_ref, packet, precision,
+                           skip_narrow, subtile, width, n_hints)
     return _kernel
 
 
-def _tight_body(nodes_ref, groups_ref, slab_ref, lmat_ref, out_ref, best_ref,
-                vb_ref, PACKET, PRECISION, SKIP_NARROW=False, SUBTILE=1024,
-                W=16):
+def _tight_body(nodes_ref, hints_ref, groups_ref, slab_ref, lmat_ref, out_ref,
+                best_ref, vb_ref, PACKET, PRECISION, SKIP_NARROW=False,
+                SUBTILE=1024, W=16, N_HINTS=0):
     assert W in (16, 32, 64, 128)
     nn = nodes_ref.shape[1]
     GSHIFT = (128 // W).bit_length() - 1  # log2(clusters per group row)
@@ -375,7 +376,14 @@ def _tight_body(nodes_ref, groups_ref, slab_ref, lmat_ref, out_ref, best_ref,
     # per-lane best distance, in slab layout, for traversal pruning
     vb_ref[:, :] = jnp.full((SUB, 128), _INF, jnp.float32)
 
-    def narrowphase(cluster_f, ax, ay, az, bx, by, bz, useful):
+    def narrowphase(node):
+        ax = nodes_ref[0, node]
+        ay = nodes_ref[1, node]
+        az = nodes_ref[2, node]
+        bx = nodes_ref[3, node]
+        by = nodes_ref[4, node]
+        bz = nodes_ref[5, node]
+        cluster_f = nodes_ref[6, node]
         c = (-cluster_f - 1.0).astype(jnp.int32)
         g = jax.lax.shift_right_logical(c, GSHIFT)
         sub = jax.lax.bitwise_and(c, GMASK)
@@ -478,12 +486,43 @@ def _tight_body(nodes_ref, groups_ref, slab_ref, lmat_ref, out_ref, best_ref,
         if NT == 1:
             narrow_subtile(0)
         else:
+            # recompute which subtiles hit this leaf's box (cheap per trigger)
+            oix, oiy, oiz = slab_ref[0, 0], slab_ref[0, 1], slab_ref[0, 2]
+            ix, iy, iz = slab_ref[0, 3], slab_ref[0, 4], slab_ref[0, 5]
+            t1 = ax * ix - oix
+            t2 = bx * ix - oix
+            u1 = ay * iy - oiy
+            u2 = by * iy - oiy
+            v1 = az * iz - oiz
+            v2 = bz * iz - oiz
+            tmin = jnp.maximum(
+                jnp.maximum(jnp.minimum(t1, t2), jnp.minimum(u1, u2)),
+                jnp.minimum(v1, v2),
+            )
+            tmax = jnp.minimum(
+                jnp.minimum(jnp.maximum(t1, t2), jnp.maximum(u1, u2)),
+                jnp.maximum(v1, v2),
+            )
+            useful = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < vb_ref[:, :])
             for st in range(NT):
                 flag = jnp.any(useful[st * ST:(st + 1) * ST, :])
 
                 @pl.when(flag)
                 def _(st=st):
                     narrow_subtile(st)
+
+    # phase 0: seed per-lane pruning distances by narrowphasing the sampled
+    # hint leaves (unconditional fori, idempotent; -1 in slot 0 disables)
+    if N_HINTS and not SKIP_NARROW:
+        base = pl.program_id(0) * N_HINTS
+
+        @pl.when(hints_ref[base] >= 0)
+        def _():
+            def seed(k, carry):
+                narrowphase(hints_ref[base + k])
+                return carry
+
+            jax.lax.fori_loop(0, N_HINTS, seed, 0)
 
     def body(cursor):
         ax = nodes_ref[0, cursor]
@@ -518,7 +557,7 @@ def _tight_body(nodes_ref, groups_ref, slab_ref, lmat_ref, out_ref, best_ref,
 
         @pl.when(is_leaf & anyhit & (not SKIP_NARROW))
         def _():
-            narrowphase(entry, ax, ay, az, bx, by, bz, useful)
+            narrowphase(cursor)
 
         nxt = jax.lax.select(is_leaf | jnp.logical_not(anyhit), exit_, entry)
         return nxt.astype(jnp.int32)
@@ -528,13 +567,13 @@ def _tight_body(nodes_ref, groups_ref, slab_ref, lmat_ref, out_ref, best_ref,
     out_ref[0] = best_ref[:, :]
 
 
-@partial(jax.jit, static_argnames=("num_nodes", "interpret", "packet", "precision", "skip_narrow", "width"))
-def _trace_tight(smem_nodes, groups, slab, lmat, num_nodes, interpret=False,
+@partial(jax.jit, static_argnames=("num_nodes", "interpret", "packet", "precision", "skip_narrow", "width", "n_hints"))
+def _trace_tight(smem_nodes, hints, groups, slab, lmat, num_nodes, interpret=False,
                  packet=2048, precision=jax.lax.Precision.HIGHEST, skip_narrow=False,
-                 width=16):
+                 width=16, n_hints=0):
     p = slab.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2,
         grid=(p,),
         scratch_shapes=[
             pltpu.VMEM((packet, 4), jnp.float32),
@@ -548,24 +587,31 @@ def _trace_tight(smem_nodes, groups, slab, lmat, num_nodes, interpret=False,
         out_specs=pl.BlockSpec((1, packet, 4), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
-        _make_tight_kernel(packet, precision, skip_narrow, width=width),
+        _make_tight_kernel(packet, precision, skip_narrow, width=width,
+                           n_hints=n_hints),
         out_shape=jax.ShapeDtypeStruct((p, packet, 4), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024,
         ),
-    )(smem_nodes, groups, slab, lmat)
+    )(smem_nodes, hints, groups, slab, lmat)
 
 
 def trace_closest_hit_tight(scene, rays: Ray, tris=None, interpret: bool = False,
                             packet: int = 2048,
                             precision=jax.lax.Precision.HIGHEST,
-                            skip_narrow: bool = False) -> HitRecord:
+                            skip_narrow: bool = False,
+                            hints: jnp.ndarray | None = None) -> HitRecord:
     """Closest hit against a ``TightScene`` (the fast path for sparse scenes).
 
     Same contract as ``trace_closest_hit``: returns packed (t, triangle id);
     pass ``tris=(a, b, c)`` for exact (u, v, t) recomputed on the winner.
+
+    ``hints``: optional [n_packets, K] i32 leaf-node ids per packet; those
+    leaves are narrowphased before traversal to seed the per-lane pruning
+    distances (see ``trace_closest_hit_seeded``). -1 in slot 0 disables a
+    packet's seeding; other slots must repeat a valid hint.
     """
     r = rays.origin.shape[0]
     if r == 0:
@@ -593,8 +639,16 @@ def trace_closest_hit_tight(scene, rays: Ray, tris=None, interpret: bool = False
     zeros = jnp.zeros((rp, 6), jnp.float32)
     lmat = jnp.concatenate([d, m, o, ones, zeros], axis=1).reshape(p, packet, 16)
 
+    if hints is None:
+        hints_arr = jnp.zeros((p * 1,), jnp.int32)
+        n_hints = 0
+    else:
+        assert hints.shape[0] == p, (hints.shape, p)
+        n_hints = int(hints.shape[1])
+        hints_arr = hints.reshape(-1).astype(jnp.int32)
     out = _trace_tight(
         jnp.asarray(scene.smem_nodes),
+        hints_arr,
         jnp.asarray(scene.groups),
         slab,
         lmat,
@@ -604,6 +658,7 @@ def trace_closest_hit_tight(scene, rays: Ray, tris=None, interpret: bool = False
         precision=precision,
         skip_narrow=skip_narrow,
         width=int(getattr(scene, "width", 16)),
+        n_hints=n_hints,
     )
     out = out.reshape(rp, 4)[:r]
     t = out[:, 0]
@@ -649,3 +704,77 @@ def sort_rays_device(origins: jnp.ndarray, directions: jnp.ndarray, bits: int = 
     perm = jnp.argsort(key, stable=True).astype(jnp.int32)
     inv = jnp.zeros_like(perm).at[perm].set(jnp.arange(perm.shape[0], dtype=jnp.int32))
     return perm, inv
+
+
+def trace_closest_hit_seeded(scene, rays: Ray, tris=None, packet: int = 2048,
+                             sample_stride: int = 64, k_hints: int = 32,
+                             precision=jax.lax.Precision.HIGHEST,
+                             interpret: bool = False) -> HitRecord:
+    """Closest hit with sampled-hit seeding (hit-dense workloads).
+
+    Traces every ``sample_stride``-th ray first, maps the sampled hits back
+    to their leaf nodes, and passes up to ``k_hints`` distinct hit leaves per
+    packet as seeding hints: the main trace narrowphases them before
+    traversal, so the per-lane pruning distances are warm and the sweep
+    skips most of the tree (the TPU-shaped analog of ray-history /
+    hash-based traversal prediction). Misses nothing: seeding only tightens
+    pruning bounds; results are identical to ``trace_closest_hit_tight``.
+
+    Opt-in: measured ~+15% on hit-dense narrow-leaf scenes (aimed rays,
+    W=16) and a net LOSS on wide-leaf scenes (each hint costs a full 4W-wide
+    narrowphase, and the extra kernel regions slow the traversal loop) —
+    benchmark before adopting for a workload.
+    """
+    import numpy as np_
+
+    r = rays.origin.shape[0]
+    if r == 0 or r < sample_stride:
+        return trace_closest_hit_tight(scene, rays, tris=tris, packet=packet,
+                                       precision=precision, interpret=interpret)
+
+    sample = Ray(
+        rays.origin[::sample_stride],
+        rays.direction[::sample_stride],
+        rays.inv_direction[::sample_stride],
+    )
+    pre = trace_closest_hit_tight(scene, sample, packet=min(packet, 1024),
+                                  precision=precision, interpret=interpret)
+    # sampled hit triangle -> cluster -> leaf node id (host, small arrays)
+    tri_map = np_.asarray(scene.tri_map)
+    n_tris = int(tri_map.max()) + 1
+    W = int(getattr(scene, "width", 16))
+    lane_of_tri = np_.zeros(n_tris, np_.int64)
+    valid = tri_map >= 0
+    lane_of_tri[tri_map[valid]] = np_.nonzero(valid)[0]
+    nodes_entry = np_.asarray(scene.smem_nodes[6])
+    leaf_nodes = np_.nonzero(nodes_entry < 0)[0]
+    leaf_cluster = (-nodes_entry[leaf_nodes] - 1.0).astype(np_.int64)
+    node_of_cluster = np_.zeros(int(scene.num_clusters), np_.int64)
+    node_of_cluster[leaf_cluster] = leaf_nodes
+
+    sid = np_.asarray(pre.shape_id)
+    pad = (-r) % packet
+    p = (r + pad) // packet
+    rpp = packet // sample_stride
+    ns = p * rpp
+    sid_pad = np_.full(ns, -1, np_.int64)
+    sid_pad[: sid.shape[0]] = sid
+    BIG = np_.int64(1 << 40)
+    cl = np_.where(sid_pad >= 0, lane_of_tri[np_.clip(sid_pad, 0, None)] // W, BIG)
+    cl = np_.sort(cl.reshape(p, rpp), axis=1)
+    first = np_.ones_like(cl, dtype=bool)
+    first[:, 1:] = cl[:, 1:] != cl[:, :-1]
+    first &= cl < BIG
+    # rank of each distinct cluster within its row; keep the first k_hints
+    rank = np_.cumsum(first, axis=1) - 1
+    keep = first & (rank < k_hints)
+    hints = np_.full((p, k_hints), -1, np_.int64)
+    rows = np_.nonzero(keep)[0]
+    hints[rows, rank[keep]] = node_of_cluster[cl[keep]]
+    # repeat-fill empty slots with the packet's first hint (idempotent)
+    fill = hints[:, 0:1]
+    hints = np_.where(hints < 0, fill, hints)
+    return trace_closest_hit_tight(
+        scene, rays, tris=tris, packet=packet, precision=precision,
+        interpret=interpret, hints=jnp.asarray(hints, jnp.int32),
+    )

@@ -141,3 +141,27 @@ def test_tight_width32_dense_mesh():
     np.testing.assert_allclose(tg[both], tw[both], rtol=3e-3)
     ids_agree = (np.asarray(got.shape_id)[both] == np.asarray(want.shape_id)[both]).mean()
     assert ids_agree > 0.99
+
+
+def test_seeded_matches_plain(cube_scene):
+    """Hint seeding only tightens pruning bounds: results identical."""
+    from bvh_tpu.ops.trace import trace_closest_hit_seeded
+
+    a, b, c, scene = cube_scene
+    centers = a.reshape(-1, 12, 3).mean(axis=1)
+    n = 1024
+    idx = np.resize(np.arange(len(centers)), n)
+    rng = np.random.default_rng(12)
+    offs = rng.normal(size=(n, 3)).astype(np.float32)
+    offs /= np.linalg.norm(offs, axis=1, keepdims=True)
+    o = (centers[idx] + offs * 30.0).astype(np.float32)
+    d = (centers[idx] + 0.29 - o).astype(np.float32)
+    rays = Ray.create(jnp.asarray(o), jnp.asarray(d))
+    plain = trace_closest_hit_tight(scene, rays, packet=512, interpret=True)
+    seeded = trace_closest_hit_seeded(
+        scene, rays, packet=512, sample_stride=32, k_hints=8, interpret=True
+    )
+    np.testing.assert_allclose(
+        np.asarray(plain.t), np.asarray(seeded.t), rtol=1e-6, equal_nan=True
+    )
+    assert (np.asarray(plain.shape_id) == np.asarray(seeded.shape_id)).all()
