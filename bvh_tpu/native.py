@@ -52,6 +52,17 @@ def _load():
         ctypes.POINTER(ctypes.c_int32),
         ctypes.c_int32,
     ]
+    try:
+        lib.bvh_collapse.restype = ctypes.c_int
+        lib.bvh_collapse.argtypes = [
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.c_int64,
+            ctypes.c_int32,
+            ctypes.POINTER(ctypes.c_float),
+            ctypes.POINTER(ctypes.c_int64),
+        ]
+    except AttributeError:  # stale .so without the collapse entry point
+        pass
     _LIB = lib
     return _LIB
 
@@ -100,6 +111,27 @@ def build_sah_native(shape_min, shape_max, nthreads: int = 0):
     if rc != 0:
         raise RuntimeError(f"native builder failed with code {rc}")
     return FlatBvh(amin, amax, entry, exit_, shape, parent), s2n
+
+
+def collapse_native(nodes: np.ndarray, K: int) -> np.ndarray | None:
+    """Native K-ary collapse of an [8, nn] entry/exit table; None if
+    the library (or its collapse entry point) is unavailable. Identical
+    output to ``ops.cluster.collapse_upper``'s Python path."""
+    lib = _load()
+    if lib is None or not hasattr(lib, "bvh_collapse") or lib.bvh_collapse.argtypes is None:
+        return None
+    tab = np.ascontiguousarray(nodes, np.float32)
+    nn = tab.shape[1]
+    out = np.empty_like(tab)
+    out_nn = ctypes.c_int64(0)
+    fp = ctypes.POINTER(ctypes.c_float)
+    rc = lib.bvh_collapse(
+        tab.ctypes.data_as(fp), ctypes.c_int64(nn), ctypes.c_int32(K),
+        out.ctypes.data_as(fp), ctypes.byref(out_nn),
+    )
+    if rc != 0:
+        return None
+    return np.ascontiguousarray(out[:, : out_nn.value])
 
 
 def build_sah_auto(shape_min, shape_max, config=None, nthreads: int = 0):

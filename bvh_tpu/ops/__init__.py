@@ -20,7 +20,13 @@ here to TPU kernels built around hardware facts measured on-chip:
   60-100 ns/visit (see the notes in ``trace.py``).
 """
 
-from .cluster import ClusterScene, TightScene, build_cluster_scene, build_tight_scene
+from .cluster import (
+    ClusterScene,
+    TightScene,
+    build_cluster_scene,
+    build_tight_scene,
+    collapse_upper,
+)
 from .trace import (
     sort_rays,
     sort_rays_device,
@@ -35,6 +41,7 @@ __all__ = [
     "TightScene",
     "build_cluster_scene",
     "build_tight_scene",
+    "collapse_upper",
     "trace_closest_hit",
     "trace_closest_hit_tight",
     "trace_closest_hit_seeded",

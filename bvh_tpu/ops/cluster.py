@@ -177,18 +177,117 @@ def cut_clusters(flat, leaf_size: int = TIGHT):
     return roots, leaves, cluster_of_leaf
 
 
+def collapse_upper(nodes: np.ndarray, K: int = 16) -> np.ndarray:
+    """Collapse a binary DFS entry/exit node table to (up to) K-ary.
+
+    The stackless entry/exit walk in the trace kernel is arity-agnostic, so
+    tree arity is a pure tuning knob: a K-ary tree over C leaves carries
+    ~C/(K-1) internal nodes instead of C-1, and — decisively on this
+    hardware — every dissolved internal removes one serial visit from the
+    packet traversal chain (~100 ns each; see ops/trace.py). Each kept
+    internal absorbs children greedily by descending through the
+    largest-surface-area binary internals first (big boxes prune worst, so
+    they go first); children keep SAH (DFS) order. Measured on the 120k-tri
+    reference workload: 20.0k -> 13.7k nodes, random-ray headline +38%,
+    aimed all-hit +28% vs the binary table.
+
+    The reference has no analog (its per-ray stack traversal is
+    latency-tolerant; src/flat_bvh.rs:396-431 walks a binary tree).
+
+    Input format == output format: [8, nn] f32 rows amin(3) amax(3)
+    entry exit, leaves encode payloads as entry < 0. Uses the native
+    implementation (csrc/collapse.cpp) when available; the Python path
+    below is the differentially-tested reference.
+    """
+    import heapq
+
+    entry = nodes[6].astype(np.int64)
+    exit_ = nodes[7].astype(np.int64)
+    nn = nodes.shape[1]
+    if nn <= 3 or K <= 2:
+        return nodes
+
+    from ..native import collapse_native
+
+    nat = collapse_native(nodes, K)
+    if nat is not None:
+        return nat
+
+    s = nodes[3:6] - nodes[0:3]
+    area = s[0] * s[1] + s[1] * s[2] + s[2] * s[0]
+
+    def kids2(i):
+        l = int(entry[i])
+        return l, int(exit_[l])
+
+    out_min, out_max, out_pay, out_kids = [], [], [], []
+    stack = [(0, -1)]
+    while stack:
+        i, parent = stack.pop()
+        oi = len(out_pay)
+        out_min.append(nodes[0:3, i])
+        out_max.append(nodes[3:6, i])
+        out_pay.append(float(nodes[6, i]) if entry[i] < 0 else 0.0)
+        out_kids.append([])
+        if parent >= 0:
+            out_kids[parent].append(oi)
+        if entry[i] >= 0:
+            heap: list = []
+            leaves_acc: list = []
+            cnt = 0
+
+            def push(j):
+                nonlocal cnt
+                if entry[j] < 0:
+                    leaves_acc.append(j)
+                else:
+                    heapq.heappush(heap, (-float(area[j]), cnt, j))
+                    cnt += 1
+
+            l, r = kids2(i)
+            push(l)
+            push(r)
+            while heap and len(leaves_acc) + len(heap) < K:
+                _, _, j = heapq.heappop(heap)
+                l, r = kids2(j)
+                push(l)
+                push(r)
+            frontier = leaves_acc + [j for _, _, j in heap]
+            frontier.sort()  # restore SAH/DFS order among children
+            for j in reversed(frontier):
+                stack.append((j, oi))
+
+    nn2 = len(out_pay)
+    end = np.zeros(nn2, np.int64)
+    for oi in range(nn2 - 1, -1, -1):
+        end[oi] = oi + 1 if not out_kids[oi] else end[out_kids[oi][-1]]
+    ent = np.zeros(nn2, np.float32)
+    for oi in range(nn2):
+        ent[oi] = float(out_kids[oi][0]) if out_kids[oi] else out_pay[oi]
+    tab = np.zeros((8, nn2), np.float32)
+    tab[0:3] = np.stack(out_min, axis=1)
+    tab[3:6] = np.stack(out_max, axis=1)
+    tab[6] = ent
+    tab[7] = end.astype(np.float32)
+    return tab
+
+
 def build_tight_scene(
     a: np.ndarray, b: np.ndarray, c: np.ndarray, leaf_size: int | None = None,
-    config=None, use_native: bool = True,
+    config=None, use_native: bool = True, collapse: int | None = 16,
 ) -> TightScene:
     """Host prep for the tight-cluster kernel: SAH build, cut, pack, upper BVH.
 
     ``leaf_size`` (16/32/64/128 triangles per cluster) defaults to 16,
-    widening to 32 when the upper tree's SMEM node table would exceed the
-    ~640KB scalar memory budget (roughly > 10k clusters / 160k triangles).
+    widening when the upper tree's SMEM node table would exceed the ~640KB
+    scalar memory budget (with collapse: > ~20k clusters / 320k triangles).
     Sparse scenes want small leaves (tight boxes around isolated geometry);
     dense connected meshes trace faster with 64-128 (fewer, still-tight
     leaves => far fewer broadphase visits).
+
+    ``collapse``: upper-tree arity (see ``collapse_upper``); None keeps the
+    binary tree. The default 16 measured fastest across the reference
+    workloads (random headline +38%, aimed +28%).
     """
     from ..config import DEFAULT_CONFIG
     from ..native import build_sah_auto
@@ -203,7 +302,7 @@ def build_tight_scene(
         raise ValueError("empty scene")
     auto = leaf_size is None
     if auto:
-        leaf_size = TIGHT if n <= 160_000 else 32
+        leaf_size = TIGHT if n <= (300_000 if collapse else 160_000) else 32
     if leaf_size not in (16, 32, 64, 128):
         raise ValueError("leaf_size must be 16/32/64/128 (VPU lane packing)")
     mn, mx = tri_aabbs(a, b, c)
@@ -212,13 +311,40 @@ def build_tight_scene(
     else:
         flat, _ = build_sah(mn, mx, config)
 
-    roots, leaves, cluster_of_leaf = cut_clusters(flat, leaf_size)
-    # The upper tree's SMEM node table holds 2C-1 nodes of 32 bytes; widen
-    # auto-sized leaves until it fits the ~640KB scalar-memory budget.
-    while auto and leaf_size < 128 and (2 * roots.shape[0] - 1) * 32 > 640_000:
-        leaf_size *= 2
+    # Build the upper tree (with K-ary collapse) at the current leaf width;
+    # widen auto-sized leaves until the SMEM node table (32 bytes/node) fits
+    # the ~640KB scalar-memory budget. Collapse shrinks the table ~32%, so
+    # W=16 stretches to roughly twice the triangle count it used to.
+    while True:
         roots, leaves, cluster_of_leaf = cut_clusters(flat, leaf_size)
-    C = roots.shape[0]
+        C = roots.shape[0]
+
+        # Cluster AABBs and centers from the cut roots (tight by construction).
+        cl_min = np.asarray(flat.aabb_min)[roots]
+        cl_max = np.asarray(flat.aabb_max)[roots]
+        cc = ((cl_min + cl_max) * 0.5).astype(np.float32)
+
+        # Upper BVH over cluster AABBs -> SMEM table; leaves encode -(cluster+1).
+        if use_native:
+            up, _ = build_sah_auto(cl_min, cl_max, config)
+        else:
+            up, _ = build_sah(cl_min, cl_max, config)
+        nn = up.num_nodes
+        entry = np.asarray(up.entry, np.float32).copy()
+        leaf_m = np.asarray(up.entry) < 0
+        entry[leaf_m] = -(np.asarray(up.shape)[leaf_m].astype(np.float32) + 1.0)
+        smem_nodes = np.zeros((8, nn), np.float32)
+        smem_nodes[0:3] = np.asarray(up.aabb_min).T
+        smem_nodes[3:6] = np.asarray(up.aabb_max).T
+        smem_nodes[6] = entry
+        smem_nodes[7] = np.asarray(up.exit, np.float32)
+        if collapse:
+            smem_nodes = collapse_upper(smem_nodes, collapse)
+            nn = smem_nodes.shape[1]
+        if not (auto and leaf_size < 128 and nn * 32 > 640_000):
+            break
+        leaf_size *= 2
+
     W = leaf_size
     group = 128 // W
     shape_ids = np.asarray(flat.shape)[leaves]  # tri id per tree leaf, DFS order
@@ -230,26 +356,6 @@ def build_tight_scene(
     lane = cluster_of_leaf * W + slot  # [n] packed lane per triangle
     tri_map = np.full(C * W, -1, np.int32)
     tri_map[lane] = shape_ids.astype(np.int32)
-
-    # Cluster AABBs and centers from the cut roots (tight by construction).
-    cl_min = np.asarray(flat.aabb_min)[roots]
-    cl_max = np.asarray(flat.aabb_max)[roots]
-    cc = ((cl_min + cl_max) * 0.5).astype(np.float32)
-
-    # Upper BVH over cluster AABBs -> SMEM table; leaves encode -(cluster+1).
-    if use_native:
-        up, _ = build_sah_auto(cl_min, cl_max, config)
-    else:
-        up, _ = build_sah(cl_min, cl_max, config)
-    nn = up.num_nodes
-    entry = np.asarray(up.entry, np.float32).copy()
-    leaf_m = np.asarray(up.entry) < 0
-    entry[leaf_m] = -(np.asarray(up.shape)[leaf_m].astype(np.float32) + 1.0)
-    smem_nodes = np.zeros((8, nn), np.float32)
-    smem_nodes[0:3] = np.asarray(up.aabb_min).T
-    smem_nodes[3:6] = np.asarray(up.aabb_max).T
-    smem_nodes[6] = entry
-    smem_nodes[7] = np.asarray(up.exit, np.float32)
 
     # Triangle rows, cluster-relative, packed 128//W clusters per lane row.
     G = (C + group - 1) // group
