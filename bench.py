@@ -142,6 +142,21 @@ def main():
         _ = float(jnp.sum(out_f.aabb_min))
         best_r = min(best_r, time.perf_counter() - t0)
 
+    # Per-frame path: device refit of the trace kernel's TightScene itself
+    # (topology + SAH cluster quality kept; boxes + packed rows recomputed).
+    from bvh_tpu.ops.device_build import make_refitter
+
+    tre = make_refitter(scene)
+    a2j, b2j, c2j = jnp.asarray(a2), jnp.asarray(b2), jnp.asarray(c2)
+    sn, gr = tre.core(a2j, b2j, c2j)
+    _ = float(jnp.sum(sn[0]))
+    best_tr = float("inf")
+    for _ in range(max(iters - 2, 1)):
+        t0 = time.perf_counter()
+        sn, gr = tre.core(a2j, b2j, c2j)
+        _ = float(jnp.sum(sn[0]))
+        best_tr = min(best_tr, time.perf_counter() - t0)
+
     # Sponza-class workload: camera render of the ~260k-triangle dense mesh
     # (the reference's Sponza bench is 1,381 ns/ray = 0.72 M rays/s per core;
     # its sponza.obj is a stripped blob, so testbase.create_dense_mesh stands
@@ -193,6 +208,7 @@ def main():
             "aimed_hit_fraction": round(float(jnp.isfinite(out_a.t).mean()), 4),
             "diff_fwd_bwd_rays_per_s": round(fwd_bwd_rays_per_s),
             "update_shapes_50pct_device_ms": round(best_r * 1e3, 2),
+            "tight_refit_device_ms": round(best_tr * 1e3, 2),
             "camera_260k_dense_rays_per_s": round(cam_rays_per_s) if cam_rays_per_s else None,
             "baseline": "svenstaro/bvh 853ns/ray (120k tris, Ryzen 3900X core, README.md:178)",
         },

@@ -27,6 +27,7 @@ from .cluster import (
     build_tight_scene,
     collapse_upper,
 )
+from .device_build import build_tight_scene_device, make_refitter
 from .trace import (
     sort_rays,
     sort_rays_device,
@@ -41,7 +42,9 @@ __all__ = [
     "TightScene",
     "build_cluster_scene",
     "build_tight_scene",
+    "build_tight_scene_device",
     "collapse_upper",
+    "make_refitter",
     "trace_closest_hit",
     "trace_closest_hit_tight",
     "trace_closest_hit_seeded",

@@ -1,0 +1,353 @@
+"""Device-side TightScene construction — rebuild-per-frame inside jit.
+
+The host SAH path (``cluster.build_tight_scene``) gives the best trees for
+static scenes; dynamic scenes want construction ON the TPU so per-frame
+rebuilds never leave the device. The full-triangle device LBVH
+(``bvh.lbvh.build_lbvh``) is gather-bound at scene scale (each of its
+~depth masked sweeps gathers [2n-1, 8] rows); building over 16-triangle
+Morton clusters instead shrinks every sweep 16x:
+
+  1. Morton-sort triangle centroids (one device argsort),
+  2. segment 16 consecutive triangles per cluster (tight-ish boxes: Morton
+     neighbors are spatial neighbors),
+  3. Karras LBVH over the C = n/16 cluster AABBs (the only tree build),
+  4. emit the kernel's SMEM entry/exit table + packed 128-lane group rows.
+
+Leaf quality is below the host SAH cut (loose Morton clusters vs SAH-cut
+subtrees), the usual LBVH-vs-SAH tradeoff the reference documents for its
+own refit path (src/bvh/optimization.rs). Re-designs the reference's
+build-over-and-over usage (Bvh::build per frame) for the TPU.
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..bvh.lbvh import build_lbvh, morton_codes
+from .cluster import TIGHT, TightScene
+
+_INF = jnp.float32(jnp.inf)
+
+_LAYOUT_CACHE: dict = {}
+
+
+def _grid_layout(C: int, F: int = 16):
+    """Static DFS entry/exit layout of a fixed-fanout Morton hierarchy.
+
+    The tree shape depends only on the cluster count: leaves 0..C-1 (Morton
+    order), each level-k node spans F consecutive level-(k-1) nodes, up to a
+    root. Returns numpy constants (gather_level, gather_idx, entry, exit,
+    total): column t of the SMEM table holds level `gather_level[t]` node
+    `gather_idx[t]`; entry/exit are fully precomputed (leaf payloads are
+    -(cluster+1)). Cached per (C, F) — host cost is O(total) once.
+    """
+    key = (C, F)
+    hit = _LAYOUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    sizes = [C]
+    while sizes[-1] > 1:
+        sizes.append(-(-sizes[-1] // F))
+    L = len(sizes)  # level count; level 0 = leaves, level L-1 = root (size 1)
+
+    glevel, gidx, entry, exit_ = [], [], [], []
+
+    def emit(level, idx):
+        t = len(glevel)
+        glevel.append(level)
+        gidx.append(idx)
+        if level == 0:
+            entry.append(-(idx + 1.0))
+            exit_.append(0.0)  # patched below
+            return t
+        entry.append(0.0)
+        exit_.append(0.0)
+        first = None
+        lo = idx * F
+        hi = min(lo + F, sizes[level - 1])
+        for j in range(lo, hi):
+            ct = emit(level - 1, j)
+            if first is None:
+                first = ct
+        entry[t] = float(first)
+        return t
+
+    import sys
+
+    sys.setrecursionlimit(max(10000, C))
+    emit(L - 1, 0)
+    total = len(glevel)
+    # exits: preorder DFS => subtree of t ends where the next node at <= its
+    # stack depth begins; compute by a reverse scan over subtree sizes
+    # (subtree size of level-k node idx = nodes under it, closed form per level)
+    sub = [1] * L
+    for k in range(1, L):
+        sub[k] = 0  # variable (ragged last children); compute per node below
+
+    # simpler: recompute subtree sizes recursively with memo on (level, idx)
+    from functools import lru_cache
+
+    @lru_cache(maxsize=None)
+    def subsize(level, idx):
+        if level == 0:
+            return 1
+        lo = idx * F
+        hi = min(lo + F, sizes[level - 1])
+        return 1 + sum(subsize(level - 1, j) for j in range(lo, hi))
+
+    for t in range(total):
+        exit_[t] = float(t + subsize(glevel[t], gidx[t]))
+
+    out = (
+        np.asarray(glevel, np.int32),
+        np.asarray(gidx, np.int32),
+        np.asarray(entry, np.float32),
+        np.asarray(exit_, np.float32),
+        sizes,
+    )
+    _LAYOUT_CACHE[key] = out
+    return out
+
+
+@partial(jax.jit, static_argnames=("fanout",))
+def _grid_upper(cl_min: jnp.ndarray, cl_max: jnp.ndarray, fanout: int = 16):
+    """SMEM table of the fixed-fanout hierarchy over Morton-ordered clusters.
+
+    All control flow is host-side constants; on device this is log_F(C)
+    reshape-reductions plus one gather — no Karras sweeps, no sort beyond
+    the triangle Morton sort that ordered the clusters.
+    """
+    C = cl_min.shape[0]
+    glevel, gidx, entry, exit_, sizes = _grid_layout(C, fanout)
+    # level boxes, padded to F multiples with empty boxes
+    mins = [cl_min]
+    maxs = [cl_max]
+    for k in range(1, len(sizes)):
+        prev_n = sizes[k - 1]
+        padn = sizes[k] * fanout
+        pm = jnp.full((padn, 3), _INF).at[:prev_n].set(mins[-1])
+        px = jnp.full((padn, 3), -_INF).at[:prev_n].set(maxs[-1])
+        mins.append(pm.reshape(sizes[k], fanout, 3).min(axis=1))
+        maxs.append(px.reshape(sizes[k], fanout, 3).max(axis=1))
+    # flat gather: level-k node idx lives at offset[k] + idx
+    off = np.zeros(len(sizes), np.int64)
+    for k in range(1, len(sizes)):
+        off[k] = off[k - 1] + sizes[k - 1]
+    all_min = jnp.concatenate(mins, axis=0)
+    all_max = jnp.concatenate(maxs, axis=0)
+    sel = jnp.asarray(off[glevel] + gidx, jnp.int32)
+    tmin = all_min[sel]
+    tmax = all_max[sel]
+    return jnp.concatenate([
+        tmin.T, tmax.T,
+        jnp.asarray(entry)[None, :],
+        jnp.asarray(exit_)[None, :],
+    ], axis=0)
+
+
+@partial(jax.jit, static_argnames=("width", "upper"))
+def _build_core(a: jnp.ndarray, b: jnp.ndarray, c: jnp.ndarray, width: int = TIGHT,
+                upper: str = "grid"):
+    """Jittable core: returns (smem_nodes, groups, tri_map) device arrays."""
+    n = a.shape[0]
+    W = width
+    group = 128 // W
+    C = -(-n // W)  # clusters (static: derived from shapes)
+    n_pad = C * W
+    G = -(-C // group)
+
+    centroid = (a + b + c) * jnp.float32(1.0 / 3.0)
+    lo = centroid.min(axis=0)
+    hi = centroid.max(axis=0)
+    codes = morton_codes(centroid, lo, hi)
+    order = jnp.argsort(codes, stable=True).astype(jnp.int32)
+
+    pad = n_pad - n
+    if pad:
+        order_p = jnp.concatenate([order, jnp.full((pad,), -1, jnp.int32)])
+    else:
+        order_p = order
+    valid = order_p >= 0
+    safe = jnp.maximum(order_p, 0)
+    a_s = a[safe]
+    b_s = b[safe]
+    c_s = c[safe]
+
+    # per-triangle AABBs; padding lanes excluded from cluster boxes
+    mn = jnp.minimum(jnp.minimum(a_s, b_s), c_s)
+    mx = jnp.maximum(jnp.maximum(a_s, b_s), c_s)
+    mn = jnp.where(valid[:, None], mn, _INF)
+    mx = jnp.where(valid[:, None], mx, -_INF)
+    cl_min = mn.reshape(C, W, 3).min(axis=1)
+    cl_max = mx.reshape(C, W, 3).max(axis=1)
+    cc = (cl_min + cl_max) * 0.5
+
+    # upper tree over cluster AABBs -> SMEM entry/exit table
+    if upper == "grid":
+        smem_nodes = _grid_upper(cl_min, cl_max)
+    else:  # Karras LBVH (adaptive splits; slower build, comparable trace)
+        flat, _ = build_lbvh(cl_min, cl_max)
+        is_leaf = flat.entry < 0
+        entry = jnp.where(is_leaf, -(flat.shape.astype(jnp.float32) + 1.0),
+                          flat.entry.astype(jnp.float32))
+        smem_nodes = jnp.concatenate([
+            flat.aabb_min.T,
+            flat.aabb_max.T,
+            entry[None, :],
+            flat.exit.astype(jnp.float32)[None, :],
+        ], axis=0)  # [8, 2C-1]
+
+    # packed group rows: cluster-relative a', e1, e2 (pad lanes degenerate)
+    ccl = jnp.repeat(cc, W, axis=0)  # [n_pad, 3]
+    av = jnp.where(valid[:, None], a_s - ccl, 0.0)
+    e1 = jnp.where(valid[:, None], b_s - a_s, 0.0)
+    e2 = jnp.where(valid[:, None], c_s - a_s, 0.0)
+    rows = jnp.zeros((G * group * W, 16), jnp.float32)
+    rows = rows.at[:n_pad, 0:3].set(av)
+    rows = rows.at[:n_pad, 3:6].set(e1)
+    rows = rows.at[:n_pad, 6:9].set(e2)
+    groups = rows.reshape(G, 128, 16).transpose(0, 2, 1)  # [G, 16, 128]
+
+    tri_map = jnp.full((G * group * W,), -1, jnp.int32)
+    tri_map = tri_map.at[:n_pad].set(order_p)
+    return smem_nodes, groups, tri_map
+
+
+def build_tight_scene_device(a, b, c, width: int = TIGHT,
+                             upper: str = "grid") -> TightScene:
+    """On-device TightScene build (Morton clusters + fixed-fanout upper tree).
+
+    Arrays stay on device; the returned scene plugs straight into
+    ``trace_closest_hit_tight`` / ``trace_any_hit_tight``. Use the host
+    ``build_tight_scene`` for static scenes (better tree), this for
+    per-frame rebuilds of deforming geometry. ``upper``: "grid" (default,
+    fixed 16-ary Morton hierarchy, fastest build) or "lbvh" (Karras).
+    """
+    a = jnp.asarray(a, jnp.float32)
+    b = jnp.asarray(b, jnp.float32)
+    c = jnp.asarray(c, jnp.float32)
+    n = a.shape[0]
+    if n == 0:
+        raise ValueError("empty scene")
+    if width not in (16, 32, 64, 128):
+        raise ValueError("width must be 16/32/64/128 (VPU lane packing)")
+    smem_nodes, groups, tri_map = _build_core(a, b, c, width, upper)
+    C = -(-n // width)
+    if upper == "grid":
+        nn = int(_grid_layout(C)[0].shape[0])
+    else:
+        nn = 2 * C - 1 if C > 1 else 1
+    return TightScene(smem_nodes, groups, tri_map, C, nn, width)
+
+
+def make_refitter(scene: TightScene):
+    """Device refitter for a TightScene: same topology, new vertex positions.
+
+    The per-frame path for deforming geometry: keeps the (host-SAH-quality)
+    cluster assignment and upper-tree topology, recomputing on device only
+    what moved — packed group rows, cluster AABBs, and every upper node's
+    box. Internal boxes are interval-reductions of leaf boxes over the
+    node's DFS range (exit pointers give the range), evaluated with a
+    log2(nn)-level sparse table: ~14 elementwise min/max passes + two
+    gathers, no sequential sweeps. The tree stays *consistent and tight*
+    after any deformation (the contract of the reference's
+    ``Bvh::update_shapes``, src/bvh/optimization.rs); quality degrades only
+    as far as the topology no longer matches the geometry — rebuild on host
+    occasionally, refit every frame.
+
+    Returns ``refit(a, b, c) -> TightScene`` (jittable; tri_map shared).
+    """
+    entry = np.asarray(scene.smem_nodes[6])
+    exit_ = np.asarray(scene.smem_nodes[7]).astype(np.int64)
+    nn = entry.shape[0]
+    W = int(scene.width)
+    C = int(scene.num_clusters)
+    tri_map = jnp.asarray(scene.tri_map)
+    n_lanes = int(np.asarray(scene.tri_map).shape[0])
+    C_pad = n_lanes // W
+    G = n_lanes // 128
+
+    is_leaf = entry < 0
+    leaf_cluster = np.where(is_leaf, (-entry - 1).astype(np.int64), 0)
+    # sparse-table constants: for column i with interval [i, e), level k and
+    # the two window starts i and e - 2^k
+    length = np.maximum(exit_ - np.arange(nn), 1)
+    kcol = np.floor(np.log2(length)).astype(np.int64)
+    k_max = int(kcol.max())
+    lo_idx = np.arange(nn)
+    hi_idx = exit_ - (1 << kcol)
+    flat_lo = kcol * nn + lo_idx
+    flat_hi = kcol * nn + np.minimum(hi_idx, nn - 1)
+
+    valid_lane = np.asarray(scene.tri_map) >= 0
+    safe_lane = np.maximum(np.asarray(scene.tri_map), 0)
+
+    leaf_cluster_j = jnp.asarray(leaf_cluster, jnp.int32)
+    is_leaf_j = jnp.asarray(is_leaf)
+    flat_lo_j = jnp.asarray(flat_lo, jnp.int32)
+    flat_hi_j = jnp.asarray(flat_hi, jnp.int32)
+    valid_j = jnp.asarray(valid_lane)
+    safe_j = jnp.asarray(safe_lane, jnp.int32)
+    entry_j = jnp.asarray(entry)
+    exit_j = jnp.asarray(scene.smem_nodes[7])
+
+    @jax.jit
+    def refit_core(a, b, c):
+        a = jnp.asarray(a, jnp.float32)
+        b = jnp.asarray(b, jnp.float32)
+        c = jnp.asarray(c, jnp.float32)
+        a_l = a[safe_j]
+        b_l = b[safe_j]
+        c_l = c[safe_j]
+        mn = jnp.minimum(jnp.minimum(a_l, b_l), c_l)
+        mx = jnp.maximum(jnp.maximum(a_l, b_l), c_l)
+        mn = jnp.where(valid_j[:, None], mn, _INF)
+        mx = jnp.where(valid_j[:, None], mx, -_INF)
+        cl_min = mn.reshape(C_pad, W, 3).min(axis=1)
+        cl_max = mx.reshape(C_pad, W, 3).max(axis=1)
+        cc = (cl_min + cl_max) * 0.5
+
+        # packed group rows, cluster-relative to the refit centers
+        ccl = jnp.repeat(cc, W, axis=0)
+        av = jnp.where(valid_j[:, None], a_l - ccl, 0.0)
+        e1 = jnp.where(valid_j[:, None], b_l - a_l, 0.0)
+        e2 = jnp.where(valid_j[:, None], c_l - a_l, 0.0)
+        rows = jnp.zeros((n_lanes, 16), jnp.float32)
+        rows = rows.at[:, 0:3].set(av)
+        rows = rows.at[:, 3:6].set(e1)
+        rows = rows.at[:, 6:9].set(e2)
+        groups = rows.reshape(G, 128, 16).transpose(0, 2, 1)
+
+        # upper-table boxes: leaves take their cluster box; internals reduce
+        # leaf boxes over their DFS interval via the sparse table
+        lmin0 = jnp.where(is_leaf_j[:, None], cl_min[leaf_cluster_j], _INF)
+        lmax0 = jnp.where(is_leaf_j[:, None], cl_max[leaf_cluster_j], -_INF)
+        tabs_min = [lmin0]
+        tabs_max = [lmax0]
+        for k in range(1, k_max + 1):
+            step = 1 << (k - 1)
+            pm = tabs_min[-1]
+            px = tabs_max[-1]
+            sh_m = jnp.concatenate([pm[step:], jnp.full((step, 3), _INF)], axis=0)
+            sh_x = jnp.concatenate([px[step:], jnp.full((step, 3), -_INF)], axis=0)
+            tabs_min.append(jnp.minimum(pm, sh_m))
+            tabs_max.append(jnp.maximum(px, sh_x))
+        allm = jnp.concatenate(tabs_min, axis=0)  # [(k_max+1)*nn, 3]
+        allx = jnp.concatenate(tabs_max, axis=0)
+        tmin = jnp.minimum(allm[flat_lo_j], allm[flat_hi_j])
+        tmax = jnp.maximum(allx[flat_lo_j], allx[flat_hi_j])
+        smem_nodes = jnp.concatenate([
+            tmin.T, tmax.T, entry_j[None, :], exit_j[None, :],
+        ], axis=0)
+        return smem_nodes, groups
+
+    def refit(a, b, c) -> TightScene:
+        smem_nodes, groups = refit_core(a, b, c)
+        return TightScene(smem_nodes, groups, tri_map, C, nn, W)
+
+    refit.core = refit_core  # jit-composable inner (arrays only)
+    return refit

@@ -17,6 +17,7 @@ from .shard import (
     sharded_render_depth,
     sharded_train_step,
 )
+from .tight import sharded_trace_any_hit, sharded_trace_closest_hit
 
 __all__ = [
     "make_mesh",
@@ -24,4 +25,6 @@ __all__ = [
     "sharded_render_depth",
     "sharded_loss_and_grads",
     "sharded_train_step",
+    "sharded_trace_closest_hit",
+    "sharded_trace_any_hit",
 ]

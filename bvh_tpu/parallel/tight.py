@@ -1,0 +1,147 @@
+"""Multi-chip ray tracing with the Pallas tight-cluster kernel.
+
+The scaling shape for production serving: the scene (SMEM node table +
+packed triangle groups, a few MB) is replicated on every chip; rays are
+sharded along the mesh's ``rays`` axis, each chip runs the packet-trace
+kernel on its local shard, and results concatenate back — pure data
+parallelism with zero inter-chip traffic in the hot loop (the one
+collective is the implicit result layout). Rays/s scales linearly with
+chip count.
+
+Re-designs the reference's only parallelism (rayon work-stealing across CPU
+cores, src/bvh/bvh_impl.rs:525-543) as mesh data-parallelism over ICI.
+Complements ``parallel.shard`` (scene-sharded pure-JAX traversal for scenes
+too big to replicate).
+"""
+
+from __future__ import annotations
+
+from functools import partial
+
+import jax
+import jax.numpy as jnp
+from jax.sharding import PartitionSpec as P
+
+from ..bvh.traverse import HitRecord
+from ..ray import Ray
+
+
+def sharded_trace_closest_hit(mesh, scene, rays: Ray, tris=None,
+                              packet: int = 2048, interpret: bool = False,
+                              t_max=None) -> HitRecord:
+    """Closest hit of a ray batch sharded over ``mesh``'s ``rays`` axis.
+
+    ``scene`` is a TightScene (host- or device-built), replicated per chip.
+    Same contract as ``trace_closest_hit_tight``. The ray count is padded
+    to devices x packet internally.
+    """
+    from ..ops.trace import trace_closest_hit_tight
+
+    n_dev = mesh.shape["rays"]
+    r = rays.origin.shape[0]
+    if r == 0:
+        z = jnp.zeros((0,), jnp.float32)
+        return HitRecord(z, z, z, jnp.zeros((0,), jnp.int32))
+    chunk = -(-r // n_dev)
+    chunk = -(-chunk // packet) * packet  # per-device packet multiple
+    rp = chunk * n_dev
+    pad = rp - r
+
+    def padded(x, fill):
+        return jnp.concatenate(
+            [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)], axis=0
+        ) if pad else x
+
+    o = padded(rays.origin, 2.0e30)
+    d = padded(rays.direction, 1.0)
+    inv = padded(rays.inv_direction, 1.0)
+    tm = None
+    if t_max is not None:
+        tm = padded(jnp.broadcast_to(
+            jnp.asarray(t_max, jnp.float32).reshape(-1), (r,)), jnp.inf)
+
+    # scene tables ride as explicit replicated operands (a closure capture
+    # can get auto-sharded along the mesh when its length divides the axis)
+    sn = jnp.asarray(scene.smem_nodes)
+    gr = jnp.asarray(scene.groups)
+    tmap = jnp.asarray(scene.tri_map)
+
+    def body(sn_l, gr_l, tmap_l, o_l, d_l, inv_l, *tm_l):
+        local_scene = scene._replace(smem_nodes=sn_l, groups=gr_l, tri_map=tmap_l)
+        local = Ray(o_l, d_l, inv_l)
+        hit = trace_closest_hit_tight(
+            local_scene, local, tris=tris, packet=packet, interpret=interpret,
+            t_max=tm_l[0] if tm_l else None)
+        return hit.t, hit.u, hit.v, hit.shape_id
+
+    args = (sn, gr, tmap, o, d, inv) + ((tm,) if tm is not None else ())
+    inner = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P()) + tuple(P("rays") for _ in args[3:]),
+        out_specs=(P("rays"), P("rays"), P("rays"), P("rays")),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def fn(*a):
+        t, u, v, sid = inner(*a)
+        # trim the packet padding inside jit (an eager slice of a sharded
+        # output lowers to an ambiguous gather)
+        return t[:r], u[:r], v[:r], sid[:r]
+
+    return HitRecord(*fn(*args))
+
+
+def sharded_trace_any_hit(mesh, scene, rays: Ray, t_max=None,
+                          packet: int = 2048,
+                          interpret: bool = False) -> jnp.ndarray:
+    """Occlusion query sharded over ``mesh``'s ``rays`` axis (shadow rays)."""
+    from ..ops.trace import trace_any_hit_tight
+
+    n_dev = mesh.shape["rays"]
+    r = rays.origin.shape[0]
+    if r == 0:
+        return jnp.zeros((0,), bool)
+    chunk = -(-r // n_dev)
+    chunk = -(-chunk // packet) * packet
+    rp = chunk * n_dev
+    pad = rp - r
+
+    def padded(x, fill):
+        return jnp.concatenate(
+            [x, jnp.full((pad,) + x.shape[1:], fill, x.dtype)], axis=0
+        ) if pad else x
+
+    o = padded(rays.origin, 2.0e30)
+    d = padded(rays.direction, 1.0)
+    inv = padded(rays.inv_direction, 1.0)
+    tm = None
+    if t_max is not None:
+        tm = padded(jnp.broadcast_to(
+            jnp.asarray(t_max, jnp.float32).reshape(-1), (r,)), jnp.inf)
+
+    sn = jnp.asarray(scene.smem_nodes)
+    gr = jnp.asarray(scene.groups)
+    tmap = jnp.asarray(scene.tri_map)
+
+    def body(sn_l, gr_l, tmap_l, o_l, d_l, inv_l, *tm_l):
+        local_scene = scene._replace(smem_nodes=sn_l, groups=gr_l, tri_map=tmap_l)
+        occ = trace_any_hit_tight(
+            local_scene, Ray(o_l, d_l, inv_l), packet=packet, interpret=interpret,
+            t_max=tm_l[0] if tm_l else None)
+        return (occ,)
+
+    args = (sn, gr, tmap, o, d, inv) + ((tm,) if tm is not None else ())
+    inner = jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P()) + tuple(P("rays") for _ in args[3:]),
+        out_specs=(P("rays"),),
+        check_vma=False,
+    )
+
+    @jax.jit
+    def fn(*a):
+        (occ,) = inner(*a)
+        return occ[:r]
+
+    return fn(*args)

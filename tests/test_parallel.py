@@ -127,3 +127,24 @@ def test_gradients_match_unsharded(setup):
         # single-device sum is ~3e-6 absolute on grads of ~1e-2 scale
         np.testing.assert_allclose(g_sh_flat, np.asarray(g_ref), rtol=1e-3, atol=5e-6,
                                    err_msg=f"grad {nm}")
+
+
+def test_sharded_tight_trace_matches_single(setup):
+    """Pallas kernel under shard_map: sharded == single-device, exactly."""
+    from bvh_tpu.ops.cluster import build_tight_scene
+    from bvh_tpu.ops.trace import trace_closest_hit_tight
+    from bvh_tpu.parallel import sharded_trace_any_hit, sharded_trace_closest_hit
+
+    a, b, c, rays = setup
+    scene = build_tight_scene(a, b, c, use_native=False)
+    mesh = make_mesh(8)
+    got = sharded_trace_closest_hit(mesh, scene, rays, packet=128, interpret=True)
+    want = trace_closest_hit_tight(scene, rays, packet=128, interpret=True)
+    np.testing.assert_allclose(np.asarray(got.t), np.asarray(want.t),
+                               rtol=1e-6, equal_nan=True)
+    assert (np.asarray(got.shape_id) == np.asarray(want.shape_id)).all()
+
+    tm = jnp.full((rays.origin.shape[0],), 1500.0)
+    occ = sharded_trace_any_hit(mesh, scene, rays, t_max=tm, packet=128, interpret=True)
+    wt = np.asarray(want.t)
+    assert (np.asarray(occ) == (np.isfinite(wt) & (wt < 1500.0))).all()
