@@ -88,8 +88,10 @@ def main():
     aim_dirs = (centers[idx] + 0.1 - aim_orig).astype(np.float32)
     aimed = Ray.create(jnp.asarray(aim_orig), jnp.asarray(aim_dirs))
 
+    from bvh_tpu.ops.trace import trace_closest_hit_seeded
+
     def run_aimed():
-        out = trace_closest_hit_tight(scene, aimed, packet=packet)
+        out = trace_closest_hit_seeded(scene, aimed, packet=packet)
         return out, float(jnp.sum(jnp.where(jnp.isfinite(out.t), out.t, 0.0)))
 
     out_a, _ = run_aimed()

@@ -353,16 +353,18 @@ def _make_tight_kernel(packet: int, precision, skip_narrow: bool = False,
                        subtile: int = 1024, width: int = 16, n_hints: int = 0,
                        mode: str = "closest", bounded: bool = False):
     def _kernel(nodes_ref, hints_ref, groups_ref, slab_ref, lmat_ref, out_ref,
-                best_ref, vb_ref):
+                bestk_ref, bestc_ref, vb_ref):
         return _tight_body(nodes_ref, hints_ref, groups_ref, slab_ref, lmat_ref,
-                           out_ref, best_ref, vb_ref, packet, precision,
-                           skip_narrow, subtile, width, n_hints, mode, bounded)
+                           out_ref, bestk_ref, bestc_ref, vb_ref, packet,
+                           precision, skip_narrow, subtile, width, n_hints,
+                           mode, bounded)
     return _kernel
 
 
 def _tight_body(nodes_ref, hints_ref, groups_ref, slab_ref, lmat_ref, out_ref,
-                best_ref, vb_ref, PACKET, PRECISION, SKIP_NARROW=False,
-                SUBTILE=1024, W=16, N_HINTS=0, MODE="closest", BOUNDED=False):
+                bestk_ref, bestc_ref, vb_ref, PACKET, PRECISION,
+                SKIP_NARROW=False, SUBTILE=1024, W=16, N_HINTS=0,
+                MODE="closest", BOUNDED=False):
     assert W in (16, 32, 64, 128)
     assert MODE in ("closest", "any")
     nn = nodes_ref.shape[1]
@@ -373,8 +375,15 @@ def _tight_body(nodes_ref, hints_ref, groups_ref, slab_ref, lmat_ref, out_ref,
     NT = max(PACKET // SUBTILE, 1)  # narrowphase subtiles
     ST = SUBTILE // 128  # sublane rows per subtile
 
-    best_ref[:, 0:1] = jnp.full((PACKET, 1), _INF, jnp.float32)  # t
-    best_ref[:, 1:2] = jnp.full((PACKET, 1), -1.0, jnp.float32)  # id
+    # Per-ray best hit as a PACKED int key ([SUB,128] slab layout): high bits
+    # the f32 t (order-preserving for t > 0), low log2(W) bits the triangle
+    # lane; the winning cluster rides in a second int buffer. The per-fire
+    # update is then min + compare + two stores — (t, id) decode happens once
+    # at kernel end. Sentinel 0x7F800000 = +inf bits: above every valid key
+    # AND bitcasts straight to the float +inf the pruning compares expect.
+    _SENT = jnp.int32(0x7F800000)
+    bestk_ref[:, :] = jnp.full((SUB, 128), _SENT, jnp.int32)
+    bestc_ref[:, :] = jnp.zeros((SUB, 128), jnp.int32)
     # Per-lane pruning distance, in slab layout, seeded from the per-ray
     # t_max riding in slab row 6 (inf when unbounded). Slab rows are only
     # ever compared, never multiplied, so inf is safe there; best-t stays
@@ -426,34 +435,39 @@ def _tight_body(nodes_ref, hints_ref, groups_ref, slab_ref, lmat_ref, out_ref,
         ccz = (az + bz) * 0.5
 
         def narrow_subtile(st):
-            lm = lmat_ref[0, st * SUBTILE:(st + 1) * SUBTILE]  # [SUBTILE, 16]
-            dx, dy, dz = lm[:, 0:1], lm[:, 1:2], lm[:, 2:3]
+            # TRANSPOSED narrowphase: rays ride the LANE axis throughout
+            # ([4W, SUBTILE] product, [W, SUBTILE] blocks), so every op in
+            # the hit test runs at full 128-lane density. The ray-major
+            # orientation ([SUBTILE, W], W=16 lanes) cost 128 tiles per op
+            # at 1/8 lane use — measured 54% of the aimed-workload time.
+            lm = lmat_ref[0, :, st * SUBTILE:(st + 1) * SUBTILE]  # [16, SUBTILE]
+            dx, dy, dz = lm[0:1], lm[1:2], lm[2:3]
             cxd0 = ccy * dz - ccz * dy
             cxd1 = ccz * dx - ccx * dz
             cxd2 = ccx * dy - ccy * dx
             lp = jnp.concatenate(
                 [
-                    lm[:, 0:3],
-                    lm[:, 3:4] - cxd0,
-                    lm[:, 4:5] - cxd1,
-                    lm[:, 5:6] - cxd2,
-                    lm[:, 6:7] - ccx,
-                    lm[:, 7:8] - ccy,
-                    lm[:, 8:9] - ccz,
-                    lm[:, 9:16],
+                    lm[0:3],
+                    lm[3:4] - cxd0,
+                    lm[4:5] - cxd1,
+                    lm[5:6] - cxd2,
+                    lm[6:7] - ccx,
+                    lm[7:8] - ccy,
+                    lm[8:9] - ccz,
+                    lm[9:16],
                 ],
-                axis=1,
-            )
+                axis=0,
+            )  # [16, SUBTILE]
 
             m = jax.lax.dot_general(
-                lp, bmat, (((1,), (0,)), ((), ())),
+                bmat, lp, (((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32, precision=PRECISION,
-            )  # [SUBTILE, 4W]
+            )  # [4W, SUBTILE]
 
-            det = m[:, 0:W]
-            udet = m[:, W:2 * W]
-            vdet = m[:, 2 * W:3 * W]
-            tdet = m[:, 3 * W:4 * W]
+            det = m[0:W]
+            udet = m[W:2 * W]
+            vdet = m[2 * W:3 * W]
+            tdet = m[3 * W:4 * W]
             cull = det < _EPS
             ok = (
                 ~cull
@@ -467,38 +481,35 @@ def _tight_body(nodes_ref, hints_ref, groups_ref, slab_ref, lmat_ref, out_ref,
             dist = jnp.where(ok, t, _INF)
 
             # packed min-reduce: steal the low log2(W) mantissa bits of t
-            # for the lane index (t > 0 => f32 bits are order-preserving)
+            # for the triangle index (t > 0 => f32 bits are order-preserving)
             LMASK = jnp.int32(W - 1)
-            lanes_i = jax.lax.broadcasted_iota(jnp.int32, (SUBTILE, W), 1)
+            lanes_i = jax.lax.broadcasted_iota(jnp.int32, (W, SUBTILE), 0)
             key = pltpu.bitcast(dist, jnp.int32)
-            key = jnp.where(ok, (key & ~LMASK) | lanes_i, jnp.int32(0x7F000000))
-            kmin = jnp.min(key, axis=1, keepdims=True)  # [SUBTILE, 1]
-            hit_any = kmin < jnp.int32(0x7F000000)
-            tmin_c = pltpu.bitcast(kmin & ~LMASK, jnp.float32)
-            tmin_c = jnp.where(hit_any, tmin_c, _INF)
-            lane = (kmin & LMASK).astype(jnp.float32)
-            id_c = c.astype(jnp.float32) * float(W) + lane
+            key = jnp.where(ok, (key & ~LMASK) | lanes_i, _SENT)
+            # sublane reduce straight into slab layout; everything after
+            # also runs at dense 128-lane width
+            km = jnp.min(key, axis=0).reshape(ST, 128)
 
-            lo, hi = st * SUBTILE, (st + 1) * SUBTILE
-            bt = best_ref[lo:hi, 0:1]
-            closer = tmin_c < bt
-            nt = jnp.where(closer, tmin_c, bt)
-            best_ref[lo:hi, 0:1] = nt
-            best_ref[lo:hi, 1:2] = jnp.where(closer, id_c, best_ref[lo:hi, 1:2])
-            # refresh the per-lane pruning distances (slab layout)
             sl = slice(st * ST, (st + 1) * ST)
+            bk = bestk_ref[sl, :]
+            closer = km < bk
+            nbk = jnp.where(closer, km, bk)
+            bestk_ref[sl, :] = nbk
+            bestc_ref[sl, :] = jnp.where(closer, c, bestc_ref[sl, :])
+            # refresh the per-lane pruning distances (+inf while no hit)
+            nt = pltpu.bitcast(nbk & ~LMASK, jnp.float32)
             if MODE == "any":
                 # occlusion query: a lane with any hit inside t_max is done —
                 # -inf makes every later `tmin < vb` test fail, so the lane
                 # stops pulling the packet into subtrees entirely
                 tmx = slab_ref[0, 6, sl, :]
-                vb_ref[sl, :] = jnp.where(nt.reshape(ST, 128) < tmx, -_INF, tmx)
+                vb_ref[sl, :] = jnp.where(nt < tmx, -_INF, tmx)
             elif BOUNDED:
                 # keep vb <= t_max: a recorded hit beyond the bound must not
                 # loosen pruning (the host drops it as a miss afterwards)
-                vb_ref[sl, :] = jnp.minimum(nt.reshape(ST, 128), vb_ref[sl, :])
+                vb_ref[sl, :] = jnp.minimum(nt, vb_ref[sl, :])
             else:
-                vb_ref[sl, :] = nt.reshape(ST, 128)
+                vb_ref[sl, :] = nt
 
         if NT == 1:
             narrow_subtile(0)
@@ -581,7 +592,14 @@ def _tight_body(nodes_ref, hints_ref, groups_ref, slab_ref, lmat_ref, out_ref,
 
     jax.lax.while_loop(lambda cur: cur < nn, body, 0)
 
-    out_ref[0] = best_ref[:, :]
+    # one-time decode of the packed best keys: t (sentinel bitcasts to +inf
+    # by construction) and global triangle lane id (-1 on miss)
+    bk = bestk_ref[:, :]
+    LMASK = jnp.int32(W - 1)
+    out_ref[0, 0:SUB] = pltpu.bitcast(bk & ~LMASK, jnp.float32)
+    hit = bk < jnp.int32(0x7F800000)
+    gid = bestc_ref[:, :] * W + jax.lax.bitwise_and(bk, LMASK)
+    out_ref[0, SUB:2 * SUB] = jnp.where(hit, gid, -1).astype(jnp.float32)
 
 
 @partial(jax.jit, static_argnames=("num_nodes", "interpret", "packet", "precision", "skip_narrow", "width", "n_hints", "mode", "bounded"))
@@ -589,24 +607,28 @@ def _trace_tight(smem_nodes, hints, groups, slab, lmat, num_nodes, interpret=Fal
                  packet=2048, precision=jax.lax.Precision.HIGHEST, skip_narrow=False,
                  width=16, n_hints=0, mode="closest", bounded=False):
     p = slab.shape[0]
+    sub = packet // 128
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(p,),
         scratch_shapes=[
-            pltpu.VMEM((packet, 4), jnp.float32),
-            pltpu.VMEM((packet // 128, 128), jnp.float32),
+            pltpu.VMEM((sub, 128), jnp.int32),
+            pltpu.VMEM((sub, 128), jnp.int32),
+            pltpu.VMEM((sub, 128), jnp.float32),
         ],
         in_specs=[
             pl.BlockSpec(groups.shape, lambda i, *_: (0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1,) + slab.shape[1:], lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1,) + lmat.shape[1:], lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
-        out_specs=pl.BlockSpec((1, packet, 4), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+        out_specs=pl.BlockSpec((1, 2 * sub, 128), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
     )
+    # out layout: [p, 2*sub, 128] — rows 0..sub-1 best t, rows sub.. best id
+    # (both in ray slab layout; hosts reshape back to per-ray)
     return pl.pallas_call(
         _make_tight_kernel(packet, precision, skip_narrow, width=width,
                            n_hints=n_hints, mode=mode, bounded=bounded),
-        out_shape=jax.ShapeDtypeStruct((p, packet, 4), jnp.float32),
+        out_shape=jax.ShapeDtypeStruct((p, 2 * sub, 128), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
@@ -649,7 +671,10 @@ def _pack_rays_tight(rays: Ray, packet: int, t_max=None):
     m = jnp.cross(o, d)
     ones = jnp.ones((rp, 1), jnp.float32)
     zeros = jnp.zeros((rp, 6), jnp.float32)
-    lmat = jnp.concatenate([d, m, o, ones, zeros], axis=1).reshape(p, packet, 16)
+    # transposed layout [p, 16, packet]: the kernel's narrowphase keeps rays
+    # on the lane axis (see narrow_subtile)
+    lmat = (jnp.concatenate([d, m, o, ones, zeros], axis=1)
+            .reshape(p, packet, 16).transpose(0, 2, 1))
     return p, rp, slab, lmat
 
 
@@ -700,9 +725,9 @@ def trace_closest_hit_tight(scene, rays: Ray, tris=None, interpret: bool = False
         n_hints=n_hints,
         bounded=t_max is not None,
     )
-    out = out.reshape(rp, 4)[:r]
-    t = out[:, 0]
-    lane_id = out[:, 1].astype(jnp.int32)
+    sub = packet // 128
+    t = out[:, :sub].reshape(rp)[:r]
+    lane_id = out[:, sub:].reshape(rp)[:r].astype(jnp.int32)
     if t_max is not None:
         # a miss leaves t parked at t_max; restore the t=inf miss contract
         tm = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32).reshape(-1), (r,))
@@ -761,7 +786,7 @@ def trace_any_hit_tight(scene, rays: Ray, t_max=None, interpret: bool = False,
         mode="any",
         bounded=t_max is not None,
     )
-    t = out.reshape(rp, 4)[:r, 0]
+    t = out[:, : packet // 128].reshape(rp)[:r]
     if t_max is None:
         return jnp.isfinite(t)
     tm = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32).reshape(-1), (r,))
@@ -794,7 +819,7 @@ def sort_rays_device(origins: jnp.ndarray, directions: jnp.ndarray, bits: int = 
 
 
 def trace_closest_hit_seeded(scene, rays: Ray, tris=None, packet: int = 2048,
-                             sample_stride: int = 64, k_hints: int = 32,
+                             sample_stride: int = 32, k_hints: int = 64,
                              precision=jax.lax.Precision.HIGHEST,
                              interpret: bool = False) -> HitRecord:
     """Closest hit with sampled-hit seeding (hit-dense workloads).
@@ -807,10 +832,12 @@ def trace_closest_hit_seeded(scene, rays: Ray, tris=None, packet: int = 2048,
     hash-based traversal prediction). Misses nothing: seeding only tightens
     pruning bounds; results are identical to ``trace_closest_hit_tight``.
 
-    Opt-in: measured ~+15% on hit-dense narrow-leaf scenes (aimed rays,
-    W=16) and a net LOSS on wide-leaf scenes (each hint costs a full 4W-wide
-    narrowphase, and the extra kernel regions slow the traversal loop) —
-    benchmark before adopting for a workload.
+    An unhit lane keeps vb=inf and pulls its whole packet into every
+    subtree, so coverage matters more than hint cost: stride 32 / 64 hints
+    measured +35% on the aimed all-hit workload (a packet visits ~10.7k
+    upper nodes cold vs ~40 genuinely needed); larger k went negative
+    (each hint pays the narrowphase region latency). A LOSS on miss-heavy
+    or wide-leaf workloads — benchmark before adopting.
     """
     import numpy as np_
 
