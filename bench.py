@@ -124,6 +124,35 @@ def main():
         best_g = min(best_g, time.perf_counter() - t0)
     fwd_bwd_rays_per_s = n_aimed / best_g
 
+    # Scale sweep: the reference benches 1,200 / 12,000 / 120,000 triangles
+    # (README.md:176-178: 146 / 367 / 853 ns per ray on one core); same
+    # random-ray distribution at each scale.
+    scales = {}
+    if os.environ.get("BENCH_SCALES", "1") == "1":
+        for nc, ref_ns in ((100, 146), (1000, 367)):
+            a_s, b_s, c_s = tb.create_n_cubes(nc)
+            scene_s = build_tight_scene(a_s, b_s, c_s)
+            seed_s = tb.seed_state_after(nc)
+            o_s, d_s = tb.create_rays(n_rays, seed=seed_s)
+            o_sj, d_sj = jnp.asarray(o_s), jnp.asarray(d_s)
+
+            def run_s():
+                perm_s, inv_s = sort_rays_device(o_sj, d_sj, bits=4)
+                rays_s = Ray.create(o_sj[perm_s], d_sj[perm_s])
+                out_s = trace_closest_hit_tight(scene_s, rays_s, packet=packet)
+                ts = out_s.t[inv_s]
+                return float(jnp.sum(jnp.where(jnp.isfinite(ts), ts, 0.0)))
+
+            run_s()
+            best_s2 = float("inf")
+            for _ in range(max(iters - 3, 1)):
+                t0 = time.perf_counter()
+                run_s()
+                best_s2 = min(best_s2, time.perf_counter() - t0)
+            scales[f"{nc * 12}_tris_rays_per_s"] = round(n_rays / best_s2)
+            scales[f"{nc * 12}_tris_vs_ref"] = round(
+                (n_rays / best_s2) / (1e9 / ref_ns), 2)
+
     # Dynamic-scene maintenance: the reference's update_shapes bench moves a
     # fraction of shapes then refits (README.md:197-200; 76ms at 50% churn on
     # 12 cores). Here: full vectorized device refit of the flat tree.
@@ -211,6 +240,7 @@ def main():
             "diff_fwd_bwd_rays_per_s": round(fwd_bwd_rays_per_s),
             "update_shapes_50pct_device_ms": round(best_r * 1e3, 2),
             "tight_refit_device_ms": round(best_tr * 1e3, 2),
+            "scales": scales,
             "camera_260k_dense_rays_per_s": round(cam_rays_per_s) if cam_rays_per_s else None,
             "baseline": "svenstaro/bvh 853ns/ray (120k tris, Ryzen 3900X core, README.md:178)",
         },
