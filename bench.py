@@ -105,12 +105,16 @@ def main():
     # Differentiable render: forward + backward (vertex gradients) on the
     # aimed all-hit batch — the capability the reference lacks entirely.
     from bvh_tpu.diff import render_depth_fast
+    from bvh_tpu.ops.trace import compute_seed_hints
 
     aj, bj, cj = jnp.asarray(a), jnp.asarray(b), jnp.asarray(c)
     tgt = jnp.zeros((n_aimed,), jnp.float32)
+    # hit-dense batch: seed pruning hints once outside the jitted step
+    hints = compute_seed_hints(scene, aimed, packet=packet)
 
     def loss(av, bv, cv):
-        depth, hit_m = render_depth_fast(scene, aimed, av, bv, cv)
+        depth, hit_m = render_depth_fast(scene, aimed, av, bv, cv,
+                                         packet=packet, hints=hints)
         return jnp.sum(jnp.where(hit_m, (depth - tgt) ** 2, 0.0)) * 1e-9
 
     gfn = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2)))

@@ -839,12 +839,34 @@ def trace_closest_hit_seeded(scene, rays: Ray, tris=None, packet: int = 2048,
     (each hint pays the narrowphase region latency). A LOSS on miss-heavy
     or wide-leaf workloads — benchmark before adopting.
     """
+    hints = compute_seed_hints(scene, rays, packet=packet,
+                               sample_stride=sample_stride, k_hints=k_hints,
+                               precision=precision, interpret=interpret)
+    if hints is None:
+        return trace_closest_hit_tight(scene, rays, tris=tris, packet=packet,
+                                       precision=precision, interpret=interpret)
+    return trace_closest_hit_tight(
+        scene, rays, tris=tris, packet=packet, precision=precision,
+        interpret=interpret, hints=hints,
+    )
+
+
+def compute_seed_hints(scene, rays: Ray, packet: int = 2048,
+                       sample_stride: int = 32, k_hints: int = 64,
+                       precision=jax.lax.Precision.HIGHEST,
+                       interpret: bool = False):
+    """Sampled-hit seeding hints for ``trace_closest_hit_tight(hints=...)``.
+
+    Host-side (numpy) — compute once per (scene, ray batch) OUTSIDE jit and
+    pass the returned [n_packets, k] array into jitted render/trace calls
+    (see ``diff.render_depth_fast``). Returns None when the batch is too
+    small to sample.
+    """
     import numpy as np_
 
     r = rays.origin.shape[0]
     if r == 0 or r < sample_stride:
-        return trace_closest_hit_tight(scene, rays, tris=tris, packet=packet,
-                                       precision=precision, interpret=interpret)
+        return None
 
     sample = Ray(
         rays.origin[::sample_stride],
@@ -888,7 +910,4 @@ def trace_closest_hit_seeded(scene, rays: Ray, tris=None, packet: int = 2048,
     # repeat-fill empty slots with the packet's first hint (idempotent)
     fill = hints[:, 0:1]
     hints = np_.where(hints < 0, fill, hints)
-    return trace_closest_hit_tight(
-        scene, rays, tris=tris, packet=packet, precision=precision,
-        interpret=interpret, hints=jnp.asarray(hints, jnp.int32),
-    )
+    return jnp.asarray(hints, jnp.int32)
