@@ -487,8 +487,18 @@ def _tight_body(nodes_ref, hints_ref, groups_ref, slab_ref, lmat_ref, out_ref,
             key = pltpu.bitcast(dist, jnp.int32)
             key = jnp.where(ok, (key & ~LMASK) | lanes_i, _SENT)
             # sublane reduce straight into slab layout; everything after
-            # also runs at dense 128-lane width
-            km = jnp.min(key, axis=0).reshape(ST, 128)
+            # also runs at dense 128-lane width. Mosaic lowers the
+            # 1D->(rows,128) relayout only for full-tile (1024) or
+            # single-row (128) sizes; odd subtile sizes reduce per
+            # tile-aligned lane group and stack rows instead.
+            if SUBTILE >= 1024 or SUBTILE == 128:
+                km = jnp.min(key, axis=0).reshape(ST, 128)
+            else:
+                km = jnp.concatenate(
+                    [jnp.min(key[:, i * 128:(i + 1) * 128], axis=0,
+                             keepdims=True) for i in range(ST)],
+                    axis=0,
+                )
 
             sl = slice(st * ST, (st + 1) * ST)
             bk = bestk_ref[sl, :]

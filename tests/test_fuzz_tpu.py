@@ -1,0 +1,86 @@
+"""Long-running differential fuzz on the real TPU (env-gated).
+
+The CPU fuzzer (``test_fuzz.py``) runs every suite; this loop exercises the
+*compiled* kernels on actual hardware — randomized leaf widths, packet
+sizes, scene scales, trace modes — against the pure-JAX oracle. Run with:
+
+    BVH_TPU_FUZZ=1 python -m pytest tests/test_fuzz_tpu.py -s -q
+    BVH_TPU_FUZZ_ROUNDS=50  # optional, default 10
+
+(The suite's conftest forces the CPU platform; this module undoes that when
+gated on, so it must run in its own pytest invocation.)
+"""
+
+import os
+
+import numpy as np
+import pytest
+
+RUN = os.environ.get("BVH_TPU_FUZZ", "0") == "1"
+
+pytestmark = pytest.mark.skipif(not RUN, reason="set BVH_TPU_FUZZ=1 (real-TPU fuzz)")
+
+
+def test_fuzz_kernels_on_tpu():
+    import jax
+
+    jax.config.update("jax_platforms", "")  # restore the default (axon/TPU)
+    import jax.numpy as jnp
+
+    from bvh_tpu import Ray
+    from bvh_tpu import testbase as tb
+    from bvh_tpu.bvh.traverse import brute_force_closest_hit
+    from bvh_tpu.ops import (build_tight_scene, build_tight_scene_device,
+                             make_refitter, trace_any_hit_tight,
+                             trace_closest_hit_tight)
+
+    rounds = int(os.environ.get("BVH_TPU_FUZZ_ROUNDS", "10"))
+    rng = np.random.default_rng(int(os.environ.get("BVH_TPU_FUZZ_SEED", "0")))
+    for rd in range(rounds):
+        n_cubes = int(rng.integers(2, 400))
+        leaf = int(rng.choice([None, 16, 32, 64], p=[0.4, 0.3, 0.2, 0.1]) or 0) or None
+        packet = int(rng.choice([128, 512, 1024, 2048, 4096]))
+        builder = rng.choice(["host", "device"])
+        a, b, c = tb.create_n_cubes(n_cubes, seed=rd)
+        if builder == "host":
+            scene = build_tight_scene(a, b, c, leaf_size=leaf)
+        else:
+            scene = build_tight_scene_device(
+                jnp.asarray(a), jnp.asarray(b), jnp.asarray(c))
+        centers = a.reshape(-1, 12, 3).mean(axis=1)
+        n = int(rng.integers(64, 2048))
+        idx = rng.integers(0, len(centers), n)
+        offs = rng.normal(size=(n, 3)).astype(np.float32)
+        offs /= np.linalg.norm(offs, axis=1, keepdims=True)
+        dist = float(rng.uniform(10, 200))
+        o = (centers[idx] + offs * dist).astype(np.float32)
+        d = (centers[idx] + rng.uniform(0.05, 0.4) - o).astype(np.float32)
+        flip = rng.random(n) < 0.3
+        d[flip] = offs[flip]  # point away: misses
+        rays = Ray.create(jnp.asarray(o), jnp.asarray(d))
+        aj, bj, cj = jnp.asarray(a), jnp.asarray(b), jnp.asarray(c)
+
+        got = trace_closest_hit_tight(scene, rays, packet=packet)
+        want = brute_force_closest_hit(rays, aj, bj, cj)
+        tg, tw = np.asarray(got.t), np.asarray(want.t)
+        agree = (np.isfinite(tg) == np.isfinite(tw)).mean()
+        assert agree > 0.99, (rd, n_cubes, leaf, packet, builder, agree)
+        both = np.isfinite(tg) & np.isfinite(tw)
+        if both.any():
+            np.testing.assert_allclose(tg[both], tw[both], rtol=3e-3,
+                                       err_msg=str((rd, n_cubes, leaf, packet)))
+        occ = np.asarray(trace_any_hit_tight(scene, rays, packet=packet))
+        assert (occ == np.isfinite(tg)).all(), (rd, "any-hit mismatch")
+
+        if builder == "host" and rng.random() < 0.5:
+            # refit a jittered copy and re-check against brute force
+            jit_amt = rng.normal(scale=0.05, size=(a.shape[0], 1, 3)).astype(np.float32)
+            pts = np.stack([a, b, c], axis=1) + jit_amt
+            a2, b2, c2 = pts[:, 0], pts[:, 1], pts[:, 2]
+            re = make_refitter(scene)(jnp.asarray(a2), jnp.asarray(b2), jnp.asarray(c2))
+            got2 = trace_closest_hit_tight(re, rays, packet=packet)
+            want2 = brute_force_closest_hit(rays, jnp.asarray(a2), jnp.asarray(b2), jnp.asarray(c2))
+            t2g, t2w = np.asarray(got2.t), np.asarray(want2.t)
+            assert (np.isfinite(t2g) == np.isfinite(t2w)).mean() > 0.98, (rd, "refit")
+        print(f"round {rd}: cubes={n_cubes} leaf={leaf} packet={packet} "
+              f"builder={builder} agree={agree:.4f} OK")
