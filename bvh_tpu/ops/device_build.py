@@ -81,14 +81,8 @@ def _grid_layout(C: int, F: int = 16):
     sys.setrecursionlimit(max(10000, C))
     emit(L - 1, 0)
     total = len(glevel)
-    # exits: preorder DFS => subtree of t ends where the next node at <= its
-    # stack depth begins; compute by a reverse scan over subtree sizes
-    # (subtree size of level-k node idx = nodes under it, closed form per level)
-    sub = [1] * L
-    for k in range(1, L):
-        sub[k] = 0  # variable (ragged last children); compute per node below
-
-    # simpler: recompute subtree sizes recursively with memo on (level, idx)
+    # exits: preorder DFS => exit[t] = t + subtree size (memoized per
+    # (level, idx) — ragged last children make it non-uniform per level)
     from functools import lru_cache
 
     @lru_cache(maxsize=None)
