@@ -72,6 +72,14 @@ def test_fuzz_kernels_on_tpu():
         occ = np.asarray(trace_any_hit_tight(scene, rays, packet=packet))
         assert (occ == np.isfinite(tg)).all(), (rd, "any-hit mismatch")
 
+        # bounded occlusion: occluded iff closest hit strictly inside t_max
+        tm = np.where(np.isfinite(tg), tg, dist).astype(np.float32)
+        tm *= rng.choice([0.5, 1.5], size=n).astype(np.float32)
+        occ_b = np.asarray(trace_any_hit_tight(
+            scene, rays, t_max=jnp.asarray(tm), packet=packet))
+        want_b = np.isfinite(tg) & (tg < tm)
+        assert (occ_b == want_b).all(), (rd, "t_max any-hit mismatch")
+
         if builder == "host" and rng.random() < 0.5:
             # refit a jittered copy and re-check against brute force
             jit_amt = rng.normal(scale=0.05, size=(a.shape[0], 1, 3)).astype(np.float32)
