@@ -123,6 +123,10 @@ def build_lbvh(shape_min: jnp.ndarray, shape_max: jnp.ndarray) -> tuple:
     n = shape_min.shape[0]
     if n == 0:
         raise ValueError("build_lbvh requires at least one shape")
+    # subtree leaf counts ride as float32 lanes in the packed bottom-up
+    # record below — exact only up to 2^24 leaves
+    if n >= 1 << 24:
+        raise ValueError(f"build_lbvh supports < 2^24 shapes (got {n})")
     if n == 1:
         flat = FlatBvh(
             aabb_min=shape_min,

@@ -341,6 +341,13 @@ def build_tight_scene(
         if collapse:
             smem_nodes = collapse_upper(smem_nodes, collapse)
             nn = smem_nodes.shape[1]
+        if nn * 32 > 640_000 and not auto:
+            # explicit leaf_size: interpret-mode tests would pass but the
+            # kernel fails at launch on real hardware (SMEM prefetch budget)
+            raise ValueError(
+                f"leaf_size={leaf_size} puts {nn} upper nodes ({nn * 32} B) "
+                "over the ~640KB SMEM scalar-prefetch budget; use a larger "
+                "leaf_size or leaf_size=None (auto)")
         if not (auto and leaf_size < 128 and nn * 32 > 640_000):
             break
         leaf_size *= 2

@@ -706,6 +706,15 @@ def trace_closest_hit_tight(scene, rays: Ray, tris=None, interpret: bool = False
 
     ``t_max``: optional scalar or [n] per-ray upper distance bound — hits at
     t >= t_max are misses, and the bound prunes traversal from the start.
+
+    Tolerance class: the kernel's packed min-reduce steals the low
+    log2(width) mantissa bits of t for the winning lane, so the raw t (and
+    the pruning/occlusion comparison against ``t_max``) can sit up to
+    width-1 ulps below the true hit distance (~15 ulps at the default
+    width=16; width 64/128 scenes widen it accordingly). Hits within that
+    band of ``t_max`` may flip. Passing ``tris`` recomputes the winner's
+    exact t. See also the grazing-edge / face-plane caveats in the module
+    header.
     """
     r = rays.origin.shape[0]
     if r == 0:
@@ -776,7 +785,10 @@ def trace_any_hit_tight(scene, rays: Ray, t_max=None, interpret: bool = False,
     cost is reaching the first leaf, identical in both modes).
 
     ``t_max``: scalar or [n] per-ray bound; pass the distance to the light
-    for shadow rays. None means any hit at all occludes.
+    for shadow rays. None means any hit at all occludes. The packed best-t
+    carries a width-1-ulp truncation (see ``trace_closest_hit_tight``), so
+    an occluder within ~width ulps of ``t_max`` may count as inside the
+    bound.
     """
     r = rays.origin.shape[0]
     if r == 0:
@@ -877,6 +889,10 @@ def compute_seed_hints(scene, rays: Ray, packet: int = 2048,
     r = rays.origin.shape[0]
     if r == 0 or r < sample_stride:
         return None
+    # the sample->packet mapping below reshapes by packet // sample_stride;
+    # a stride that does not divide the packet would silently assign hints
+    # to the wrong packets (correct results, zero seeding benefit)
+    assert packet % sample_stride == 0, (packet, sample_stride)
 
     sample = Ray(
         rays.origin[::sample_stride],

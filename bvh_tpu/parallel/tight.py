@@ -60,24 +60,31 @@ def sharded_trace_closest_hit(mesh, scene, rays: Ray, tris=None,
         tm = padded(jnp.broadcast_to(
             jnp.asarray(t_max, jnp.float32).reshape(-1), (r,)), jnp.inf)
 
-    # scene tables ride as explicit replicated operands (a closure capture
-    # can get auto-sharded along the mesh when its length divides the axis)
+    # scene tables AND triangle arrays ride as explicit replicated operands
+    # (a closure capture can get auto-sharded along the mesh when its length
+    # divides the axis — the triangle count often does)
     sn = jnp.asarray(scene.smem_nodes)
     gr = jnp.asarray(scene.groups)
     tmap = jnp.asarray(scene.tri_map)
+    tri_args = tuple(jnp.asarray(x) for x in tris) if tris is not None else ()
+    k = 3 + len(tri_args)
 
-    def body(sn_l, gr_l, tmap_l, o_l, d_l, inv_l, *tm_l):
+    def body(*a):
+        sn_l, gr_l, tmap_l = a[:3]
+        tris_l = a[3:k] if tri_args else None
+        o_l, d_l, inv_l = a[k:k + 3]
+        tm_l = a[k + 3:]
         local_scene = scene._replace(smem_nodes=sn_l, groups=gr_l, tri_map=tmap_l)
         local = Ray(o_l, d_l, inv_l)
         hit = trace_closest_hit_tight(
-            local_scene, local, tris=tris, packet=packet, interpret=interpret,
+            local_scene, local, tris=tris_l, packet=packet, interpret=interpret,
             t_max=tm_l[0] if tm_l else None)
         return hit.t, hit.u, hit.v, hit.shape_id
 
-    args = (sn, gr, tmap, o, d, inv) + ((tm,) if tm is not None else ())
+    args = (sn, gr, tmap) + tri_args + (o, d, inv) + ((tm,) if tm is not None else ())
     inner = jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(), P(), P()) + tuple(P("rays") for _ in args[3:]),
+        in_specs=(P(),) * k + tuple(P("rays") for _ in args[k:]),
         out_specs=(P("rays"), P("rays"), P("rays"), P("rays")),
         check_vma=False,
     )

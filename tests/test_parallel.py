@@ -148,3 +148,27 @@ def test_sharded_tight_trace_matches_single(setup):
     occ = sharded_trace_any_hit(mesh, scene, rays, t_max=tm, packet=128, interpret=True)
     wt = np.asarray(want.t)
     assert (np.asarray(occ) == (np.isfinite(wt) & (wt < 1500.0))).all()
+
+
+def test_sharded_tight_trace_with_tris(setup):
+    """tris (exact u/v/t recompute) must ride as replicated operands: 384
+    triangles divide the 8-way rays axis, the exact auto-shard hazard."""
+    from bvh_tpu.ops.cluster import build_tight_scene
+    from bvh_tpu.ops.trace import trace_closest_hit_tight
+    from bvh_tpu.parallel import sharded_trace_closest_hit
+
+    a, b, c, rays = setup
+    assert a.shape[0] % 8 == 0  # the hazard precondition this test pins
+    scene = build_tight_scene(a, b, c, use_native=False)
+    mesh = make_mesh(8)
+    tris = (jnp.asarray(a), jnp.asarray(b), jnp.asarray(c))
+    got = sharded_trace_closest_hit(mesh, scene, rays, tris=tris,
+                                    packet=128, interpret=True)
+    want = trace_closest_hit_tight(scene, rays, tris=tris,
+                                   packet=128, interpret=True)
+    # t and shape_id are exact; the u/v Moller-Trumbore recompute picks up
+    # ~1e-5 of XLA fusion noise between the sharded and unsharded compiles
+    np.testing.assert_array_equal(np.asarray(got.t), np.asarray(want.t))
+    assert (np.asarray(got.shape_id) == np.asarray(want.shape_id)).all()
+    np.testing.assert_allclose(np.asarray(got.u), np.asarray(want.u), atol=1e-4)
+    np.testing.assert_allclose(np.asarray(got.v), np.asarray(want.v), atol=1e-4)
