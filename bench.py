@@ -183,14 +183,116 @@ def main():
 
     tre = make_refitter(scene)
     a2j, b2j, c2j = jnp.asarray(a2), jnp.asarray(b2), jnp.asarray(c2)
-    sn, gr = tre.core(a2j, b2j, c2j)
-    _ = float(jnp.sum(sn[0]))
+    out_t = tre.core(a2j, b2j, c2j)
+    _ = float(jnp.sum(out_t[0][0]))
     best_tr = float("inf")
     for _ in range(max(iters - 2, 1)):
         t0 = time.perf_counter()
-        sn, gr = tre.core(a2j, b2j, c2j)
-        _ = float(jnp.sum(sn[0]))
+        out_t = tre.core(a2j, b2j, c2j)
+        _ = float(jnp.sum(out_t[0][0]))
         best_tr = min(best_tr, time.perf_counter() - t0)
+
+    # Refit QUALITY (not just speed): the reference's README publishes the
+    # traversal cost after update_shapes vs a rebuild at 1/10/50% churn
+    # (README.md:192-247). Trace the headline ray workload through (a) the
+    # device-refitted TightScene, (b) a host rebuild on the moved vertices;
+    # report rays/s per cell. Scene shape-bucketing keeps (a) and (b) on the
+    # already-compiled kernel.
+    refit_quality = {}
+    if os.environ.get("BENCH_REFIT_QUALITY", "1") == "1":
+        from bvh_tpu.ops.device_build import make_refitter as _mk_refit
+
+        refitter = _mk_refit(scene)
+        for frac, label in ((0.01, "1pct"), (0.1, "10pct"), (0.5, "50pct")):
+            am, bm, cm, _ = tb.randomly_transform_scene(
+                a, b, c, amount=int(len(a) * frac), seed=13)
+            amj, bmj, cmj = jnp.asarray(am), jnp.asarray(bm), jnp.asarray(cm)
+            cells = {
+                "refit": refitter(amj, bmj, cmj),
+                "host_rebuild": build_tight_scene(am, bm, cm),
+            }
+            for name, sc in cells.items():
+                def run_q(sc=sc):
+                    perm, inv = sort_rays_device(o_dev, d_dev, bits=4)
+                    rr = Ray.create(o_dev[perm], d_dev[perm])
+                    out_q = trace_closest_hit_tight(sc, rr, packet=packet)
+                    tq = out_q.t[inv]
+                    return float(jnp.sum(jnp.where(jnp.isfinite(tq), tq, 0.0)))
+
+                run_q()
+                best_q = float("inf")
+                for _ in range(max(iters - 3, 1)):
+                    t0 = time.perf_counter()
+                    run_q()
+                    best_q = min(best_q, time.perf_counter() - t0)
+                refit_quality[f"{label}_{name}_rays_per_s"] = round(n_rays / best_q)
+
+    # Roofline accounting for the headline kernel: visit/fire counts from the
+    # instrumented kernel (one un-timed pass) + the measured best time give
+    # ns/visit, the serial-latency cost model, and MXU utilization — the
+    # speed-of-light comparison the north star asks for. The kernel is
+    # latency-bound: its working set lives in SMEM/VMEM, so HBM bandwidth is
+    # not the limiter; the limiter is the serial broadphase visit chain.
+    roofline = None
+    if os.environ.get("BENCH_ROOFLINE", "1") == "1":
+        from bvh_tpu.ops.trace import count_visits_tight
+
+        perm, _inv = sort_rays_device(o_dev, d_dev, bits=4)
+        rays_s = Ray.create(o_dev[perm], d_dev[perm])
+        visits, fires = count_visits_tight(scene, rays_s, packet=packet)
+        n_packets = int(visits.shape[0])
+        v_tot, f_tot = int(visits.sum()), int(fires.sum())
+        W = int(scene.width)
+        # narrowphase MXU flops per fire: [16, 4W] x [16, packet] matmul
+        mxu_flops = f_tot * 2 * 16 * 4 * W * packet
+        # VPU slab flops per visit: 12 fma + 10 min/max on [packet] lanes
+        vpu_flops = v_tot * 22 * packet
+        peak_mxu = 197e12  # bf16 v5e; f32 ~ 1/4 of this
+        roofline = {
+            "visits_total": v_tot,
+            "fires_total": f_tot,
+            "visits_per_packet": round(v_tot / n_packets, 1),
+            "ns_per_visit": round(best * 1e9 / v_tot, 2),
+            "narrow_mxu_flops": mxu_flops,
+            "broad_vpu_flops": vpu_flops,
+            "mxu_util_pct": round(100.0 * mxu_flops / (best * peak_mxu), 3),
+            "bound": "serial visit latency (SMEM/VMEM resident; not HBM-bound)",
+        }
+
+    # Fused wavefront path tracing (render.py): primary + NEE shadow +
+    # bounce waves in ONE jitted program — the multi-bounce headline config.
+    pathtrace_rays_per_s = None
+    if os.environ.get("BENCH_PATHTRACE", "1") == "1":
+        from bvh_tpu.render import make_pathtracer
+
+        bounces = 2
+        side = 1024
+        ad_p, bd_p, cd_p = tb.create_dense_mesh()
+        scene_p = build_tight_scene(ad_p, bd_p, cd_p, leaf_size=128)
+        from bvh_tpu.diff.camera import camera_rays as _cam
+
+        camp = _cam(np.array([0.0, 60.0, -120.0], np.float32),
+                    np.array([0.0, 0.0, 0.0]), np.array([0.0, 1.0, 0.0]),
+                    55.0, side, side)
+        op = np.asarray(camp.origin).reshape(side // 32, 32, side // 32, 32, 3)
+        op = op.transpose(0, 2, 1, 3, 4).reshape(-1, 3)
+        dp = np.asarray(camp.direction).reshape(side // 32, 32, side // 32, 32, 3)
+        dp = dp.transpose(0, 2, 1, 3, 4).reshape(-1, 3)
+        tracer = make_pathtracer(
+            scene_p, (jnp.asarray(ad_p), jnp.asarray(bd_p), jnp.asarray(cd_p)),
+            bounces=bounces, packet=1024,
+            light_pos=(40.0, 80.0, -40.0), light_power=20000.0)
+        opj, dpj = jnp.asarray(op), jnp.asarray(dp)
+        key = jax.random.key(0)
+        col = tracer(opj, dpj, key)
+        _ = float(jnp.sum(col))
+        best_p = float("inf")
+        for _ in range(max(iters - 2, 1)):
+            t0 = time.perf_counter()
+            col = tracer(opj, dpj, key)
+            _ = float(jnp.sum(col))
+            best_p = min(best_p, time.perf_counter() - t0)
+        pathtrace_rays_per_s = side * side * 2 * (bounces + 1) / best_p
 
     # Sponza-class workload: camera render of the ~260k-triangle dense mesh
     # (the reference's Sponza bench is 1,381 ns/ray = 0.72 M rays/s per core;

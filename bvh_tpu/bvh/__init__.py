@@ -12,6 +12,7 @@ from .traverse import (
     brute_force_closest_hit,
     brute_force_collect,
     closest_hit_triangles,
+    nearest_to,
     nearest_to_triangles,
     traverse,
 )
@@ -32,6 +33,7 @@ __all__ = [
     "HitRecord",
     "closest_hit_triangles",
     "any_hit_triangles",
+    "nearest_to",
     "nearest_to_triangles",
     "brute_force_closest_hit",
     "brute_force_collect",

@@ -77,8 +77,8 @@ class FlatBvh(NamedTuple):
         return FlatBvh(*(np.asarray(x) for x in self))
 
     @staticmethod
-    def empty(d: int = 3) -> "FlatBvh":
-        z = np.zeros((0, d), np.float32)
+    def empty(d: int = 3, dtype=np.float32) -> "FlatBvh":
+        z = np.zeros((0, d), dtype)
         zi = np.zeros((0,), np.int32)
         return FlatBvh(z, z, zi, zi, zi, zi)
 

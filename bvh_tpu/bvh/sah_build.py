@@ -36,13 +36,10 @@ import numpy as np
 from ..config import DEFAULT_CONFIG, BvhConfig
 from .flat import LEAF, FlatBvh
 
-_F32_EPS = np.float32(np.finfo(np.float32).eps)
-
-
 def _surface_area(mn: np.ndarray, mx: np.ndarray) -> np.ndarray:
     """Reference SAH area proxy: 2 * size.dot(size) (src/aabb/aabb_impl.rs:551-554)."""
     s = mx - mn
-    return np.float32(2.0) * np.sum(s * s, axis=-1, dtype=np.float32)
+    return mn.dtype.type(2.0) * np.sum(s * s, axis=-1, dtype=mn.dtype)
 
 
 def build_sah(
@@ -53,7 +50,10 @@ def build_sah(
     """Builds a SAH BVH over shapes given by their AABBs.
 
     Args:
-      shape_min, shape_max: [n, D] float32 per-shape AABB corners.
+      shape_min, shape_max: [n, D] per-shape AABB corners, float32 or
+        float64, any D (the reference is generic over T: BHValue f32/f64 and
+        const D, src/bounding_hierarchy.rs:18-46) — the tree is built in the
+        input dtype with the matching epsilon.
       config: tunables (bucket count etc.).
 
     Returns:
@@ -61,15 +61,18 @@ def build_sah(
       2n-1 nodes in DFS layout, and an [n] int32 array mapping each shape to
       its leaf node index (the ``set_bh_node_index`` backlink).
     """
-    shape_min = np.asarray(shape_min, np.float32)
-    shape_max = np.asarray(shape_max, np.float32)
+    shape_min = np.asarray(shape_min)
+    dtype = np.float64 if shape_min.dtype == np.float64 else np.float32
+    shape_min = shape_min.astype(dtype, copy=False)
+    shape_max = np.asarray(shape_max, dtype)
+    eps = np.finfo(dtype).eps  # reference: T::epsilon() (bvh_node.rs:114)
     n, d = shape_min.shape
     if n == 0:
-        return FlatBvh.empty(d), np.zeros((0,), np.int32)
+        return FlatBvh.empty(d, dtype), np.zeros((0,), np.int32)
 
     nb = config.num_buckets
-    bucket_scale = np.float32(nb) - np.float32(config.bucket_scale_margin)
-    centroid = shape_min * np.float32(0.5) + shape_max * np.float32(0.5)
+    bucket_scale = dtype(nb) - dtype(config.bucket_scale_margin)
+    centroid = shape_min * dtype(0.5) + shape_max * dtype(0.5)
 
     total = 2 * n - 1
     # Per-node records, indexed by BFS creation id; renumbered to DFS at the end.
@@ -77,8 +80,8 @@ def build_sah(
     node_left = np.full(total, -1, np.int64)  # BFS id of left child
     node_right = np.full(total, -1, np.int64)
     node_shape = np.full(total, -1, np.int64)
-    node_amin = np.zeros((total, d), np.float32)
-    node_amax = np.zeros((total, d), np.float32)
+    node_amin = np.zeros((total, d), dtype)
+    node_amax = np.zeros((total, d), dtype)
     node_nshapes = np.zeros(total, np.int64)  # leaves under this node
     levels: list[np.ndarray] = []  # BFS ids created at each depth
 
@@ -127,11 +130,11 @@ def build_sah(
 
         axis = np.argmax(s_cmax - s_cmin, axis=-1)  # largest centroid axis
         axis_size = (s_cmax - s_cmin)[np.arange(m), axis]
-        degen = axis_size < _F32_EPS
+        degen = axis_size < eps
 
         # Bucket assignment. Degenerate segments median-split by position.
         c_axis = centroid[elem_shape, axis[elem_seg]]
-        safe_size = np.where(axis_size == 0.0, np.float32(1.0), axis_size)
+        safe_size = np.where(axis_size == 0.0, dtype(1.0), axis_size)
         rel = (c_axis - s_cmin[elem_seg, axis[elem_seg]]) / safe_size[elem_seg]
         bucket = (rel * bucket_scale).astype(np.int64)
         pos_in_seg = elem_pos - s_start[elem_seg]
@@ -142,10 +145,10 @@ def build_sah(
         key = elem_seg * nb + bucket
         cnt = np.zeros(m * nb, np.int64)
         np.add.at(cnt, key, 1)
-        bamin = np.full((m * nb, d), np.inf, np.float32)
-        bamax = np.full((m * nb, d), -np.inf, np.float32)
-        bcmin = np.full((m * nb, d), np.inf, np.float32)
-        bcmax = np.full((m * nb, d), -np.inf, np.float32)
+        bamin = np.full((m * nb, d), np.inf, dtype)
+        bamax = np.full((m * nb, d), -np.inf, dtype)
+        bcmin = np.full((m * nb, d), np.inf, dtype)
+        bcmax = np.full((m * nb, d), -np.inf, dtype)
         np.minimum.at(bamin, key, shape_min[elem_shape])
         np.maximum.at(bamax, key, shape_max[elem_shape])
         np.minimum.at(bcmin, key, centroid[elem_shape])
@@ -170,8 +173,8 @@ def build_sah(
 
         with np.errstate(invalid="ignore"):
             cost = (
-                l_cnt.astype(np.float32) * _surface_area(l_amin, l_amax)
-                + r_cnt.astype(np.float32) * _surface_area(r_amin, r_amax)
+                l_cnt.astype(dtype) * _surface_area(l_amin, l_amax)
+                + r_cnt.astype(dtype) * _surface_area(r_amin, r_amax)
             ) / _surface_area(s_amin, s_amax)[:, None]
         # A plane with an empty side costs 0*inf = NaN in the reference too and
         # is never selected (NaN < min is false); make that explicit for argmin.

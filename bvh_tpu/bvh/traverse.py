@@ -200,22 +200,21 @@ def any_hit_triangles(
     return found
 
 
-@jax.jit
-def nearest_to_triangles(
-    flat: FlatBvh,
-    points: jnp.ndarray,
-    tri_a: jnp.ndarray,
-    tri_b: jnp.ndarray,
-    tri_c: jnp.ndarray,
-):
-    """Nearest triangle to each point: pruned traversal using node
-    min_distance_squared, exact point-triangle distance at leaves.
+@partial(jax.jit, static_argnames=("distance_squared_fn",))
+def nearest_to(flat: FlatBvh, points: jnp.ndarray, distance_squared_fn):
+    """Shape-generic nearest-neighbor point query (reference ``nearest_to``).
 
-    Returns ``(shape_id [R] i32, distance [R])`` — the reference
-    ``nearest_to`` contract (``src/bvh/bvh_impl.rs:221-238``: returns sqrt).
+    ``distance_squared_fn(points [..., D], shape_id [...] i32) -> [...]``
+    is the user's exact squared shape distance — the batched analog of the
+    reference's ``PointDistance`` trait (``src/point_query.rs:7-10``); the
+    traversal prunes subtrees by node-box ``min_distance_squared`` exactly
+    like ``src/bvh/bvh_node.rs:327-374`` and calls the hook only at leaves
+    (lanes whose pruning failed get a masked call with a clamped id — the
+    hook must be total, not side-effecting).
+
+    Returns ``(shape_id [...] i32, distance [...])`` with distance = sqrt of
+    the best squared distance (``src/bvh/bvh_impl.rs:221-238``).
     """
-    from ..tri import point_triangle_distance_squared
-
     n = flat.num_nodes
     r = points.shape[:-1]
     best_d0 = jnp.full(r, jnp.inf, points.dtype)
@@ -238,7 +237,7 @@ def nearest_to_triangles(
         useful = node_d2 < best_d2
         is_leaf = entry < 0
         si = jnp.maximum(shape, 0)
-        d2 = point_triangle_distance_squared(points, tri_a[si], tri_b[si], tri_c[si])
+        d2 = distance_squared_fn(points, si)
         closer = active & is_leaf & useful & (d2 < best_d2)
         best_d2 = jnp.where(closer, d2, best_d2)
         best_id = jnp.where(closer, shape, best_id)
@@ -248,6 +247,26 @@ def nearest_to_triangles(
 
     _, best_d2, best_id = jax.lax.while_loop(cond, body, (cursor0, best_d0, id0))
     return best_id, jnp.sqrt(best_d2)
+
+
+@jax.jit
+def nearest_to_triangles(
+    flat: FlatBvh,
+    points: jnp.ndarray,
+    tri_a: jnp.ndarray,
+    tri_b: jnp.ndarray,
+    tri_c: jnp.ndarray,
+):
+    """Nearest triangle to each point — ``nearest_to`` with the built-in
+    exact point-triangle distance (the reference's testbase ``Triangle``
+    PointDistance impl, ``src/testbase.rs:314-443``).
+    """
+    from ..tri import point_triangle_distance_squared
+
+    def tri_d2(pts, si):
+        return point_triangle_distance_squared(pts, tri_a[si], tri_b[si], tri_c[si])
+
+    return nearest_to(flat, points, tri_d2)
 
 
 # ---------------------------------------------------------------------------

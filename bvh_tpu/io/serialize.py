@@ -69,13 +69,16 @@ def load_cluster_scene(path: str) -> ClusterScene:
         )
 
 
-_TIGHT_VERSION = 1
+_TIGHT_VERSION = 2  # v2 adds the optional precomputed bilinear forms
 
 
 def save_tight_scene(path: str, scene) -> None:
     """Persists a ``TightScene`` (one compressed npz)."""
     from ..ops.cluster import TightScene
 
+    extra = {}
+    if getattr(scene, "bgroups", None) is not None:
+        extra["bgroups"] = np.asarray(scene.bgroups)
     np.savez_compressed(
         path,
         __tight_version__=np.int64(_TIGHT_VERSION),
@@ -85,6 +88,7 @@ def save_tight_scene(path: str, scene) -> None:
         num_clusters=np.int64(scene.num_clusters),
         num_nodes=np.int64(scene.num_nodes),
         width=np.int64(scene.width),
+        **extra,
     )
 
 
@@ -102,4 +106,5 @@ def load_tight_scene(path: str):
             num_clusters=int(z["num_clusters"]),
             num_nodes=int(z["num_nodes"]),
             width=int(z["width"]),
+            bgroups=z["bgroups"] if "bgroups" in z.files else None,
         )

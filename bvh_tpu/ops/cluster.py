@@ -130,6 +130,49 @@ def build_cluster_scene(
     return ClusterScene(smem_nodes, smem_cc, tris_rel, tri_map, C, nc, relative)
 
 
+def bilinear_blocks(av, e1, e2, xp=np):
+    """Per-triangle Moller-Trumbore bilinear forms: [n, 4, 16] (block, row).
+
+    Blocks are (det, u, v, t) rows such that ``block . lp`` with the kernel's
+    per-ray vector lp = [d, m - c x d, o - c, 1, 0...] yields det, u*det,
+    v*det, t*det (see ops/trace.py narrowphase). Everything here depends only
+    on the triangle (cluster-relative a' and edges), so the whole matrix is
+    precomputable at scene build — in float64 on host — instead of being
+    re-derived inside the kernel at every leaf visit.
+    """
+    p = xp.cross(e2, e1)
+    q = xp.cross(e2, av)
+    r = xp.cross(e1, av)
+    nrm = xp.cross(e1, e2)
+    an = (av * nrm).sum(axis=1)[..., None]
+    z3 = xp.zeros_like(p)
+    z1 = xp.zeros_like(an)
+    z7 = xp.concatenate([z3, z3, z1], axis=1)
+    det = xp.concatenate([p, z3, z7, z3], axis=1)
+    u = xp.concatenate([-q, e2, z7, z3], axis=1)
+    v = xp.concatenate([r, -e1, z7, z3], axis=1)
+    t = xp.concatenate([z3, z3, nrm, -an, z3, z3], axis=1)
+    return xp.stack([det, u, v, t], axis=1)  # [n, 4, 16]
+
+
+def pack_bgroups(blocks, C: int, W: int, xp=np):
+    """Packs [C*W, 4, 16] bilinear blocks into kernel rows [Gb, 16, row_w].
+
+    Per cluster the matrix is [16 rows, 4W cols], column = block*W + tri;
+    clusters pack ``128 // (4W)`` per 128-lane row (2 at W=16, else 1 row or
+    a 4W-lane row per cluster).
+    """
+    b = blocks.reshape(C, W, 4, 16).transpose(0, 2, 1, 3).reshape(C, 4 * W, 16)
+    per_row = max(128 // (4 * W), 1)
+    row_w = 4 * W * per_row
+    Gb = -(-C // per_row)
+    pad = Gb * per_row - C
+    if pad:
+        b = xp.concatenate([b, xp.zeros((pad, 4 * W, 16), b.dtype)], axis=0)
+    return (b.reshape(Gb, per_row, 4 * W, 16).transpose(0, 3, 1, 2)
+            .reshape(Gb, 16, row_w))
+
+
 class TightScene(NamedTuple):
     """Device tables for the tight-cluster trace kernel (``ops/trace.py``).
 
@@ -150,6 +193,7 @@ class TightScene(NamedTuple):
     num_clusters: int
     num_nodes: int
     width: int = TIGHT  # triangles per cluster (16 or 32)
+    bgroups: np.ndarray | None = None  # [Gb, 16, row_w] precomputed bilinear forms (see pack_bgroups)
 
     @property
     def num_tris(self) -> int:
@@ -272,9 +316,33 @@ def collapse_upper(nodes: np.ndarray, K: int = 16) -> np.ndarray:
     return tab
 
 
+def _pad_node_table(smem_nodes: np.ndarray, bucket: int = 2048) -> np.ndarray:
+    """Pads the SMEM node table to a bucket multiple of columns.
+
+    Kernel compiles are keyed on operand shapes, and the remote Mosaic
+    compile takes 10s-3min — so a per-frame rebuild that shifts the node
+    count by a handful would otherwise recompile the trace kernel every
+    frame. Pad columns are a single extra visit: the traversal reaches
+    column ``nn`` (the first pad) via the real tree's final exit pointer,
+    and the pad's entry==exit==table-width ends the walk whatever its slab
+    test says (entry > 0 also keeps it off every leaf path).
+    """
+    nn = smem_nodes.shape[1]
+    B = -(-nn // bucket) * bucket
+    if B == nn:
+        return smem_nodes
+    pad = np.zeros((8, B - nn), np.float32)
+    pad[0:3] = 1.0e30  # point box far away (never a useful hit)
+    pad[3:6] = 1.0e30
+    pad[6] = float(B)  # entry: not a leaf, walks off the end
+    pad[7] = float(B)
+    return np.concatenate([smem_nodes, pad], axis=1)
+
+
 def build_tight_scene(
     a: np.ndarray, b: np.ndarray, c: np.ndarray, leaf_size: int | None = None,
     config=None, use_native: bool = True, collapse: int | None = 16,
+    bmat: bool | None = None,
 ) -> TightScene:
     """Host prep for the tight-cluster kernel: SAH build, cut, pack, upper BVH.
 
@@ -288,6 +356,11 @@ def build_tight_scene(
     ``collapse``: upper-tree arity (see ``collapse_upper``); None keeps the
     binary tree. The default 16 measured fastest across the reference
     workloads (random headline +38%, aimed +28%).
+
+    ``bmat``: precompute the narrowphase bilinear forms (``bilinear_blocks``)
+    at build time so every leaf visit skips the in-kernel matrix
+    construction (256 B/triangle of VMEM). Measured SLOWER on TPU v5e
+    (latency-bound fetch) — opt-in only; default (None) stays off.
     """
     from ..config import DEFAULT_CONFIG
     from ..native import build_sah_auto
@@ -352,6 +425,12 @@ def build_tight_scene(
             break
         leaf_size *= 2
 
+    # shape-bucket the node table so same-class rebuilds reuse the compiled
+    # trace kernel (see _pad_node_table); ~12.5% max overhead, one extra visit
+    nb = int(smem_nodes.shape[1])
+    smem_nodes = _pad_node_table(
+        smem_nodes, bucket=max(256, 1 << max(nb.bit_length() - 3, 0)))
+
     W = leaf_size
     group = 128 // W
     shape_ids = np.asarray(flat.shape)[leaves]  # tri id per tree leaf, DFS order
@@ -365,7 +444,10 @@ def build_tight_scene(
     tri_map[lane] = shape_ids.astype(np.int32)
 
     # Triangle rows, cluster-relative, packed 128//W clusters per lane row.
+    # G is bucketed like the node table (group-row shape stability).
     G = (C + group - 1) // group
+    gb = max(16, 1 << max(int(G).bit_length() - 3, 0))
+    G = -(-G // gb) * gb
     av = np.zeros((C * W, 3), np.float32)
     e1 = np.zeros((C * W, 3), np.float32)
     e2 = np.zeros((C * W, 3), np.float32)
@@ -381,4 +463,89 @@ def build_tight_scene(
 
     tri_map_pad = np.full(G * group * W, -1, np.int32)
     tri_map_pad[: C * W] = tri_map
-    return TightScene(smem_nodes, groups, tri_map_pad, C, nn, W)
+
+    if bmat is None:
+        # measured on TPU v5e: the precomputed-form path is ~2x SLOWER than
+        # in-kernel construction (random 2.77 -> 1.51 M rays/s) — the leaf
+        # visit is latency-bound on the dynamic VMEM fetch, not on the
+        # matrix-build ops. Kept as an opt-in while the fetch cost is
+        # investigated; do not auto-enable.
+        bmat = False
+    bgroups = None
+    if bmat:
+        blocks = bilinear_blocks(
+            av.astype(np.float64), e1.astype(np.float64), e2.astype(np.float64)
+        ).astype(np.float32)
+        # pad clusters to the group multiple so the refitter's device
+        # recompute (over all padded lanes) reproduces the same shape
+        C_pad = G * group
+        if C_pad > C:
+            blocks = np.concatenate(
+                [blocks, np.zeros(((C_pad - C) * W, 4, 16), np.float32)], axis=0)
+        bgroups = pack_bgroups(blocks, C_pad, W)
+    return TightScene(smem_nodes, groups, tri_map_pad, C, nn, W, bgroups)
+
+
+class ChainedScene(NamedTuple):
+    """A big scene as Morton-ordered parts, each a full TightScene.
+
+    The SMEM scalar-prefetch budget caps one TightScene's upper tree at
+    ~640KB (~20k nodes => ~320k tris at W=16 with collapse); beyond that the
+    round-1 answer was auto-widening leaves, which collapses sparse-scene
+    throughput (1M tris = 0.09 M rays/s at W=128). Instead: partition the
+    Morton-sorted triangles into contiguous parts (spatially compact by
+    construction), build a first-class TightScene per part, and trace parts
+    sequentially with the per-ray best-t carried as the next part's t_max —
+    the kernel's bounded mode prunes every later part by the best hit so
+    far (``ops/trace.py::trace_closest_hit_chained``). Parts are padded to
+    the same table buckets, so ONE compiled kernel serves them all.
+    """
+
+    parts: tuple  # TightScene per part
+    orig_ids: tuple  # [i] int32: part-local triangle id -> global triangle id
+
+
+def build_chained_scene(a, b, c, max_part: int = 260_000,
+                        leaf_size: int | None = None, config=None,
+                        use_native: bool = True, collapse: int | None = 16,
+                        bmat: bool | None = None) -> ChainedScene:
+    """Partition + per-part SAH build for scenes beyond one SMEM table.
+
+    Parts are equal-size slices of the Morton order (balanced => identical
+    padded shapes => one kernel compile). ``max_part`` bounds triangles per
+    part so W=16 leaves and the collapse still fit the SMEM budget.
+    """
+    a = np.asarray(a, np.float32)
+    b = np.asarray(b, np.float32)
+    c = np.asarray(c, np.float32)
+    n = a.shape[0]
+    if n == 0:
+        raise ValueError("empty scene")
+    k = -(-n // max_part)
+    if k == 1:
+        scene = build_tight_scene(a, b, c, leaf_size=leaf_size, config=config,
+                                  use_native=use_native, collapse=collapse,
+                                  bmat=bmat)
+        return ChainedScene((scene,), (np.arange(n, dtype=np.int32),))
+
+    centroid = (a + b + c) / np.float32(3.0)
+    lo = centroid.min(axis=0)
+    hi = centroid.max(axis=0)
+    q = (centroid - lo) / np.maximum(hi - lo, 1e-30)
+    grid = np.clip((q * 1024.0).astype(np.int64), 0, 1023).astype(np.uint32)
+    codes = (
+        (_morton10(grid[:, 0]).astype(np.uint64) << np.uint64(2))
+        | (_morton10(grid[:, 1]).astype(np.uint64) << np.uint64(1))
+        | _morton10(grid[:, 2]).astype(np.uint64)
+    )
+    order = np.argsort(codes, kind="stable")
+    bounds = np.linspace(0, n, k + 1).astype(np.int64)
+    parts, ids = [], []
+    for i in range(k):
+        sel = order[bounds[i]:bounds[i + 1]].astype(np.int32)
+        parts.append(build_tight_scene(a[sel], b[sel], c[sel],
+                                       leaf_size=leaf_size, config=config,
+                                       use_native=use_native,
+                                       collapse=collapse, bmat=bmat))
+        ids.append(sel)
+    return ChainedScene(tuple(parts), tuple(ids))

@@ -28,7 +28,7 @@ import jax.numpy as jnp
 import numpy as np
 
 from ..bvh.lbvh import build_lbvh, morton_codes
-from .cluster import TIGHT, TightScene
+from .cluster import TIGHT, TightScene, bilinear_blocks, pack_bgroups
 
 _INF = jnp.float32(jnp.inf)
 
@@ -143,10 +143,10 @@ def _grid_upper(cl_min: jnp.ndarray, cl_max: jnp.ndarray, fanout: int = 16):
     ], axis=0)
 
 
-@partial(jax.jit, static_argnames=("width", "upper"))
+@partial(jax.jit, static_argnames=("width", "upper", "bmat"))
 def _build_core(a: jnp.ndarray, b: jnp.ndarray, c: jnp.ndarray, width: int = TIGHT,
-                upper: str = "grid"):
-    """Jittable core: returns (smem_nodes, groups, tri_map) device arrays."""
+                upper: str = "grid", bmat: bool = False):
+    """Jittable core: returns (smem_nodes, groups, tri_map[, bgroups])."""
     n = a.shape[0]
     W = width
     group = 128 // W
@@ -208,11 +208,21 @@ def _build_core(a: jnp.ndarray, b: jnp.ndarray, c: jnp.ndarray, width: int = TIG
 
     tri_map = jnp.full((G * group * W,), -1, jnp.int32)
     tri_map = tri_map.at[:n_pad].set(order_p)
-    return smem_nodes, groups, tri_map
+    if not bmat:
+        return smem_nodes, groups, tri_map
+    C_pad = G * group
+    pad_l = C_pad * W - n_pad
+    if pad_l:
+        z = jnp.zeros((pad_l, 3), jnp.float32)
+        av, e1, e2 = (jnp.concatenate([x, z], axis=0) for x in (av, e1, e2))
+    blocks = bilinear_blocks(av, e1, e2, jnp)
+    bgroups = pack_bgroups(blocks, C_pad, W, jnp)
+    return smem_nodes, groups, tri_map, bgroups
 
 
 def build_tight_scene_device(a, b, c, width: int = TIGHT,
-                             upper: str = "grid") -> TightScene:
+                             upper: str = "grid",
+                             bmat: bool | None = None) -> TightScene:
     """On-device TightScene build (Morton clusters + fixed-fanout upper tree).
 
     Arrays stay on device; the returned scene plugs straight into
@@ -229,13 +239,17 @@ def build_tight_scene_device(a, b, c, width: int = TIGHT,
         raise ValueError("empty scene")
     if width not in (16, 32, 64, 128):
         raise ValueError("width must be 16/32/64/128 (VPU lane packing)")
-    smem_nodes, groups, tri_map = _build_core(a, b, c, width, upper)
+    if bmat is None:
+        bmat = False  # measured slower on TPU v5e (see cluster.py note)
+    out = _build_core(a, b, c, width, upper, bmat)
+    smem_nodes, groups, tri_map = out[:3]
+    bgroups = out[3] if bmat else None
     C = -(-n // width)
     if upper == "grid":
         nn = int(_grid_layout(C)[0].shape[0])
     else:
         nn = 2 * C - 1 if C > 1 else 1
-    return TightScene(smem_nodes, groups, tri_map, C, nn, width)
+    return TightScene(smem_nodes, groups, tri_map, C, nn, width, bgroups)
 
 
 def make_refitter(scene: TightScene):
@@ -257,7 +271,8 @@ def make_refitter(scene: TightScene):
     """
     entry = np.asarray(scene.smem_nodes[6])
     exit_ = np.asarray(scene.smem_nodes[7]).astype(np.int64)
-    nn = entry.shape[0]
+    nn = entry.shape[0]  # table width (may include shape-bucket pad columns)
+    nn_logical = int(scene.num_nodes)
     W = int(scene.width)
     C = int(scene.num_clusters)
     tri_map = jnp.asarray(scene.tri_map)
@@ -279,6 +294,7 @@ def make_refitter(scene: TightScene):
 
     valid_lane = np.asarray(scene.tri_map) >= 0
     safe_lane = np.maximum(np.asarray(scene.tri_map), 0)
+    has_bmat = getattr(scene, "bgroups", None) is not None
 
     leaf_cluster_j = jnp.asarray(leaf_cluster, jnp.int32)
     is_leaf_j = jnp.asarray(is_leaf)
@@ -334,14 +350,28 @@ def make_refitter(scene: TightScene):
         allx = jnp.concatenate(tabs_max, axis=0)
         tmin = jnp.minimum(allm[flat_lo_j], allm[flat_hi_j])
         tmax = jnp.maximum(allx[flat_lo_j], allx[flat_hi_j])
+        if nn > nn_logical:
+            # keep the shape-bucket pad columns bit-identical (their DFS
+            # intervals contain no leaves, so the reduction would invert them)
+            pad_col = (jnp.arange(nn) >= nn_logical)[:, None]
+            tmin = jnp.where(pad_col, jnp.asarray(scene.smem_nodes[0:3]).T, tmin)
+            tmax = jnp.where(pad_col, jnp.asarray(scene.smem_nodes[3:6]).T, tmax)
         smem_nodes = jnp.concatenate([
             tmin.T, tmax.T, entry_j[None, :], exit_j[None, :],
         ], axis=0)
-        return smem_nodes, groups
+        if not has_bmat:
+            return smem_nodes, groups
+        # keep the precomputed narrowphase forms in sync with the new
+        # vertices (same shape as the host-built bgroups: C_pad clusters)
+        blocks = bilinear_blocks(av, e1, e2, jnp)
+        bgroups = pack_bgroups(blocks, C_pad, W, jnp)
+        return smem_nodes, groups, bgroups
 
     def refit(a, b, c) -> TightScene:
-        smem_nodes, groups = refit_core(a, b, c)
-        return TightScene(smem_nodes, groups, tri_map, C, nn, W)
+        out = refit_core(a, b, c)
+        smem_nodes, groups = out[:2]
+        bgroups = out[2] if has_bmat else None
+        return TightScene(smem_nodes, groups, tri_map, C, nn_logical, W, bgroups)
 
     refit.core = refit_core  # jit-composable inner (arrays only)
     return refit

@@ -351,20 +351,40 @@ def sort_rays(origins: np.ndarray, directions: np.ndarray):
 
 def _make_tight_kernel(packet: int, precision, skip_narrow: bool = False,
                        subtile: int = 1024, width: int = 16, n_hints: int = 0,
-                       mode: str = "closest", bounded: bool = False):
+                       mode: str = "closest", bounded: bool = False,
+                       use_bmat: bool = False, count_visits: bool = False,
+                       resident: bool = False, deferred: bool = False):
     def _kernel(nodes_ref, hints_ref, groups_ref, slab_ref, lmat_ref, out_ref,
-                bestk_ref, bestc_ref, vb_ref):
-        return _tight_body(nodes_ref, hints_ref, groups_ref, slab_ref, lmat_ref,
-                           out_ref, bestk_ref, bestc_ref, vb_ref, packet,
-                           precision, skip_narrow, subtile, width, n_hints,
-                           mode, bounded)
+                bestk_ref, bestc_ref, vb_ref, cnt_ref, *rest):
+        if resident:
+            # groups arrived in ANY (HBM); copy ONCE into the persistent
+            # VMEM scratch at grid step 0 (scratch survives across steps —
+            # the pipelined per-step block fetch re-DMAs a constant-index
+            # block every packet, measured at ~1.4 ms/packet for 41MB)
+            gvmem_ref, dma_sem = rest
+
+            @pl.when(pl.program_id(0) == 0)
+            def _():
+                cp = pltpu.make_async_copy(groups_ref, gvmem_ref, dma_sem)
+                cp.start()
+                cp.wait()
+
+            groups_use = gvmem_ref
+        else:
+            groups_use = groups_ref
+        return _tight_body(nodes_ref, hints_ref, groups_use, slab_ref, lmat_ref,
+                           out_ref, bestk_ref, bestc_ref, vb_ref, cnt_ref,
+                           packet, precision, skip_narrow, subtile, width,
+                           n_hints, mode, bounded, use_bmat, count_visits,
+                           deferred)
     return _kernel
 
 
 def _tight_body(nodes_ref, hints_ref, groups_ref, slab_ref, lmat_ref, out_ref,
-                bestk_ref, bestc_ref, vb_ref, PACKET, PRECISION,
+                bestk_ref, bestc_ref, vb_ref, cnt_ref, PACKET, PRECISION,
                 SKIP_NARROW=False, SUBTILE=1024, W=16, N_HINTS=0,
-                MODE="closest", BOUNDED=False):
+                MODE="closest", BOUNDED=False, USE_BMAT=False,
+                COUNT_VISITS=False, DEFERRED=False):
     assert W in (16, 32, 64, 128)
     assert MODE in ("closest", "any")
     nn = nodes_ref.shape[1]
@@ -389,6 +409,11 @@ def _tight_body(nodes_ref, hints_ref, groups_ref, slab_ref, lmat_ref, out_ref,
     # ever compared, never multiplied, so inf is safe there; best-t stays
     # inf-initialized and the host filters t >= t_max afterwards.
     vb_ref[:, :] = slab_ref[0, 6]
+    if COUNT_VISITS:
+        # instrumentation mode (NOT for timed runs: the counter stores cost
+        # ~tens of ns/visit) — bench.py uses the counts for its roofline
+        cnt_ref[0] = 0
+        cnt_ref[1] = 0
 
     def narrowphase(node):
         ax = nodes_ref[0, node]
@@ -399,35 +424,53 @@ def _tight_body(nodes_ref, hints_ref, groups_ref, slab_ref, lmat_ref, out_ref,
         bz = nodes_ref[5, node]
         cluster_f = nodes_ref[6, node]
         c = (-cluster_f - 1.0).astype(jnp.int32)
-        g = jax.lax.shift_right_logical(c, GSHIFT)
-        sub = jax.lax.bitwise_and(c, GMASK)
-        tile = groups_ref[pl.ds(g, 1)][0]  # [16, 128]
-        shift = jax.lax.bitwise_and(128 - sub * W, 127)
-        tr = pltpu.roll(tile, shift, axis=1)  # cluster's tris at lanes 0..W-1
+        if COUNT_VISITS:
+            cnt_ref[1] = cnt_ref[1] + 1
+        if USE_BMAT:
+            # groups_ref holds the PRECOMPUTED bilinear forms (see
+            # cluster.pack_bgroups): the whole Moller-Trumbore matrix build
+            # below — ~20 serial small-tile ops on the leaf-visit critical
+            # path — collapses to one dynamic row fetch (+ a lane roll when
+            # two W=16 clusters share a 128-lane row).
+            per_row = max(128 // (4 * W), 1)
+            if per_row > 1:
+                g = jax.lax.shift_right_logical(c, 1)
+                sub = jax.lax.bitwise_and(c, 1)
+                tile = groups_ref[pl.ds(g, 1)][0]  # [16, 128]
+                shift = jax.lax.bitwise_and(128 - sub * (4 * W), 127)
+                bmat = pltpu.roll(tile, shift, axis=1)[:, 0:4 * W]
+            else:
+                bmat = groups_ref[pl.ds(c, 1)][0]  # [16, 4W]
+        else:
+            g = jax.lax.shift_right_logical(c, GSHIFT)
+            sub = jax.lax.bitwise_and(c, GMASK)
+            tile = groups_ref[pl.ds(g, 1)][0]  # [16, 128]
+            shift = jax.lax.bitwise_and(128 - sub * W, 127)
+            tr = pltpu.roll(tile, shift, axis=1)  # cluster's tris at lanes 0..W-1
 
-        a0, a1, a2 = tr[0:1, 0:W], tr[1:2, 0:W], tr[2:3, 0:W]
-        e10, e11, e12 = tr[3:4, 0:W], tr[4:5, 0:W], tr[5:6, 0:W]
-        e20, e21, e22 = tr[6:7, 0:W], tr[7:8, 0:W], tr[8:9, 0:W]
+            a0, a1, a2 = tr[0:1, 0:W], tr[1:2, 0:W], tr[2:3, 0:W]
+            e10, e11, e12 = tr[3:4, 0:W], tr[4:5, 0:W], tr[5:6, 0:W]
+            e20, e21, e22 = tr[6:7, 0:W], tr[7:8, 0:W], tr[8:9, 0:W]
 
-        p00, p01, p02 = _cross_rows(e20, e21, e22, e10, e11, e12)  # e2 x e1
-        q0, q1, q2 = _cross_rows(e20, e21, e22, a0, a1, a2)  # e2 x a'
-        r0, r1, r2 = _cross_rows(e10, e11, e12, a0, a1, a2)  # e1 x a'
-        n0, n1, n2 = _cross_rows(e10, e11, e12, e20, e21, e22)  # e1 x e2
-        an = a0 * n0 + a1 * n1 + a2 * n2
+            p00, p01, p02 = _cross_rows(e20, e21, e22, e10, e11, e12)  # e2 x e1
+            q0, q1, q2 = _cross_rows(e20, e21, e22, a0, a1, a2)  # e2 x a'
+            r0, r1, r2 = _cross_rows(e10, e11, e12, a0, a1, a2)  # e1 x a'
+            n0, n1, n2 = _cross_rows(e10, e11, e12, e20, e21, e22)  # e1 x e2
+            an = a0 * n0 + a1 * n1 + a2 * n2
 
-        z1 = jnp.zeros((1, W), jnp.float32)
+            z1 = jnp.zeros((1, W), jnp.float32)
 
-        def rows(*rs):
-            out = list(rs)
-            while len(out) < 16:
-                out.append(z1)
-            return jnp.concatenate(out, axis=0)
+            def rows(*rs):
+                out = list(rs)
+                while len(out) < 16:
+                    out.append(z1)
+                return jnp.concatenate(out, axis=0)
 
-        b_det = rows(p00, p01, p02)
-        b_u = rows(-q0, -q1, -q2, e20, e21, e22)
-        b_v = rows(r0, r1, r2, -e10, -e11, -e12)
-        b_t = rows(z1, z1, z1, z1, z1, z1, n0, n1, n2, -an)
-        bmat = jnp.concatenate([b_det, b_u, b_v, b_t], axis=1)  # [16, 4W]
+            b_det = rows(p00, p01, p02)
+            b_u = rows(-q0, -q1, -q2, e20, e21, e22)
+            b_v = rows(r0, r1, r2, -e10, -e11, -e12)
+            b_t = rows(z1, z1, z1, z1, z1, z1, n0, n1, n2, -an)
+            bmat = jnp.concatenate([b_det, b_u, b_v, b_t], axis=1)  # [16, 4W]
 
         # ray transform into the cluster frame (center of the leaf box)
         ccx = (ax + bx) * 0.5
@@ -562,7 +605,7 @@ def _tight_body(nodes_ref, hints_ref, groups_ref, slab_ref, lmat_ref, out_ref,
 
             jax.lax.fori_loop(0, N_HINTS, seed, 0)
 
-    def body(cursor):
+    def visit(cursor):
         ax = nodes_ref[0, cursor]
         ay = nodes_ref[1, cursor]
         az = nodes_ref[2, cursor]
@@ -592,15 +635,50 @@ def _tight_body(nodes_ref, hints_ref, groups_ref, slab_ref, lmat_ref, out_ref,
         useful = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < vb_ref[:, :])
         anyhit = jnp.any(useful)
         is_leaf = entry < 0.0
+        if COUNT_VISITS:
+            cnt_ref[0] = cnt_ref[0] + 1
+        return anyhit, is_leaf, entry, exit_
 
-        @pl.when(is_leaf & anyhit & (not SKIP_NARROW))
+    if DEFERRED and not SKIP_NARROW:
+        # DEFERRED narrowphase: the pl.when condition on the fresh anyhit
+        # reduce stalls the loop ~170 ns/visit (vector->scalar->branch wait).
+        # Instead the triggered leaf rides in the carry and is narrowphased
+        # at the START of the NEXT iteration — by then the trigger is a
+        # long-resolved scalar, so the branch is cheap, and the pruning
+        # bounds the narrowphase writes are read AFTER the region (same
+        # freshness as the inline form). One trailing region drains the
+        # last pending leaf.
+        def body(carry):
+            cursor, pending = carry
+
+            @pl.when(pending >= 0)
+            def _():
+                narrowphase(pending)
+
+            anyhit, is_leaf, entry, exit_ = visit(cursor)
+            trig = is_leaf & anyhit
+            pend_next = jax.lax.select(trig, cursor, jnp.int32(-1))
+            nxt = jax.lax.select(is_leaf | jnp.logical_not(anyhit), exit_, entry)
+            return nxt.astype(jnp.int32), pend_next
+
+        _, pending = jax.lax.while_loop(
+            lambda s: s[0] < nn, body, (jnp.int32(0), jnp.int32(-1)))
+
+        @pl.when(pending >= 0)
         def _():
-            narrowphase(cursor)
+            narrowphase(pending)
+    else:
+        def body(cursor):
+            anyhit, is_leaf, entry, exit_ = visit(cursor)
 
-        nxt = jax.lax.select(is_leaf | jnp.logical_not(anyhit), exit_, entry)
-        return nxt.astype(jnp.int32)
+            @pl.when(is_leaf & anyhit & (not SKIP_NARROW))
+            def _():
+                narrowphase(cursor)
 
-    jax.lax.while_loop(lambda cur: cur < nn, body, 0)
+            nxt = jax.lax.select(is_leaf | jnp.logical_not(anyhit), exit_, entry)
+            return nxt.astype(jnp.int32)
+
+        jax.lax.while_loop(lambda cur: cur < nn, body, 0)
 
     # one-time decode of the packed best keys: t (sentinel bitcasts to +inf
     # by construction) and global triangle lane id (-1 on miss)
@@ -610,24 +688,36 @@ def _tight_body(nodes_ref, hints_ref, groups_ref, slab_ref, lmat_ref, out_ref,
     hit = bk < jnp.int32(0x7F800000)
     gid = bestc_ref[:, :] * W + jax.lax.bitwise_and(bk, LMASK)
     out_ref[0, SUB:2 * SUB] = jnp.where(hit, gid, -1).astype(jnp.float32)
+    if COUNT_VISITS:
+        # overwrite the first two output rows with the packet's counters
+        out_ref[0, 0:1] = jnp.full((1, 128), cnt_ref[0].astype(jnp.float32))
+        out_ref[0, 1:2] = jnp.full((1, 128), cnt_ref[1].astype(jnp.float32))
 
 
-@partial(jax.jit, static_argnames=("num_nodes", "interpret", "packet", "precision", "skip_narrow", "width", "n_hints", "mode", "bounded"))
+@partial(jax.jit, static_argnames=("num_nodes", "interpret", "packet", "precision", "skip_narrow", "width", "n_hints", "mode", "bounded", "use_bmat", "count_visits", "resident", "deferred"))
 def _trace_tight(smem_nodes, hints, groups, slab, lmat, num_nodes, interpret=False,
                  packet=2048, precision=jax.lax.Precision.HIGHEST, skip_narrow=False,
-                 width=16, n_hints=0, mode="closest", bounded=False):
+                 width=16, n_hints=0, mode="closest", bounded=False, use_bmat=False,
+                 count_visits=False, resident=False, deferred=False):
     p = slab.shape[0]
     sub = packet // 128
+    scratch = [
+        pltpu.VMEM((sub, 128), jnp.int32),
+        pltpu.VMEM((sub, 128), jnp.int32),
+        pltpu.VMEM((sub, 128), jnp.float32),
+        pltpu.SMEM((2,), jnp.int32),
+    ]
+    if resident:
+        groups_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        scratch += [pltpu.VMEM(groups.shape, jnp.float32), pltpu.SemaphoreType.DMA]
+    else:
+        groups_spec = pl.BlockSpec(groups.shape, lambda i, *_: (0, 0, 0), memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=2,
         grid=(p,),
-        scratch_shapes=[
-            pltpu.VMEM((sub, 128), jnp.int32),
-            pltpu.VMEM((sub, 128), jnp.int32),
-            pltpu.VMEM((sub, 128), jnp.float32),
-        ],
+        scratch_shapes=scratch,
         in_specs=[
-            pl.BlockSpec(groups.shape, lambda i, *_: (0, 0, 0), memory_space=pltpu.VMEM),
+            groups_spec,
             pl.BlockSpec((1,) + slab.shape[1:], lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1,) + lmat.shape[1:], lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
@@ -637,7 +727,9 @@ def _trace_tight(smem_nodes, hints, groups, slab, lmat, num_nodes, interpret=Fal
     # (both in ray slab layout; hosts reshape back to per-ray)
     return pl.pallas_call(
         _make_tight_kernel(packet, precision, skip_narrow, width=width,
-                           n_hints=n_hints, mode=mode, bounded=bounded),
+                           n_hints=n_hints, mode=mode, bounded=bounded,
+                           use_bmat=use_bmat, count_visits=count_visits,
+                           resident=resident, deferred=deferred),
         out_shape=jax.ShapeDtypeStruct((p, 2 * sub, 128), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -729,13 +821,14 @@ def trace_closest_hit_tight(scene, rays: Ray, tris=None, interpret: bool = False
         assert hints.shape[0] == p, (hints.shape, p)
         n_hints = int(hints.shape[1])
         hints_arr = hints.reshape(-1).astype(jnp.int32)
+    bg = getattr(scene, "bgroups", None)
     out = _trace_tight(
         jnp.asarray(scene.smem_nodes),
         hints_arr,
-        jnp.asarray(scene.groups),
+        jnp.asarray(bg if bg is not None else scene.groups),
         slab,
         lmat,
-        num_nodes=int(scene.num_nodes),
+        num_nodes=int(np.shape(scene.smem_nodes)[1]),
         interpret=interpret,
         packet=packet,
         precision=precision,
@@ -743,6 +836,7 @@ def trace_closest_hit_tight(scene, rays: Ray, tris=None, interpret: bool = False
         width=int(getattr(scene, "width", 16)),
         n_hints=n_hints,
         bounded=t_max is not None,
+        use_bmat=bg is not None,
     )
     sub = packet // 128
     t = out[:, :sub].reshape(rp)[:r]
@@ -794,19 +888,21 @@ def trace_any_hit_tight(scene, rays: Ray, t_max=None, interpret: bool = False,
     if r == 0:
         return jnp.zeros((0,), bool)
     p, rp, slab, lmat = _pack_rays_tight(rays, packet, t_max)
+    bg = getattr(scene, "bgroups", None)
     out = _trace_tight(
         jnp.asarray(scene.smem_nodes),
         jnp.zeros((p,), jnp.int32),
-        jnp.asarray(scene.groups),
+        jnp.asarray(bg if bg is not None else scene.groups),
         slab,
         lmat,
-        num_nodes=int(scene.num_nodes),
+        num_nodes=int(np.shape(scene.smem_nodes)[1]),
         interpret=interpret,
         packet=packet,
         precision=precision,
         width=int(getattr(scene, "width", 16)),
         mode="any",
         bounded=t_max is not None,
+        use_bmat=bg is not None,
     )
     t = out[:, : packet // 128].reshape(rp)[:r]
     if t_max is None:
@@ -937,3 +1033,111 @@ def compute_seed_hints(scene, rays: Ray, packet: int = 2048,
     fill = hints[:, 0:1]
     hints = np_.where(hints < 0, fill, hints)
     return jnp.asarray(hints, jnp.int32)
+
+
+def count_visits_tight(scene, rays: Ray, packet: int = 2048,
+                       interpret: bool = False):
+    """Broadphase-visit / narrowphase-fire counters per packet (debug mode).
+
+    Runs the tight kernel with per-iteration SMEM counters (NOT a timed
+    configuration: the counter stores serialize the loop) and returns
+    ``(visits [n_packets], fires [n_packets])`` int arrays. bench.py feeds
+    these into its roofline block — visits x measured ns/visit is this
+    kernel's cost model.
+    """
+    r = rays.origin.shape[0]
+    if r == 0:
+        return np.zeros(0, np.int64), np.zeros(0, np.int64)
+    p, rp, slab, lmat = _pack_rays_tight(rays, packet, None)
+    bg = getattr(scene, "bgroups", None)
+    out = _trace_tight(
+        jnp.asarray(scene.smem_nodes),
+        jnp.zeros((p,), jnp.int32),
+        jnp.asarray(bg if bg is not None else scene.groups),
+        slab,
+        lmat,
+        num_nodes=int(np.shape(scene.smem_nodes)[1]),
+        interpret=interpret,
+        packet=packet,
+        width=int(getattr(scene, "width", 16)),
+        use_bmat=bg is not None,
+        count_visits=True,
+    )
+    visits = np.asarray(out[:, 0, 0]).astype(np.int64)
+    fires = np.asarray(out[:, 1, 0]).astype(np.int64)
+    return visits, fires
+
+
+def trace_closest_hit_chained(chained, rays: Ray, tris=None,
+                              packet: int = 2048,
+                              precision=jax.lax.Precision.HIGHEST,
+                              interpret: bool = False,
+                              t_max=None) -> HitRecord:
+    """Closest hit against a ``ChainedScene`` (scenes beyond one SMEM table).
+
+    Parts trace sequentially; after each part the per-ray best t becomes the
+    next part's ``t_max``, so the kernel's bounded pruning cuts every later
+    part down to the subtrees that could still beat the current hit. Same
+    contract (and tolerance classes) as ``trace_closest_hit_tight``; shape
+    ids are remapped to global triangle ids.
+    """
+    r = rays.origin.shape[0]
+    if r == 0:
+        z = jnp.zeros((0,), jnp.float32)
+        return HitRecord(z, z, z, jnp.zeros((0,), jnp.int32))
+    if t_max is None:
+        best_t = jnp.full((r,), _INF, jnp.float32)
+    else:
+        best_t = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32).reshape(-1), (r,))
+    best_id = jnp.full((r,), -1, jnp.int32)
+    for part, ids in zip(chained.parts, chained.orig_ids):
+        hit = trace_closest_hit_tight(part, rays, packet=packet,
+                                      precision=precision, interpret=interpret,
+                                      t_max=jnp.where(jnp.isfinite(best_t),
+                                                      best_t, _INF))
+        gids = jnp.asarray(ids)
+        closer = jnp.isfinite(hit.t) & (hit.t < best_t)
+        best_t = jnp.where(closer, hit.t, best_t)
+        best_id = jnp.where(
+            closer, gids[jnp.clip(hit.shape_id, 0, gids.shape[0] - 1)], best_id)
+    if t_max is not None:
+        tm = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32).reshape(-1), (r,))
+        best_t = jnp.where(best_t < tm, best_t, _INF)
+        best_id = jnp.where(jnp.isfinite(best_t), best_id, -1)
+    t = best_t
+    hitm = jnp.isfinite(t)
+    if tris is not None:
+        from ..ray import ray_intersects_triangle
+
+        ta, tb_, tc = tris
+        safe = jnp.maximum(best_id, 0)
+        inter = ray_intersects_triangle(rays, ta[safe], tb_[safe], tc[safe])
+        u = jnp.where(hitm, inter.u, 0.0)
+        v = jnp.where(hitm, inter.v, 0.0)
+        t = jnp.where(hitm, jnp.where(jnp.isfinite(inter.distance), inter.distance, t), t)
+    else:
+        u = jnp.zeros_like(t)
+        v = jnp.zeros_like(t)
+    return HitRecord(t, u, v, best_id)
+
+
+def trace_any_hit_chained(chained, rays: Ray, t_max=None, packet: int = 2048,
+                          precision=jax.lax.Precision.HIGHEST,
+                          interpret: bool = False) -> jnp.ndarray:
+    """Occlusion query over a ``ChainedScene``: parts short-circuit via a
+    shrinking t_max (an occluded ray's bound drops to 0 => later parts prune
+    it from the root)."""
+    r = rays.origin.shape[0]
+    if r == 0:
+        return jnp.zeros((0,), bool)
+    occ = jnp.zeros((r,), bool)
+    if t_max is None:
+        tm0 = jnp.full((r,), _INF, jnp.float32)
+    else:
+        tm0 = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32).reshape(-1), (r,))
+    for part in chained.parts:
+        tm = jnp.where(occ, 0.0, tm0)
+        got = trace_any_hit_tight(part, rays, t_max=tm, packet=packet,
+                                  precision=precision, interpret=interpret)
+        occ = occ | got
+    return occ

@@ -1,16 +1,14 @@
 """Multi-bounce path tracer on the bvh_tpu kernels.
 
-Demonstrates the full tracing API working together on one TPU:
-
-* primary + bounce rays: ``trace_closest_hit_tight`` (closest hit, exact
-  u/v/t recompute on the winner via ``tris=``),
-* shadow rays: ``trace_any_hit_tight`` with a per-ray ``t_max`` at the
-  light distance (the occlusion query the reference expresses as
-  ``traverse`` + manual intersection, src/bvh/bvh_impl.rs:350-378),
-* Lambertian bounces with a deterministic per-pixel RNG.
+Demonstrates the full tracing API working together on one TPU via the
+FUSED wavefront renderer (``bvh_tpu.render.make_pathtracer``): closest-hit
+waves, NEE shadow waves (``trace_any_hit_tight`` with per-ray ``t_max`` —
+the occlusion query the reference expresses as ``traverse`` + manual
+intersection, src/bvh/bvh_impl.rs:350-378) and Lambertian bounces all run
+as ONE jitted device program; the host dispatches once per frame.
 
 Run: python examples/pathtrace.py [--size 256] [--bounces 2] [--out img.ppm]
-Writes a PPM image and prints per-stage ray counts and rates.
+Writes a PPM image and prints ray counts and rates.
 """
 
 from __future__ import annotations
@@ -25,9 +23,11 @@ sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 import numpy as np
 import jax.numpy as jnp
 
-from bvh_tpu import Ray
+import jax
+
 from bvh_tpu import testbase as tb
-from bvh_tpu.ops import build_tight_scene, trace_any_hit_tight, trace_closest_hit_tight
+from bvh_tpu.ops import build_tight_scene
+from bvh_tpu.render import make_pathtracer
 
 
 def make_scene():
@@ -84,73 +84,25 @@ def main():
     print(f"build: {(time.perf_counter()-t0)*1e3:.0f} ms "
           f"(W={scene.width}, {scene.num_nodes} upper nodes)")
 
-    light_pos = np.float32([12.0, 22.0, 8.0])
-    light_col = np.float32([1.0, 0.96, 0.9]) * 1.4
-    sky = np.float32([0.45, 0.6, 0.85])
-    albedo = np.float32([0.75, 0.72, 0.68])
-
     o, d = camera_rays(args.size)
     npx = o.shape[0]
-    color = np.zeros((npx, 3), np.float32)
-    throughput = np.ones((npx, 3), np.float32)
-    alive = np.ones(npx, bool)
-    rng = np.random.default_rng(0)
     aj, bj, cj = jnp.asarray(a), jnp.asarray(b), jnp.asarray(c)
+    tracer = make_pathtracer(scene, (aj, bj, cj), bounces=args.bounces,
+                             packet=2048, interpret=args.interpret)
+    oj, dj = jnp.asarray(o), jnp.asarray(d)
+    key = jax.random.key(0)
 
-    total_rays = 0
+    color = tracer(oj, dj, key)  # compile + warmup
+    _ = float(jnp.sum(color))
     t0 = time.perf_counter()
-    for bounce in range(args.bounces + 1):
-        rays = Ray.create(jnp.asarray(o), jnp.asarray(d))
-        hit = trace_closest_hit_tight(scene, rays, tris=(aj, bj, cj),
-                                      packet=2048, interpret=args.interpret)
-        total_rays += npx
-        t = np.asarray(hit.t)
-        sid = np.asarray(hit.shape_id)
-        miss = ~np.isfinite(t) & alive
-        color[miss] += throughput[miss] * sky
-        hitm = np.isfinite(t) & alive
-        if not hitm.any():
-            break
-
-        t_safe = np.where(np.isfinite(t), t, 0.0)
-        p = o + d / np.linalg.norm(d, axis=-1, keepdims=True) * t_safe[:, None]
-        nrm = normals_of(a, b, c, np.maximum(sid, 0))
-        # face the ray
-        flip = (nrm * d).sum(-1) > 0
-        nrm[flip] = -nrm[flip]
-
-        # next-event estimation: shadow ray to the point light
-        to_l = light_pos[None] - p
-        dist_l = np.linalg.norm(to_l, axis=-1)
-        wl = to_l / np.maximum(dist_l[:, None], 1e-20)
-        sh_o = p + nrm * 1e-3
-        sh_rays = Ray.create(jnp.asarray(sh_o.astype(np.float32)),
-                             jnp.asarray(wl.astype(np.float32)))
-        occluded = np.asarray(trace_any_hit_tight(
-            scene, sh_rays, t_max=jnp.asarray((dist_l * 0.999).astype(np.float32)),
-            packet=2048, interpret=args.interpret))
-        total_rays += npx
-        ndl = np.maximum((nrm * wl).sum(-1), 0.0)
-        lit = hitm & ~occluded
-        falloff = 500.0 / np.maximum(dist_l, 1.0) ** 2
-        color[lit] += (throughput[lit] * albedo[None] * light_col[None]
-                       * (ndl[lit] * falloff[lit])[:, None])
-
-        # Lambertian bounce
-        alive = hitm
-        throughput[alive] *= albedo
-        u = rng.normal(size=(npx, 3)).astype(np.float32)
-        u /= np.maximum(np.linalg.norm(u, axis=-1, keepdims=True), 1e-20)
-        u = np.where((u * nrm).sum(-1, keepdims=True) < 0, -u, u)
-        o = (p + nrm * 1e-3).astype(np.float32)
-        d = (nrm + u).astype(np.float32)
-        d /= np.maximum(np.linalg.norm(d, axis=-1, keepdims=True), 1e-20)
-
+    color = tracer(oj, dj, key)
+    _ = float(jnp.sum(color))  # fence (block_until_ready lies on axon)
+    total_rays = npx * 2 * (args.bounces + 1)
     dt = time.perf_counter() - t0
     print(f"traced {total_rays/1e6:.2f} M rays in {dt:.2f}s "
-          f"({total_rays/dt/1e6:.2f} M rays/s incl. host shading)")
+          f"({total_rays/dt/1e6:.2f} M rays/s, fused wavefront)")
 
-    img = np.clip(color.reshape(args.size, args.size, 3), 0, 1)
+    img = np.clip(np.asarray(color).reshape(args.size, args.size, 3), 0, 1)
     img8 = (np.sqrt(img) * 255).astype(np.uint8)  # gamma 2.0
     with open(args.out, "wb") as f:
         f.write(f"P6\n{args.size} {args.size}\n255\n".encode())

@@ -122,9 +122,10 @@ def test_refitter_deformed_consistent_and_traces():
     re = refit(jnp.asarray(a2), jnp.asarray(b2), jnp.asarray(c2))
 
     # tightness: every internal box is exactly the join of its children
+    # (only the logical columns; the rest are shape-bucket pads)
     nodes = np.asarray(re.smem_nodes)
     entry, exit_ = nodes[6], nodes[7].astype(np.int64)
-    for i in range(nodes.shape[1]):
+    for i in range(re.num_nodes):
         if entry[i] >= 0:
             j = int(entry[i])
             mn = np.full(3, np.inf)

@@ -254,3 +254,30 @@ def test_seeded_matches_plain(cube_scene):
         np.asarray(plain.t), np.asarray(seeded.t), rtol=1e-6, equal_nan=True
     )
     assert (np.asarray(plain.shape_id) == np.asarray(seeded.shape_id)).all()
+
+
+@pytest.mark.parametrize("leaf", [16, 32])
+def test_bmat_path_matches_default(leaf):
+    """Precomputed bilinear forms (bmat=True, opt-in) must trace identically
+    to the in-kernel construction — same tree, same winners, same t."""
+    a, b, c = tb.create_n_cubes(30)
+    sc_def = build_tight_scene(a, b, c, leaf_size=leaf, use_native=False, bmat=False)
+    sc_bm = build_tight_scene(a, b, c, leaf_size=leaf, use_native=False, bmat=True)
+    assert sc_bm.bgroups is not None and sc_def.bgroups is None
+    centers = a.reshape(-1, 12, 3).mean(axis=1)
+    n = 512
+    idx = np.resize(np.arange(len(centers)), n)
+    rng = np.random.default_rng(5)
+    offs = rng.normal(size=(n, 3)).astype(np.float32)
+    offs /= np.linalg.norm(offs, axis=1, keepdims=True)
+    o = (centers[idx] + offs * 30.0).astype(np.float32)
+    d = (centers[idx] + 0.19 - o).astype(np.float32)
+    rays = Ray.create(jnp.asarray(o), jnp.asarray(d))
+    got = trace_closest_hit_tight(sc_bm, rays, packet=128, interpret=True)
+    want = trace_closest_hit_tight(sc_def, rays, packet=128, interpret=True)
+    assert (np.asarray(got.shape_id) == np.asarray(want.shape_id)).all()
+    # t agrees to float rounding (bmat entries are f64-derived)
+    tg, tw = np.asarray(got.t), np.asarray(want.t)
+    both = np.isfinite(tg) & np.isfinite(tw)
+    assert (np.isfinite(tg) == np.isfinite(tw)).all()
+    np.testing.assert_allclose(tg[both], tw[both], rtol=1e-5)

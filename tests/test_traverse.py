@@ -191,3 +191,37 @@ def test_empty_bvh_traversal():
     e = jnp.zeros((0, 3), jnp.float32)
     got = closest_hit_triangles(flat, rays, e, e, e)
     assert np.all(np.isinf(np.asarray(got.t)))
+
+
+def test_nearest_to_generic_balls():
+    """Shape-generic nearest_to with a user distance hook (reference
+    PointDistance, src/point_query.rs:7-10): balls as shapes, solid-ball
+    distance, verified against brute force."""
+    from bvh_tpu.bvh import build_sah, nearest_to
+
+    rng = np.random.default_rng(3)
+    n = 200
+    centers_b = rng.uniform(-50, 50, size=(n, 3)).astype(np.float32)
+    radii = rng.uniform(0.5, 4.0, size=(n,)).astype(np.float32)
+    mn = centers_b - radii[:, None]
+    mx = centers_b + radii[:, None]
+    flat, _ = build_sah(mn, mx)
+    flat = flat.to_device()
+
+    cb = jnp.asarray(centers_b)
+    rb = jnp.asarray(radii)
+
+    def ball_d2(pts, si):
+        d = jnp.linalg.norm(pts - cb[si], axis=-1) - rb[si]
+        return jnp.maximum(d, 0.0) ** 2
+
+    pts = rng.uniform(-60, 60, size=(64, 3)).astype(np.float32)
+    sid, dist = nearest_to(flat, jnp.asarray(pts), ball_d2)
+
+    d_all = np.linalg.norm(pts[:, None, :] - centers_b[None], axis=-1) - radii[None]
+    d2_all = np.maximum(d_all, 0.0) ** 2
+    best = d2_all.min(axis=1)
+    np.testing.assert_allclose(np.asarray(dist) ** 2, best, rtol=1e-4, atol=1e-6)
+    # winning ids must achieve the best distance (ties legal)
+    got_d2 = d2_all[np.arange(64), np.asarray(sid)]
+    np.testing.assert_allclose(got_d2, best, rtol=1e-4, atol=1e-6)
