@@ -53,9 +53,12 @@ def main():
     d_dev = jnp.asarray(dirs)
 
     def run(o, d):
-        perm, inv = sort_rays_device(o, d, bits=4)
+        perm, inv = sort_rays_device(o, d, bits=2)
         rays = Ray.create(o[perm], d[perm])
-        out = trace_closest_hit_tight(scene, rays, packet=packet)
+        # sweep: region-free pre-pass gates the full kernel per packet —
+        # the right default for incoherent/miss-heavy batches (see
+        # ops/trace.py); measured +24% here
+        out = trace_closest_hit_tight(scene, rays, packet=packet, sweep=True)
         t = out.t[inv]
         sid = out.shape_id[inv]
         # NOTE: block_until_ready does not actually block on the axon
@@ -141,9 +144,10 @@ def main():
             o_sj, d_sj = jnp.asarray(o_s), jnp.asarray(d_s)
 
             def run_s():
-                perm_s, inv_s = sort_rays_device(o_sj, d_sj, bits=4)
+                perm_s, inv_s = sort_rays_device(o_sj, d_sj, bits=2)
                 rays_s = Ray.create(o_sj[perm_s], d_sj[perm_s])
-                out_s = trace_closest_hit_tight(scene_s, rays_s, packet=packet)
+                out_s = trace_closest_hit_tight(scene_s, rays_s, packet=packet,
+                                                sweep=True)
                 ts = out_s.t[inv_s]
                 return float(jnp.sum(jnp.where(jnp.isfinite(ts), ts, 0.0)))
 
@@ -213,9 +217,10 @@ def main():
             }
             for name, sc in cells.items():
                 def run_q(sc=sc):
-                    perm, inv = sort_rays_device(o_dev, d_dev, bits=4)
+                    perm, inv = sort_rays_device(o_dev, d_dev, bits=2)
                     rr = Ray.create(o_dev[perm], d_dev[perm])
-                    out_q = trace_closest_hit_tight(sc, rr, packet=packet)
+                    out_q = trace_closest_hit_tight(sc, rr, packet=packet,
+                                                    sweep=True)
                     tq = out_q.t[inv]
                     return float(jnp.sum(jnp.where(jnp.isfinite(tq), tq, 0.0)))
 
@@ -237,7 +242,7 @@ def main():
     if os.environ.get("BENCH_ROOFLINE", "1") == "1":
         from bvh_tpu.ops.trace import count_visits_tight
 
-        perm, _inv = sort_rays_device(o_dev, d_dev, bits=4)
+        perm, _inv = sort_rays_device(o_dev, d_dev, bits=2)
         rays_s = Ray.create(o_dev[perm], d_dev[perm])
         visits, fires = count_visits_tight(scene, rays_s, packet=packet)
         n_packets = int(visits.shape[0])

@@ -79,6 +79,8 @@ def save_tight_scene(path: str, scene) -> None:
     extra = {}
     if getattr(scene, "bgroups", None) is not None:
         extra["bgroups"] = np.asarray(scene.bgroups)
+    if getattr(scene, "sweep_nodes", None) is not None:
+        extra["sweep_nodes"] = np.asarray(scene.sweep_nodes)
     np.savez_compressed(
         path,
         __tight_version__=np.int64(_TIGHT_VERSION),
@@ -107,4 +109,5 @@ def load_tight_scene(path: str):
             num_nodes=int(z["num_nodes"]),
             width=int(z["width"]),
             bgroups=z["bgroups"] if "bgroups" in z.files else None,
+            sweep_nodes=z["sweep_nodes"] if "sweep_nodes" in z.files else None,
         )

@@ -53,6 +53,16 @@ def _load():
         ctypes.c_int32,
     ]
     try:
+        lib.bvh_tri_aabbs.restype = ctypes.c_int
+        fp_ = ctypes.POINTER(ctypes.c_float)
+        ip_ = ctypes.POINTER(ctypes.c_int32)
+        lib.bvh_tri_aabbs.argtypes = [fp_, fp_, fp_, ctypes.c_int64, fp_, fp_]
+        lib.bvh_cut_tight.restype = ctypes.c_int64
+        lib.bvh_cut_tight.argtypes = [ip_, ip_, ctypes.c_int64, ctypes.c_int32, ip_]
+        lib.bvh_pack_tight.restype = ctypes.c_int
+        lib.bvh_pack_tight.argtypes = [fp_, fp_, fp_, ip_, ip_, ip_, ip_,
+                                       ctypes.c_int64, ctypes.c_int32, fp_,
+                                       fp_, ip_]
         lib.bvh_collapse.restype = ctypes.c_int
         lib.bvh_collapse.argtypes = [
             ctypes.POINTER(ctypes.c_float),
@@ -143,3 +153,68 @@ def build_sah_auto(shape_min, shape_max, config=None, nthreads: int = 0):
     from .config import DEFAULT_CONFIG
 
     return build_sah(shape_min, shape_max, config or DEFAULT_CONFIG)
+
+
+def tri_aabbs_native(a, b, c):
+    """Native per-triangle AABBs; None when the library is unavailable."""
+    lib = _load()
+    if lib is None or getattr(lib, "bvh_tri_aabbs", None) is None \
+            or lib.bvh_tri_aabbs.argtypes is None:
+        return None
+    a = np.ascontiguousarray(a, np.float32)
+    b = np.ascontiguousarray(b, np.float32)
+    c = np.ascontiguousarray(c, np.float32)
+    n = a.shape[0]
+    mn = np.empty((n, 3), np.float32)
+    mx = np.empty((n, 3), np.float32)
+    fp = ctypes.POINTER(ctypes.c_float)
+    lib.bvh_tri_aabbs(a.ctypes.data_as(fp), b.ctypes.data_as(fp),
+                      c.ctypes.data_as(fp), ctypes.c_int64(n),
+                      mn.ctypes.data_as(fp), mx.ctypes.data_as(fp))
+    return mn, mx
+
+
+def cut_tight_native(entry, exit_, leaf_size: int):
+    """Native cluster cut (csrc/pack.cpp); None when unavailable."""
+    lib = _load()
+    if lib is None or getattr(lib, "bvh_cut_tight", None) is None \
+            or lib.bvh_cut_tight.argtypes is None:
+        return None
+    entry = np.ascontiguousarray(entry, np.int32)
+    exit_ = np.ascontiguousarray(exit_, np.int32)
+    total = entry.shape[0]
+    roots = np.empty((total + 1) // 2, np.int32)
+    ip = ctypes.POINTER(ctypes.c_int32)
+    C = lib.bvh_cut_tight(entry.ctypes.data_as(ip), exit_.ctypes.data_as(ip),
+                          ctypes.c_int64(total), ctypes.c_int32(leaf_size),
+                          roots.ctypes.data_as(ip))
+    if C < 0:
+        return None
+    return roots[:C].copy()
+
+
+def pack_tight_native(a, b, c, shape, entry, exit_, roots, W: int, cc,
+                      groups, tri_map) -> bool:
+    """Native group-row pack into caller buffers; False when unavailable."""
+    lib = _load()
+    if lib is None or getattr(lib, "bvh_pack_tight", None) is None \
+            or lib.bvh_pack_tight.argtypes is None:
+        return False
+    a = np.ascontiguousarray(a, np.float32)
+    b = np.ascontiguousarray(b, np.float32)
+    c = np.ascontiguousarray(c, np.float32)
+    shape = np.ascontiguousarray(shape, np.int32)
+    entry = np.ascontiguousarray(entry, np.int32)
+    exit_ = np.ascontiguousarray(exit_, np.int32)
+    roots = np.ascontiguousarray(roots, np.int32)
+    cc = np.ascontiguousarray(cc, np.float32)
+    fp = ctypes.POINTER(ctypes.c_float)
+    ip = ctypes.POINTER(ctypes.c_int32)
+    rc = lib.bvh_pack_tight(
+        a.ctypes.data_as(fp), b.ctypes.data_as(fp), c.ctypes.data_as(fp),
+        shape.ctypes.data_as(ip), entry.ctypes.data_as(ip),
+        exit_.ctypes.data_as(ip), roots.ctypes.data_as(ip),
+        ctypes.c_int64(roots.shape[0]), ctypes.c_int32(W),
+        cc.ctypes.data_as(fp), groups.ctypes.data_as(fp),
+        tri_map.ctypes.data_as(ip))
+    return rc == 0

@@ -194,6 +194,7 @@ class TightScene(NamedTuple):
     num_nodes: int
     width: int = TIGHT  # triangles per cluster (16 or 32)
     bgroups: np.ndarray | None = None  # [Gb, 16, row_w] precomputed bilinear forms (see pack_bgroups)
+    sweep_nodes: np.ndarray | None = None  # [8, Ns] coarse table for the gate sweep (~8x leaf cut)
 
     @property
     def num_tris(self) -> int:
@@ -342,7 +343,7 @@ def _pad_node_table(smem_nodes: np.ndarray, bucket: int = 2048) -> np.ndarray:
 def build_tight_scene(
     a: np.ndarray, b: np.ndarray, c: np.ndarray, leaf_size: int | None = None,
     config=None, use_native: bool = True, collapse: int | None = 16,
-    bmat: bool | None = None,
+    bmat: bool | None = None, sweep_cut: int | None = None,
 ) -> TightScene:
     """Host prep for the tight-cluster kernel: SAH build, cut, pack, upper BVH.
 
@@ -363,7 +364,8 @@ def build_tight_scene(
     (latency-bound fetch) — opt-in only; default (None) stays off.
     """
     from ..config import DEFAULT_CONFIG
-    from ..native import build_sah_auto
+    from ..native import (build_sah_auto, cut_tight_native, pack_tight_native,
+                          tri_aabbs_native)
 
     if config is None:
         config = DEFAULT_CONFIG
@@ -373,23 +375,36 @@ def build_tight_scene(
     n = a.shape[0]
     if n == 0:
         raise ValueError("empty scene")
+    if bmat is None:
+        # measured on TPU v5e: the precomputed-form path is ~2x SLOWER than
+        # in-kernel construction (random 2.77 -> 1.51 M rays/s) — the leaf
+        # visit is latency-bound, not matrix-build-bound. Opt-in only.
+        bmat = False
     auto = leaf_size is None
     if auto:
         leaf_size = TIGHT if n <= (300_000 if collapse else 160_000) else 32
     if leaf_size not in (16, 32, 64, 128):
         raise ValueError("leaf_size must be 16/32/64/128 (VPU lane packing)")
-    mn, mx = tri_aabbs(a, b, c)
+    mnmx = tri_aabbs_native(a, b, c) if use_native else None
+    mn, mx = mnmx if mnmx is not None else tri_aabbs(a, b, c)
     if use_native:
         flat, _ = build_sah_auto(mn, mx, config)
     else:
         flat, _ = build_sah(mn, mx, config)
+    # the numpy pack (and the bmat tables) need the leaf->cluster map;
+    # the native pack derives it from the DFS ranges on the fly
+    native_pack = use_native and not bmat
 
     # Build the upper tree (with K-ary collapse) at the current leaf width;
     # widen auto-sized leaves until the SMEM node table (32 bytes/node) fits
     # the ~640KB scalar-memory budget. Collapse shrinks the table ~32%, so
     # W=16 stretches to roughly twice the triangle count it used to.
     while True:
-        roots, leaves, cluster_of_leaf = cut_clusters(flat, leaf_size)
+        roots = cut_tight_native(flat.entry, flat.exit, leaf_size) \
+            if native_pack else None
+        if roots is None:
+            native_pack = False
+            roots, leaves, cluster_of_leaf = cut_clusters(flat, leaf_size)
         C = roots.shape[0]
 
         # Cluster AABBs and centers from the cut roots (tight by construction).
@@ -431,8 +446,59 @@ def build_tight_scene(
     smem_nodes = _pad_node_table(
         smem_nodes, bucket=max(256, 1 << max(nb.bit_length() - 3, 0)))
 
+    # Optional coarse companion table for the gate sweep
+    # (ops/trace.py::_sweep_tight): the same SAH tree cut ``sweep_cut``
+    # triangles per box — a CONSERVATIVE miss-test that much cheaper per
+    # packet. False positives only cost a redundant main-kernel packet; a
+    # sweep miss is an exact guarantee of no narrowphase fire. Measured on
+    # the sparse 120k random workload: coarse boxes fire on EVERY packet
+    # (useless), so the default (None) sweeps the exact main table; opt in
+    # for dense connected meshes where secondary rays leave the surface.
+    sweep_nodes = None
+    if sweep_cut:
+        s_roots = cut_tight_native(flat.entry, flat.exit, sweep_cut) \
+            if use_native else None
+        if s_roots is None:
+            s_roots, _, _ = cut_clusters(flat, sweep_cut)
+        s_min = np.asarray(flat.aabb_min)[s_roots]
+        s_max = np.asarray(flat.aabb_max)[s_roots]
+        if use_native:
+            s_up, _ = build_sah_auto(s_min, s_max, config)
+        else:
+            s_up, _ = build_sah(s_min, s_max, config)
+        s_entry = np.asarray(s_up.entry, np.float32).copy()
+        s_leaf = np.asarray(s_up.entry) < 0
+        s_entry[s_leaf] = -1.0  # sweep leaves carry no payload (fire marker)
+        sweep_nodes = np.zeros((8, s_up.num_nodes), np.float32)
+        sweep_nodes[0:3] = np.asarray(s_up.aabb_min).T
+        sweep_nodes[3:6] = np.asarray(s_up.aabb_max).T
+        sweep_nodes[6] = s_entry
+        sweep_nodes[7] = np.asarray(s_up.exit, np.float32)
+        if collapse:
+            sweep_nodes = collapse_upper(sweep_nodes, collapse)
+        snb = int(sweep_nodes.shape[1])
+        sweep_nodes = _pad_node_table(
+            sweep_nodes, bucket=max(64, 1 << max(snb.bit_length() - 3, 0)))
+
     W = leaf_size
     group = 128 // W
+    # G is bucketed like the node table (group-row shape stability).
+    G = (C + group - 1) // group
+    gb = max(16, 1 << max(int(G).bit_length() - 3, 0))
+    G = -(-G // gb) * gb
+
+    if native_pack:
+        # single native pass: lane assignment + cluster-relative rows
+        # written directly in the kernel's transposed layout
+        groups = np.zeros((G, 16, 128), np.float32)
+        tri_map_pad = np.full(G * 128, -1, np.int32)
+        ok = pack_tight_native(a, b, c, flat.shape, flat.entry, flat.exit,
+                               roots, W, cc, groups, tri_map_pad)
+        if not ok:
+            raise RuntimeError("native pack failed (cluster overflow?)")
+        return TightScene(smem_nodes, groups, tri_map_pad, C, nn, W, None,
+                          sweep_nodes)
+
     shape_ids = np.asarray(flat.shape)[leaves]  # tri id per tree leaf, DFS order
 
     # Per-cluster contiguous triangle lists (DFS leaf order within a cluster).
@@ -443,11 +509,6 @@ def build_tight_scene(
     tri_map = np.full(C * W, -1, np.int32)
     tri_map[lane] = shape_ids.astype(np.int32)
 
-    # Triangle rows, cluster-relative, packed 128//W clusters per lane row.
-    # G is bucketed like the node table (group-row shape stability).
-    G = (C + group - 1) // group
-    gb = max(16, 1 << max(int(G).bit_length() - 3, 0))
-    G = -(-G // gb) * gb
     av = np.zeros((C * W, 3), np.float32)
     e1 = np.zeros((C * W, 3), np.float32)
     e2 = np.zeros((C * W, 3), np.float32)
@@ -464,13 +525,6 @@ def build_tight_scene(
     tri_map_pad = np.full(G * group * W, -1, np.int32)
     tri_map_pad[: C * W] = tri_map
 
-    if bmat is None:
-        # measured on TPU v5e: the precomputed-form path is ~2x SLOWER than
-        # in-kernel construction (random 2.77 -> 1.51 M rays/s) — the leaf
-        # visit is latency-bound on the dynamic VMEM fetch, not on the
-        # matrix-build ops. Kept as an opt-in while the fetch cost is
-        # investigated; do not auto-enable.
-        bmat = False
     bgroups = None
     if bmat:
         blocks = bilinear_blocks(
@@ -483,7 +537,8 @@ def build_tight_scene(
             blocks = np.concatenate(
                 [blocks, np.zeros(((C_pad - C) * W, 4, 16), np.float32)], axis=0)
         bgroups = pack_bgroups(blocks, C_pad, W)
-    return TightScene(smem_nodes, groups, tri_map_pad, C, nn, W, bgroups)
+    return TightScene(smem_nodes, groups, tri_map_pad, C, nn, W, bgroups,
+                      sweep_nodes)
 
 
 class ChainedScene(NamedTuple):

@@ -353,9 +353,9 @@ def _make_tight_kernel(packet: int, precision, skip_narrow: bool = False,
                        subtile: int = 1024, width: int = 16, n_hints: int = 0,
                        mode: str = "closest", bounded: bool = False,
                        use_bmat: bool = False, count_visits: bool = False,
-                       resident: bool = False, deferred: bool = False):
-    def _kernel(nodes_ref, hints_ref, groups_ref, slab_ref, lmat_ref, out_ref,
-                bestk_ref, bestc_ref, vb_ref, cnt_ref, *rest):
+                       resident: bool = False, gated: bool = False):
+    def _kernel(nodes_ref, hints_ref, gate_ref, groups_ref, slab_ref, lmat_ref,
+                out_ref, bestk_ref, bestc_ref, vb_ref, cnt_ref, *rest):
         if resident:
             # groups arrived in ANY (HBM); copy ONCE into the persistent
             # VMEM scratch at grid step 0 (scratch survives across steps —
@@ -372,19 +372,19 @@ def _make_tight_kernel(packet: int, precision, skip_narrow: bool = False,
             groups_use = gvmem_ref
         else:
             groups_use = groups_ref
-        return _tight_body(nodes_ref, hints_ref, groups_use, slab_ref, lmat_ref,
-                           out_ref, bestk_ref, bestc_ref, vb_ref, cnt_ref,
-                           packet, precision, skip_narrow, subtile, width,
-                           n_hints, mode, bounded, use_bmat, count_visits,
-                           deferred)
+        return _tight_body(nodes_ref, hints_ref, gate_ref, groups_use, slab_ref,
+                           lmat_ref, out_ref, bestk_ref, bestc_ref, vb_ref,
+                           cnt_ref, packet, precision, skip_narrow, subtile,
+                           width, n_hints, mode, bounded, use_bmat,
+                           count_visits, gated)
     return _kernel
 
 
-def _tight_body(nodes_ref, hints_ref, groups_ref, slab_ref, lmat_ref, out_ref,
-                bestk_ref, bestc_ref, vb_ref, cnt_ref, PACKET, PRECISION,
-                SKIP_NARROW=False, SUBTILE=1024, W=16, N_HINTS=0,
+def _tight_body(nodes_ref, hints_ref, gate_ref, groups_ref, slab_ref, lmat_ref,
+                out_ref, bestk_ref, bestc_ref, vb_ref, cnt_ref, PACKET,
+                PRECISION, SKIP_NARROW=False, SUBTILE=1024, W=16, N_HINTS=0,
                 MODE="closest", BOUNDED=False, USE_BMAT=False,
-                COUNT_VISITS=False, DEFERRED=False):
+                COUNT_VISITS=False, GATED=False):
     assert W in (16, 32, 64, 128)
     assert MODE in ("closest", "any")
     nn = nodes_ref.shape[1]
@@ -592,19 +592,6 @@ def _tight_body(nodes_ref, hints_ref, groups_ref, slab_ref, lmat_ref, out_ref,
                 def _(st=st):
                     narrow_subtile(st)
 
-    # phase 0: seed per-lane pruning distances by narrowphasing the sampled
-    # hint leaves (unconditional fori, idempotent; -1 in slot 0 disables)
-    if N_HINTS and not SKIP_NARROW:
-        base = pl.program_id(0) * N_HINTS
-
-        @pl.when(hints_ref[base] >= 0)
-        def _():
-            def seed(k, carry):
-                narrowphase(hints_ref[base + k])
-                return carry
-
-            jax.lax.fori_loop(0, N_HINTS, seed, 0)
-
     def visit(cursor):
         ax = nodes_ref[0, cursor]
         ay = nodes_ref[1, cursor]
@@ -639,35 +626,20 @@ def _tight_body(nodes_ref, hints_ref, groups_ref, slab_ref, lmat_ref, out_ref,
             cnt_ref[0] = cnt_ref[0] + 1
         return anyhit, is_leaf, entry, exit_
 
-    if DEFERRED and not SKIP_NARROW:
-        # DEFERRED narrowphase: the pl.when condition on the fresh anyhit
-        # reduce stalls the loop ~170 ns/visit (vector->scalar->branch wait).
-        # Instead the triggered leaf rides in the carry and is narrowphased
-        # at the START of the NEXT iteration — by then the trigger is a
-        # long-resolved scalar, so the branch is cheap, and the pruning
-        # bounds the narrowphase writes are read AFTER the region (same
-        # freshness as the inline form). One trailing region drains the
-        # last pending leaf.
-        def body(carry):
-            cursor, pending = carry
+    def run_traversal():
+        # phase 0: seed per-lane pruning distances by narrowphasing the
+        # sampled hint leaves (unconditional fori, idempotent; -1 disables)
+        if N_HINTS and not SKIP_NARROW:
+            base = pl.program_id(0) * N_HINTS
 
-            @pl.when(pending >= 0)
+            @pl.when(hints_ref[base] >= 0)
             def _():
-                narrowphase(pending)
+                def seed(k, carry):
+                    narrowphase(hints_ref[base + k])
+                    return carry
 
-            anyhit, is_leaf, entry, exit_ = visit(cursor)
-            trig = is_leaf & anyhit
-            pend_next = jax.lax.select(trig, cursor, jnp.int32(-1))
-            nxt = jax.lax.select(is_leaf | jnp.logical_not(anyhit), exit_, entry)
-            return nxt.astype(jnp.int32), pend_next
+                jax.lax.fori_loop(0, N_HINTS, seed, 0)
 
-        _, pending = jax.lax.while_loop(
-            lambda s: s[0] < nn, body, (jnp.int32(0), jnp.int32(-1)))
-
-        @pl.when(pending >= 0)
-        def _():
-            narrowphase(pending)
-    else:
         def body(cursor):
             anyhit, is_leaf, entry, exit_ = visit(cursor)
 
@@ -679,6 +651,17 @@ def _tight_body(nodes_ref, hints_ref, groups_ref, slab_ref, lmat_ref, out_ref,
             return nxt.astype(jnp.int32)
 
         jax.lax.while_loop(lambda cur: cur < nn, body, 0)
+
+    if GATED:
+        # per-packet gate from the sweep pre-pass (see _sweep_tight): a
+        # packet the sweep proved fires nothing skips the entire traversal
+        # — its outputs decode from the untouched init (miss everywhere).
+        # The branch reads a prefetched SMEM scalar: ~free.
+        @pl.when(gate_ref[pl.program_id(0)] > 0)
+        def _():
+            run_traversal()
+    else:
+        run_traversal()
 
     # one-time decode of the packed best keys: t (sentinel bitcasts to +inf
     # by construction) and global triangle lane id (-1 on miss)
@@ -694,11 +677,11 @@ def _tight_body(nodes_ref, hints_ref, groups_ref, slab_ref, lmat_ref, out_ref,
         out_ref[0, 1:2] = jnp.full((1, 128), cnt_ref[1].astype(jnp.float32))
 
 
-@partial(jax.jit, static_argnames=("num_nodes", "interpret", "packet", "precision", "skip_narrow", "width", "n_hints", "mode", "bounded", "use_bmat", "count_visits", "resident", "deferred"))
-def _trace_tight(smem_nodes, hints, groups, slab, lmat, num_nodes, interpret=False,
+@partial(jax.jit, static_argnames=("num_nodes", "interpret", "packet", "precision", "skip_narrow", "width", "n_hints", "mode", "bounded", "use_bmat", "count_visits", "resident", "gated"))
+def _trace_tight(smem_nodes, hints, gate, groups, slab, lmat, num_nodes, interpret=False,
                  packet=2048, precision=jax.lax.Precision.HIGHEST, skip_narrow=False,
                  width=16, n_hints=0, mode="closest", bounded=False, use_bmat=False,
-                 count_visits=False, resident=False, deferred=False):
+                 count_visits=False, resident=False, gated=False):
     p = slab.shape[0]
     sub = packet // 128
     scratch = [
@@ -713,7 +696,7 @@ def _trace_tight(smem_nodes, hints, groups, slab, lmat, num_nodes, interpret=Fal
     else:
         groups_spec = pl.BlockSpec(groups.shape, lambda i, *_: (0, 0, 0), memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=2,
+        num_scalar_prefetch=3,
         grid=(p,),
         scratch_shapes=scratch,
         in_specs=[
@@ -729,14 +712,110 @@ def _trace_tight(smem_nodes, hints, groups, slab, lmat, num_nodes, interpret=Fal
         _make_tight_kernel(packet, precision, skip_narrow, width=width,
                            n_hints=n_hints, mode=mode, bounded=bounded,
                            use_bmat=use_bmat, count_visits=count_visits,
-                           resident=resident, deferred=deferred),
+                           resident=resident, gated=gated),
         out_shape=jax.ShapeDtypeStruct((p, 2 * sub, 128), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024,
         ),
-    )(smem_nodes, hints, groups, slab, lmat)
+    )(smem_nodes, hints, gate, groups, slab, lmat)
+
+
+def _make_sweep_kernel(packet: int, exit_on_fire: bool):
+    def _kernel(nodes_ref, slab_ref, out_ref):
+        return _sweep_body(nodes_ref, slab_ref, out_ref, packet, exit_on_fire)
+    return _kernel
+
+
+def _sweep_body(nodes_ref, slab_ref, out_ref, PACKET, EXIT_ON_FIRE):
+    """Broadphase-only sweep: would this packet fire any narrowphase?
+
+    Contains NO narrowphase code, carries ONLY the cursor, and keeps the
+    one-term loop cond — the only shape Mosaic pipelines (~21 ns/visit).
+    A second reduce consumer, an extra loop carry, a 2-term cond, or a
+    conditional region each cost ~140-170 ns/visit (measured). Leaf
+    entries -(cluster+1) are remapped on the fly to nn+cluster+2 (> nn),
+    so a leaf-hit drives the cursor PAST the end: `cur > nn` after the
+    loop IS the fired bit ("cursor-range exit").
+    """
+    nn = nodes_ref.shape[1]
+
+    def step(cursor, remap):
+        ax = nodes_ref[0, cursor]
+        ay = nodes_ref[1, cursor]
+        az = nodes_ref[2, cursor]
+        bx = nodes_ref[3, cursor]
+        by = nodes_ref[4, cursor]
+        bz = nodes_ref[5, cursor]
+        entry = nodes_ref[6, cursor]
+        exit_ = nodes_ref[7, cursor]
+        oix, oiy, oiz = slab_ref[0, 0], slab_ref[0, 1], slab_ref[0, 2]
+        ix, iy, iz = slab_ref[0, 3], slab_ref[0, 4], slab_ref[0, 5]
+        t1 = ax * ix - oix
+        t2 = bx * ix - oix
+        u1 = ay * iy - oiy
+        u2 = by * iy - oiy
+        v1 = az * iz - oiz
+        v2 = bz * iz - oiz
+        tmin = jnp.maximum(
+            jnp.maximum(jnp.minimum(t1, t2), jnp.minimum(u1, u2)), jnp.minimum(v1, v2)
+        )
+        tmax = jnp.minimum(
+            jnp.minimum(jnp.maximum(t1, t2), jnp.maximum(u1, u2)), jnp.maximum(v1, v2)
+        )
+        useful = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < slab_ref[0, 6])
+        anyhit = jnp.any(useful)
+        if remap:
+            entry = jax.lax.select(entry < 0.0, (nn + 1.0) - entry, entry)
+            nxt = jax.lax.select(anyhit, entry, exit_)
+        else:
+            is_leaf = entry < 0.0
+            nxt = jax.lax.select(is_leaf | jnp.logical_not(anyhit), exit_, entry)
+        return nxt.astype(jnp.int32), anyhit, entry
+
+    if EXIT_ON_FIRE == "probe":
+        # diagnostic: the plain no-trigger loop in this kernel's grid spec
+        # (parity check against the skip_narrow main kernel's 21 ns/visit)
+        cur = jax.lax.while_loop(lambda c: c < nn,
+                                 lambda c: step(c, False)[0], jnp.int32(0))
+        fired = cur > nn  # always False
+    elif EXIT_ON_FIRE:
+        cur = jax.lax.while_loop(lambda c: c < nn,
+                                 lambda c: step(c, True)[0], jnp.int32(0))
+        fired = cur > nn
+    else:
+        def body(carry):
+            cursor, f = carry
+            nxt, anyhit, entry = step(cursor, False)
+            return nxt, f | ((entry < 0.0) & anyhit)
+
+        _, fired = jax.lax.while_loop(lambda s: s[0] < nn, body,
+                                      (jnp.int32(0), False))
+    out_ref[0, 0] = jnp.full((128,), fired.astype(jnp.float32))
+
+
+@partial(jax.jit, static_argnames=("num_nodes", "interpret", "packet", "exit_on_fire"))
+def _sweep_tight(smem_nodes, slab, num_nodes, interpret=False, packet=2048,
+                 exit_on_fire=True):
+    p = slab.shape[0]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(p,),
+        in_specs=[
+            pl.BlockSpec((1,) + slab.shape[1:], lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 1, 128), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        _make_sweep_kernel(packet, exit_on_fire),
+        out_shape=jax.ShapeDtypeStruct((p, 1, 128), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+    )(smem_nodes, slab)
 
 
 def _pack_rays_tight(rays: Ray, packet: int, t_max=None):
@@ -785,7 +864,7 @@ def trace_closest_hit_tight(scene, rays: Ray, tris=None, interpret: bool = False
                             precision=jax.lax.Precision.HIGHEST,
                             skip_narrow: bool = False,
                             hints: jnp.ndarray | None = None,
-                            t_max=None) -> HitRecord:
+                            t_max=None, sweep: bool = False) -> HitRecord:
     """Closest hit against a ``TightScene`` (the fast path for sparse scenes).
 
     Same contract as ``trace_closest_hit``: returns packed (t, triangle id);
@@ -798,6 +877,12 @@ def trace_closest_hit_tight(scene, rays: Ray, tris=None, interpret: bool = False
 
     ``t_max``: optional scalar or [n] per-ray upper distance bound — hits at
     t >= t_max are misses, and the bound prunes traversal from the start.
+
+    ``sweep``: run a region-free broadphase pre-pass per packet and skip the
+    full traversal for packets that cannot fire any narrowphase. Large win
+    on miss-heavy batches (the conditional narrowphase region costs
+    ~180 ns/visit by existing; the sweep loop runs at ~21 ns/visit), small
+    overhead on hit-dense ones. Results are identical either way.
 
     Tolerance class: the kernel's packed min-reduce steals the low
     log2(width) mantissa bits of t for the winning lane, so the raw t (and
@@ -822,9 +907,19 @@ def trace_closest_hit_tight(scene, rays: Ray, tris=None, interpret: bool = False
         n_hints = int(hints.shape[1])
         hints_arr = hints.reshape(-1).astype(jnp.int32)
     bg = getattr(scene, "bgroups", None)
+    sn = jnp.asarray(scene.smem_nodes)
+    if sweep and not skip_narrow:
+        swn = getattr(scene, "sweep_nodes", None)
+        swt = jnp.asarray(swn) if swn is not None else sn
+        fired = _sweep_tight(swt, slab, num_nodes=int(swt.shape[1]),
+                             interpret=interpret, packet=packet)
+        gate = (fired[:, 0, 0] > 0).astype(jnp.int32)
+    else:
+        gate = jnp.zeros((p,), jnp.int32)
     out = _trace_tight(
-        jnp.asarray(scene.smem_nodes),
+        sn,
         hints_arr,
+        gate,
         jnp.asarray(bg if bg is not None else scene.groups),
         slab,
         lmat,
@@ -837,6 +932,7 @@ def trace_closest_hit_tight(scene, rays: Ray, tris=None, interpret: bool = False
         n_hints=n_hints,
         bounded=t_max is not None,
         use_bmat=bg is not None,
+        gated=sweep and not skip_narrow,
     )
     sub = packet // 128
     t = out[:, :sub].reshape(rp)[:r]
@@ -865,7 +961,8 @@ def trace_closest_hit_tight(scene, rays: Ray, tris=None, interpret: bool = False
 
 def trace_any_hit_tight(scene, rays: Ray, t_max=None, interpret: bool = False,
                         packet: int = 2048,
-                        precision=jax.lax.Precision.HIGHEST) -> jnp.ndarray:
+                        precision=jax.lax.Precision.HIGHEST,
+                        sweep: bool = False) -> jnp.ndarray:
     """True per ray iff any triangle hit with t < t_max exists (occlusion).
 
     The shadow-ray / visibility query (the Pallas analog of
@@ -889,9 +986,19 @@ def trace_any_hit_tight(scene, rays: Ray, t_max=None, interpret: bool = False,
         return jnp.zeros((0,), bool)
     p, rp, slab, lmat = _pack_rays_tight(rays, packet, t_max)
     bg = getattr(scene, "bgroups", None)
+    sn = jnp.asarray(scene.smem_nodes)
+    if sweep:
+        swn = getattr(scene, "sweep_nodes", None)
+        swt = jnp.asarray(swn) if swn is not None else sn
+        fired = _sweep_tight(swt, slab, num_nodes=int(swt.shape[1]),
+                             interpret=interpret, packet=packet)
+        gate = (fired[:, 0, 0] > 0).astype(jnp.int32)
+    else:
+        gate = jnp.zeros((p,), jnp.int32)
     out = _trace_tight(
-        jnp.asarray(scene.smem_nodes),
+        sn,
         jnp.zeros((p,), jnp.int32),
+        gate,
         jnp.asarray(bg if bg is not None else scene.groups),
         slab,
         lmat,
@@ -903,6 +1010,7 @@ def trace_any_hit_tight(scene, rays: Ray, t_max=None, interpret: bool = False,
         mode="any",
         bounded=t_max is not None,
         use_bmat=bg is not None,
+        gated=sweep,
     )
     t = out[:, : packet // 128].reshape(rp)[:r]
     if t_max is None:
@@ -1053,6 +1161,7 @@ def count_visits_tight(scene, rays: Ray, packet: int = 2048,
     out = _trace_tight(
         jnp.asarray(scene.smem_nodes),
         jnp.zeros((p,), jnp.int32),
+        jnp.zeros((p,), jnp.int32),
         jnp.asarray(bg if bg is not None else scene.groups),
         slab,
         lmat,
@@ -1072,14 +1181,20 @@ def trace_closest_hit_chained(chained, rays: Ray, tris=None,
                               packet: int = 2048,
                               precision=jax.lax.Precision.HIGHEST,
                               interpret: bool = False,
-                              t_max=None) -> HitRecord:
+                              t_max=None, sweep: bool = True) -> HitRecord:
     """Closest hit against a ``ChainedScene`` (scenes beyond one SMEM table).
 
     Parts trace sequentially; after each part the per-ray best t becomes the
     next part's ``t_max``, so the kernel's bounded pruning cuts every later
     part down to the subtrees that could still beat the current hit. Same
-    contract (and tolerance classes) as ``trace_closest_hit_tight``; shape
-    ids are remapped to global triangle ids.
+    contract as ``trace_closest_hit_tight``; shape ids are remapped to
+    global triangle ids.
+
+    Tolerance note: the grazing-edge class (winner may resolve to the
+    adjacent triangle, t within ~0.3%) can DOUBLE at part boundaries — the
+    adjacent-triangle pair may be split across parts, so each part resolves
+    its half independently (observed <=0.8% t deviation on edge-aimed
+    rays). Pass ``tris`` for the exact t of whichever winner was kept.
     """
     r = rays.origin.shape[0]
     if r == 0:
@@ -1094,7 +1209,8 @@ def trace_closest_hit_chained(chained, rays: Ray, tris=None,
         hit = trace_closest_hit_tight(part, rays, packet=packet,
                                       precision=precision, interpret=interpret,
                                       t_max=jnp.where(jnp.isfinite(best_t),
-                                                      best_t, _INF))
+                                                      best_t, _INF),
+                                      sweep=sweep)
         gids = jnp.asarray(ids)
         closer = jnp.isfinite(hit.t) & (hit.t < best_t)
         best_t = jnp.where(closer, hit.t, best_t)
@@ -1123,7 +1239,8 @@ def trace_closest_hit_chained(chained, rays: Ray, tris=None,
 
 def trace_any_hit_chained(chained, rays: Ray, t_max=None, packet: int = 2048,
                           precision=jax.lax.Precision.HIGHEST,
-                          interpret: bool = False) -> jnp.ndarray:
+                          interpret: bool = False,
+                          sweep: bool = True) -> jnp.ndarray:
     """Occlusion query over a ``ChainedScene``: parts short-circuit via a
     shrinking t_max (an occluded ray's bound drops to 0 => later parts prune
     it from the root)."""
@@ -1138,6 +1255,7 @@ def trace_any_hit_chained(chained, rays: Ray, t_max=None, packet: int = 2048,
     for part in chained.parts:
         tm = jnp.where(occ, 0.0, tm0)
         got = trace_any_hit_tight(part, rays, t_max=tm, packet=packet,
-                                  precision=precision, interpret=interpret)
+                                  precision=precision, interpret=interpret,
+                                  sweep=sweep)
         occ = occ | got
     return occ

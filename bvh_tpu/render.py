@@ -62,8 +62,12 @@ def make_pathtracer(scene, tris, bounces: int = 2, packet: int = 2048,
 
         for bounce in range(bounces + 1):
             rays = Ray.create(o, d)
+            # bounce waves scatter into the sky: the sweep pre-pass skips
+            # packets that cannot hit (primary wave is usually hit-dense,
+            # so it stays inline)
             hit = trace_closest_hit_tight(scene, rays, tris=(aj, bj, cj),
-                                          packet=packet, interpret=interpret)
+                                          packet=packet, interpret=interpret,
+                                          sweep=bounce > 0)
             t = hit.t
             sid = jnp.maximum(hit.shape_id, 0)
             found = jnp.isfinite(t)
@@ -83,7 +87,7 @@ def make_pathtracer(scene, tris, bounces: int = 2, packet: int = 2048,
             sh_o = jnp.where(hitm[:, None], p + nrm * 1e-3, 2.0e30)
             occluded = trace_any_hit_tight(
                 scene, Ray.create(sh_o, wl), t_max=dist_l * 0.999,
-                packet=packet, interpret=interpret)
+                packet=packet, interpret=interpret, sweep=True)
             ndl = jnp.maximum(jnp.sum(nrm * wl, -1), 0.0)
             lit = hitm & ~occluded
             falloff = light_power / jnp.maximum(dist_l, 1.0) ** 2
