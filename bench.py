@@ -91,10 +91,16 @@ def main():
     aim_dirs = (centers[idx] + 0.1 - aim_orig).astype(np.float32)
     aimed = Ray.create(jnp.asarray(aim_orig), jnp.asarray(aim_dirs))
 
-    from bvh_tpu.ops.trace import trace_closest_hit_seeded
+    from bvh_tpu.ops.trace import make_seeder
+
+    # device-side seeding: the sampled pre-trace, hint mapping and the
+    # seeded main trace compose into one device program (the host-mapping
+    # path pays a ~27ms tunnel fence per batch)
+    seeder = make_seeder(scene, packet=packet)
 
     def run_aimed():
-        out = trace_closest_hit_seeded(scene, aimed, packet=packet)
+        hints_a = seeder(aimed)
+        out = trace_closest_hit_tight(scene, aimed, packet=packet, hints=hints_a)
         return out, float(jnp.sum(jnp.where(jnp.isfinite(out.t), out.t, 0.0)))
 
     out_a, _ = run_aimed()
@@ -146,8 +152,10 @@ def main():
             def run_s():
                 perm_s, inv_s = sort_rays_device(o_sj, d_sj, bits=2)
                 rays_s = Ray.create(o_sj[perm_s], d_sj[perm_s])
+                # tiny scenes: the sweep's extra dispatch outweighs the
+                # traversal it saves (measured -24% at 1.2k tris)
                 out_s = trace_closest_hit_tight(scene_s, rays_s, packet=packet,
-                                                sweep=True)
+                                                sweep=nc >= 1000)
                 ts = out_s.t[inv_s]
                 return float(jnp.sum(jnp.where(jnp.isfinite(ts), ts, 0.0)))
 
@@ -160,6 +168,36 @@ def main():
             scales[f"{nc * 12}_tris_rays_per_s"] = round(n_rays / best_s2)
             scales[f"{nc * 12}_tris_vs_ref"] = round(
                 (n_rays / best_s2) / (1e9 / ref_ns), 2)
+
+    # 1M-triangle sparse scene through the chained (Morton-partitioned)
+    # tracer — the beyond-one-SMEM-table scale class (round-1 envelope:
+    # auto-widened W=128 collapsed to 0.09 M rays/s here).
+    sparse_1m_rays_per_s = None
+    if os.environ.get("BENCH_SPARSE_1M", "1") == "1":
+        from bvh_tpu.ops.cluster import build_chained_scene
+        from bvh_tpu.ops.trace import trace_closest_hit_chained
+
+        a_m, b_m, c_m = tb.create_n_cubes(84000)  # 1.008M triangles
+        ch = build_chained_scene(a_m, b_m, c_m, max_part=260_000)
+        seed_m = tb.seed_state_after(84000)
+        o_m, d_m = tb.create_rays(n_rays, seed=seed_m)
+        o_mj, d_mj = jnp.asarray(o_m), jnp.asarray(d_m)
+
+        def run_m():
+            perm_m, inv_m = sort_rays_device(o_mj, d_mj, bits=2)
+            r_m = Ray.create(o_mj[perm_m], d_mj[perm_m])
+            out_m = trace_closest_hit_chained(ch, r_m, packet=packet, sweep=True)
+            t_m = out_m.t[inv_m]
+            return float(jnp.sum(jnp.where(jnp.isfinite(t_m), t_m, 0.0)))
+
+        run_m()
+        best_m = float("inf")
+        for _ in range(max(iters - 3, 1)):
+            t0 = time.perf_counter()
+            run_m()
+            best_m = min(best_m, time.perf_counter() - t0)
+        sparse_1m_rays_per_s = n_rays / best_m
+        del ch
 
     # Dynamic-scene maintenance: the reference's update_shapes bench moves a
     # fraction of shapes then refits (README.md:197-200; 76ms at 50% churn on
@@ -353,6 +391,10 @@ def main():
             "tight_refit_device_ms": round(best_tr * 1e3, 2),
             "scales": scales,
             "camera_260k_dense_rays_per_s": round(cam_rays_per_s) if cam_rays_per_s else None,
+            "sparse_1m_tris_rays_per_s": round(sparse_1m_rays_per_s) if sparse_1m_rays_per_s else None,
+            "pathtrace_2bounce_rays_per_s": round(pathtrace_rays_per_s) if pathtrace_rays_per_s else None,
+            "refit_quality": refit_quality or None,
+            "roofline": roofline,
             "baseline": "svenstaro/bvh 853ns/ray (120k tris, Ryzen 3900X core, README.md:178)",
         },
     }

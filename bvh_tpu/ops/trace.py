@@ -1259,3 +1259,70 @@ def trace_any_hit_chained(chained, rays: Ray, t_max=None, packet: int = 2048,
                                   sweep=sweep)
         occ = occ | got
     return occ
+
+
+def make_seeder(scene, packet: int = 2048, sample_stride: int = 32,
+                k_hints: int = 64, precision=jax.lax.Precision.HIGHEST,
+                interpret: bool = False):
+    """Device-side seeding-hints factory: ``seeder(rays) -> hints``.
+
+    ``compute_seed_hints`` maps sampled hits to leaf nodes on the HOST — a
+    result pull plus numpy per batch (the tunnel fence alone is ~27 ms).
+    This factory precomputes the (static per scene) triangle->lane and
+    cluster->leaf-node tables once and returns a fully jittable function, so
+    the seeded trace composes into one device program:
+
+        seeder = make_seeder(scene)
+        hints = seeder(rays)                        # stays on device
+        trace_closest_hit_tight(scene, rays, hints=hints)
+    """
+    tri_map = np.asarray(scene.tri_map)
+    n_tris = int(tri_map.max()) + 1
+    W = int(getattr(scene, "width", 16))
+    lane_of_tri = np.zeros(n_tris, np.int32)
+    valid = tri_map >= 0
+    lane_of_tri[tri_map[valid]] = np.nonzero(valid)[0].astype(np.int32)
+    nodes_entry = np.asarray(scene.smem_nodes[6])
+    leaf_nodes = np.nonzero(nodes_entry < 0)[0]
+    leaf_cluster = (-nodes_entry[leaf_nodes] - 1.0).astype(np.int64)
+    node_of_cluster = np.zeros(int(scene.num_clusters), np.int32)
+    node_of_cluster[leaf_cluster] = leaf_nodes.astype(np.int32)
+    lane_j = jnp.asarray(lane_of_tri)
+    node_j = jnp.asarray(node_of_cluster)
+    BIG = jnp.int32(0x7FFFFFF0)
+
+    def seeder(rays: Ray):
+        r = rays.origin.shape[0]
+        if r < sample_stride:
+            return None
+        assert packet % sample_stride == 0, (packet, sample_stride)
+        sample = Ray(
+            rays.origin[::sample_stride],
+            rays.direction[::sample_stride],
+            rays.inv_direction[::sample_stride],
+        )
+        pre = trace_closest_hit_tight(scene, sample, packet=min(packet, 1024),
+                                      precision=precision, interpret=interpret)
+        rpp = packet // sample_stride
+        ns = pre.shape_id.shape[0]
+        p = -(-r // packet)
+        pad = p * rpp - ns
+        sid = jnp.concatenate(
+            [pre.shape_id, jnp.full((pad,), -1, jnp.int32)]) if pad else pre.shape_id
+        cl = jnp.where(sid >= 0,
+                       lane_j[jnp.clip(sid, 0, n_tris - 1)] // W, BIG)
+        cl = jnp.sort(cl.reshape(p, rpp), axis=1)
+        first = jnp.concatenate(
+            [jnp.ones((p, 1), bool), cl[:, 1:] != cl[:, :-1]], axis=1)
+        first = first & (cl < BIG)
+        rank = jnp.cumsum(first, axis=1) - 1
+        slot = jnp.where(first & (rank < k_hints), rank, k_hints)
+        hints = jnp.full((p, k_hints + 1), -1, jnp.int32)
+        node = node_j[jnp.clip(cl, 0, node_j.shape[0] - 1)]
+        hints = hints.at[jnp.arange(p)[:, None], slot].set(
+            jnp.where(slot < k_hints, node, -1).astype(jnp.int32))
+        hints = hints[:, :k_hints]
+        fill = hints[:, 0:1]
+        return jnp.where(hints < 0, fill, hints)
+
+    return seeder

@@ -281,3 +281,26 @@ def test_bmat_path_matches_default(leaf):
     both = np.isfinite(tg) & np.isfinite(tw)
     assert (np.isfinite(tg) == np.isfinite(tw)).all()
     np.testing.assert_allclose(tg[both], tw[both], rtol=1e-5)
+
+
+def test_device_seeder_matches_host():
+    """make_seeder (jittable, on-device) must reproduce compute_seed_hints
+    (host numpy) exactly — same packets, same hint sets, same order."""
+    from bvh_tpu.ops.trace import compute_seed_hints, make_seeder
+
+    a, b, c = tb.create_n_cubes(60)
+    scene = build_tight_scene(a, b, c, use_native=False)
+    centers = a.reshape(-1, 12, 3).mean(axis=1)
+    n = 2048
+    idx = np.resize(np.arange(len(centers)), n)
+    rng = np.random.default_rng(1)
+    offs = rng.normal(size=(n, 3)).astype(np.float32)
+    offs /= np.linalg.norm(offs, axis=1, keepdims=True)
+    o = (centers[idx] + offs * 40).astype(np.float32)
+    d = (centers[idx] + 0.12 - o).astype(np.float32)
+    rays = Ray.create(jnp.asarray(o), jnp.asarray(d))
+    h_np = compute_seed_hints(scene, rays, packet=512, sample_stride=32,
+                              k_hints=16, interpret=True)
+    h_dev = make_seeder(scene, packet=512, sample_stride=32, k_hints=16,
+                        interpret=True)(rays)
+    np.testing.assert_array_equal(np.asarray(h_np), np.asarray(h_dev))
