@@ -81,6 +81,8 @@ def save_tight_scene(path: str, scene) -> None:
         extra["bgroups"] = np.asarray(scene.bgroups)
     if getattr(scene, "sweep_nodes", None) is not None:
         extra["sweep_nodes"] = np.asarray(scene.sweep_nodes)
+    if getattr(scene, "packed_nodes", None) is not None:
+        extra["packed_nodes"] = np.asarray(scene.packed_nodes)
     np.savez_compressed(
         path,
         __tight_version__=np.int64(_TIGHT_VERSION),
@@ -110,4 +112,5 @@ def load_tight_scene(path: str):
             width=int(z["width"]),
             bgroups=z["bgroups"] if "bgroups" in z.files else None,
             sweep_nodes=z["sweep_nodes"] if "sweep_nodes" in z.files else None,
+            packed_nodes=z["packed_nodes"] if "packed_nodes" in z.files else None,
         )

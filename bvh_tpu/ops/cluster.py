@@ -195,6 +195,7 @@ class TightScene(NamedTuple):
     width: int = TIGHT  # triangles per cluster (16 or 32)
     bgroups: np.ndarray | None = None  # [Gb, 16, row_w] precomputed bilinear forms (see pack_bgroups)
     sweep_nodes: np.ndarray | None = None  # [8, Ns] coarse table for the gate sweep (~8x leaf cut)
+    packed_nodes: np.ndarray | None = None  # [5, Nn] bf16-pair table (pack_node_table_bf16)
 
     @property
     def num_tris(self) -> int:
@@ -344,6 +345,7 @@ def build_tight_scene(
     a: np.ndarray, b: np.ndarray, c: np.ndarray, leaf_size: int | None = None,
     config=None, use_native: bool = True, collapse: int | None = 16,
     bmat: bool | None = None, sweep_cut: int | None = None,
+    packed: bool = False,
 ) -> TightScene:
     """Host prep for the tight-cluster kernel: SAH build, cut, pack, upper BVH.
 
@@ -410,7 +412,17 @@ def build_tight_scene(
         # Cluster AABBs and centers from the cut roots (tight by construction).
         cl_min = np.asarray(flat.aabb_min)[roots]
         cl_max = np.asarray(flat.aabb_max)[roots]
-        cc = ((cl_min + cl_max) * 0.5).astype(np.float32)
+        if packed:
+            # the packed kernel's frame origin is the raw packed f32 value
+            # of rows 0-2 at the leaf column (~the bf16 min corner); pack
+            # the group rows against the bit-identical host values
+            lo0 = _bf16_round_down(cl_min)
+            hi0 = _bf16_round_up(cl_max)
+            w = (lo0.view(np.int32) & np.int32(~0xFFFF)) | (
+                (hi0.view(np.int32) >> 16) & np.int32(0xFFFF))
+            cc = w.astype(np.int32).view(np.float32).astype(np.float32)
+        else:
+            cc = ((cl_min + cl_max) * 0.5).astype(np.float32)
 
         # Upper BVH over cluster AABBs -> SMEM table; leaves encode -(cluster+1).
         if use_native:
@@ -429,14 +441,15 @@ def build_tight_scene(
         if collapse:
             smem_nodes = collapse_upper(smem_nodes, collapse)
             nn = smem_nodes.shape[1]
-        if nn * 32 > 640_000 and not auto:
+        node_bytes = 20 if packed else 32
+        if nn * node_bytes > 640_000 and not auto:
             # explicit leaf_size: interpret-mode tests would pass but the
             # kernel fails at launch on real hardware (SMEM prefetch budget)
             raise ValueError(
-                f"leaf_size={leaf_size} puts {nn} upper nodes ({nn * 32} B) "
-                "over the ~640KB SMEM scalar-prefetch budget; use a larger "
-                "leaf_size or leaf_size=None (auto)")
-        if not (auto and leaf_size < 128 and nn * 32 > 640_000):
+                f"leaf_size={leaf_size} puts {nn} upper nodes "
+                f"({nn * node_bytes} B) over the ~640KB SMEM scalar-prefetch "
+                "budget; use a larger leaf_size or leaf_size=None (auto)")
+        if not (auto and leaf_size < 128 and nn * node_bytes > 640_000):
             break
         leaf_size *= 2
 
@@ -496,8 +509,9 @@ def build_tight_scene(
                                roots, W, cc, groups, tri_map_pad)
         if not ok:
             raise RuntimeError("native pack failed (cluster overflow?)")
+        pn = pack_node_table_bf16(smem_nodes) if packed else None
         return TightScene(smem_nodes, groups, tri_map_pad, C, nn, W, None,
-                          sweep_nodes)
+                          sweep_nodes, pn)
 
     shape_ids = np.asarray(flat.shape)[leaves]  # tri id per tree leaf, DFS order
 
@@ -537,8 +551,9 @@ def build_tight_scene(
             blocks = np.concatenate(
                 [blocks, np.zeros(((C_pad - C) * W, 4, 16), np.float32)], axis=0)
         bgroups = pack_bgroups(blocks, C_pad, W)
+    pn = pack_node_table_bf16(smem_nodes) if packed else None
     return TightScene(smem_nodes, groups, tri_map_pad, C, nn, W, bgroups,
-                      sweep_nodes)
+                      sweep_nodes, pn)
 
 
 class ChainedScene(NamedTuple):
@@ -560,10 +575,11 @@ class ChainedScene(NamedTuple):
     orig_ids: tuple  # [i] int32: part-local triangle id -> global triangle id
 
 
-def build_chained_scene(a, b, c, max_part: int = 260_000,
+def build_chained_scene(a, b, c, max_part: int | None = None,
                         leaf_size: int | None = None, config=None,
                         use_native: bool = True, collapse: int | None = 16,
-                        bmat: bool | None = None) -> ChainedScene:
+                        bmat: bool | None = None,
+                        packed: bool = False) -> ChainedScene:
     """Partition + per-part SAH build for scenes beyond one SMEM table.
 
     Parts are equal-size slices of the Morton order (balanced => identical
@@ -576,11 +592,18 @@ def build_chained_scene(a, b, c, max_part: int = 260_000,
     n = a.shape[0]
     if n == 0:
         raise ValueError("empty scene")
+    if max_part is None:
+        # bf16-packed tables fit ~31k nodes in the SMEM budget (W=16 with
+        # collapse ~= 400k tris) but cost ~+90ns/visit for the vector-domain
+        # unpack — measured NET SLOWER (3 packed parts 0.30 M rays/s vs 4
+        # f32 parts 0.37 on the 1M sparse workload), so f32 parts are the
+        # default and packing is the opt-in capacity escape hatch
+        max_part = 400_000 if packed else 260_000
     k = -(-n // max_part)
     if k == 1:
         scene = build_tight_scene(a, b, c, leaf_size=leaf_size, config=config,
                                   use_native=use_native, collapse=collapse,
-                                  bmat=bmat)
+                                  bmat=bmat, packed=packed)
         return ChainedScene((scene,), (np.arange(n, dtype=np.int32),))
 
     centroid = (a + b + c) / np.float32(3.0)
@@ -601,6 +624,74 @@ def build_chained_scene(a, b, c, max_part: int = 260_000,
         parts.append(build_tight_scene(a[sel], b[sel], c[sel],
                                        leaf_size=leaf_size, config=config,
                                        use_native=use_native,
-                                       collapse=collapse, bmat=bmat))
+                                       collapse=collapse, bmat=bmat,
+                                       packed=packed))
         ids.append(sel)
     return ChainedScene(tuple(parts), tuple(ids))
+
+
+def _bf16_round_down(x: np.ndarray) -> np.ndarray:
+    """Largest bf16 <= x (directed rounding; f32 in/out)."""
+    x = np.asarray(x, np.float32)
+    bits = x.view(np.int32)
+    t = bits & np.int32(~0xFFFF)
+    xt = t.view(np.float32)
+    need = xt > x
+    # one bf16 lattice step toward -inf in raw f32 bit space
+    down = np.where(t > 0, t - 0x10000,
+                    np.where(t == 0, np.int32(np.uint32(0x80010000)),
+                             t + np.int32(0x10000))).astype(np.int32)
+    out = np.where(need, down, t).astype(np.int32)
+    return out.view(np.float32)
+
+
+def _bf16_round_up(x: np.ndarray) -> np.ndarray:
+    """Smallest bf16 >= x (directed rounding; f32 in/out)."""
+    x = np.asarray(x, np.float32)
+    bits = x.view(np.int32)
+    t = bits & np.int32(~0xFFFF)
+    xt = t.view(np.float32)
+    need = xt < x
+    neg0 = np.int32(np.uint32(0x80000000))
+    up = np.where(t >= 0, t + 0x10000,
+                  np.where(t == neg0, np.int32(0x00010000),
+                           t - np.int32(0x10000))).astype(np.int32)
+    out = np.where(need, up, t).astype(np.int32)
+    return out.view(np.float32)
+
+
+def pack_node_table_bf16(smem_nodes: np.ndarray) -> np.ndarray:
+    """[8, nn] f32 table -> [5, nn] with bf16-pair box rows (conservative).
+
+    Rows 0-2 hold (min, max) per axis as two bf16 halves of one f32 lane
+    (min in the high half so a plain truncation ordering survives); rows
+    3-4 are entry/exit unchanged. Boxes are rounded OUTWARD (min down, max
+    up), so traversal through a packed table visits a superset — never
+    misses a hit. 20 B/node instead of 32 lifts the ~625KB SMEM budget to
+    ~31k nodes (~400k triangles at W=16), and each visit does 5 scalar
+    reads instead of 8.
+    """
+    nn = smem_nodes.shape[1]
+    out = np.zeros((5, nn), np.float32)
+    for axis in range(3):
+        lo = _bf16_round_down(smem_nodes[axis])
+        hi = _bf16_round_up(smem_nodes[3 + axis])
+        packed = (lo.view(np.int32) & np.int32(~0xFFFF)) | (
+            (hi.view(np.int32) >> 16) & np.int32(0xFFFF))
+        out[axis] = packed.astype(np.int32).view(np.float32)
+    out[3] = smem_nodes[6]
+    out[4] = smem_nodes[7]
+    return out
+
+
+def unpack_node_table_bf16(packed: np.ndarray) -> np.ndarray:
+    """Inverse layout transform (boxes stay at bf16 resolution)."""
+    nn = packed.shape[1]
+    out = np.zeros((8, nn), np.float32)
+    for axis in range(3):
+        bits = packed[axis].view(np.int32)
+        out[axis] = (bits & np.int32(~0xFFFF)).view(np.float32)
+        out[3 + axis] = (bits << 16).view(np.float32)
+    out[6] = packed[3]
+    out[7] = packed[4]
+    return out

@@ -38,6 +38,37 @@ def _cross_rows(u0, u1, u2, v0, v1, v2):
     return (u1 * v2 - u2 * v1, u2 * v0 - u0 * v2, u0 * v1 - u1 * v0)
 
 
+def _read_node(nodes_ref, cursor, packed):
+    """(ax..bz, entry, exit) from a node table column.
+
+    packed=True reads the bf16-pair layout (cluster.pack_node_table_bf16):
+    rows 0-2 hold (min,max) as two bf16 halves of one f32 lane — 5 scalar
+    SMEM reads instead of 8. Mosaic cannot bitcast SCALARS (tpu.bitcast is
+    vector-only — a real-hardware lowering fact interpret mode hides), so
+    the halves are split in the vector domain: the packed scalar broadcasts
+    to a [1, 128] row (which the slab test needs anyway) and the mask/shift
+    run as cheap one-vreg ops. Boxes are conservatively rounded outward at
+    build, so traversal visits a superset, never misses.
+    """
+    if not packed:
+        return (nodes_ref[0, cursor], nodes_ref[1, cursor], nodes_ref[2, cursor],
+                nodes_ref[3, cursor], nodes_ref[4, cursor], nodes_ref[5, cursor],
+                nodes_ref[6, cursor], nodes_ref[7, cursor])
+    hi_mask = jnp.int32(~0xFFFF)
+
+    def unpack(row):
+        v = jnp.full((1, 128), nodes_ref[row, cursor], jnp.float32)
+        bits = pltpu.bitcast(v, jnp.int32)
+        lo = pltpu.bitcast(jax.lax.bitwise_and(bits, hi_mask), jnp.float32)
+        hi = pltpu.bitcast(jax.lax.shift_left(bits, 16), jnp.float32)
+        return lo, hi
+
+    ax, bx = unpack(0)
+    ay, by = unpack(1)
+    az, bz = unpack(2)
+    return ax, ay, az, bx, by, bz, nodes_ref[3, cursor], nodes_ref[4, cursor]
+
+
 def _make_kernel(packet: int, precision, use_cc: bool, skip_narrow: bool = False):
     def _kernel(nodes_ref, cc_ref, tris_ref, slab_ref, lmat_ref, out_ref, best_ref, tbar_ref):
         return _kernel_body(
@@ -353,7 +384,8 @@ def _make_tight_kernel(packet: int, precision, skip_narrow: bool = False,
                        subtile: int = 1024, width: int = 16, n_hints: int = 0,
                        mode: str = "closest", bounded: bool = False,
                        use_bmat: bool = False, count_visits: bool = False,
-                       resident: bool = False, gated: bool = False):
+                       resident: bool = False, gated: bool = False,
+                       packed: bool = False):
     def _kernel(nodes_ref, hints_ref, gate_ref, groups_ref, slab_ref, lmat_ref,
                 out_ref, bestk_ref, bestc_ref, vb_ref, cnt_ref, *rest):
         if resident:
@@ -376,7 +408,7 @@ def _make_tight_kernel(packet: int, precision, skip_narrow: bool = False,
                            lmat_ref, out_ref, bestk_ref, bestc_ref, vb_ref,
                            cnt_ref, packet, precision, skip_narrow, subtile,
                            width, n_hints, mode, bounded, use_bmat,
-                           count_visits, gated)
+                           count_visits, gated, packed)
     return _kernel
 
 
@@ -384,7 +416,7 @@ def _tight_body(nodes_ref, hints_ref, gate_ref, groups_ref, slab_ref, lmat_ref,
                 out_ref, bestk_ref, bestc_ref, vb_ref, cnt_ref, PACKET,
                 PRECISION, SKIP_NARROW=False, SUBTILE=1024, W=16, N_HINTS=0,
                 MODE="closest", BOUNDED=False, USE_BMAT=False,
-                COUNT_VISITS=False, GATED=False):
+                COUNT_VISITS=False, GATED=False, PACKED=False):
     assert W in (16, 32, 64, 128)
     assert MODE in ("closest", "any")
     nn = nodes_ref.shape[1]
@@ -416,13 +448,7 @@ def _tight_body(nodes_ref, hints_ref, gate_ref, groups_ref, slab_ref, lmat_ref,
         cnt_ref[1] = 0
 
     def narrowphase(node):
-        ax = nodes_ref[0, node]
-        ay = nodes_ref[1, node]
-        az = nodes_ref[2, node]
-        bx = nodes_ref[3, node]
-        by = nodes_ref[4, node]
-        bz = nodes_ref[5, node]
-        cluster_f = nodes_ref[6, node]
+        ax, ay, az, bx, by, bz, cluster_f, _x = _read_node(nodes_ref, node, PACKED)
         c = (-cluster_f - 1.0).astype(jnp.int32)
         if COUNT_VISITS:
             cnt_ref[1] = cnt_ref[1] + 1
@@ -472,10 +498,21 @@ def _tight_body(nodes_ref, hints_ref, gate_ref, groups_ref, slab_ref, lmat_ref,
             b_t = rows(z1, z1, z1, z1, z1, z1, n0, n1, n2, -an)
             bmat = jnp.concatenate([b_det, b_u, b_v, b_t], axis=1)  # [16, 4W]
 
-        # ray transform into the cluster frame (center of the leaf box)
-        ccx = (ax + bx) * 0.5
-        ccy = (ay + by) * 0.5
-        ccz = (az + bz) * 0.5
+        # ray transform into the cluster frame. Packed scenes use the RAW
+        # packed f32 scalars of rows 0-2 as the frame origin: their float
+        # value is ~the box min corner (the bf16 min rides the high half;
+        # the low-half junk shifts it by <2^-8 relative), any consistent
+        # constant is a valid origin, and the host packs the group rows
+        # against the bit-identical .view(float32) values — so no scalar
+        # bitcast (unsupported on the scalar core) and no extra storage.
+        if PACKED:
+            ccx = nodes_ref[0, node]
+            ccy = nodes_ref[1, node]
+            ccz = nodes_ref[2, node]
+        else:
+            ccx = (ax + bx) * 0.5
+            ccy = (ay + by) * 0.5
+            ccz = (az + bz) * 0.5
 
         def narrow_subtile(st):
             # TRANSPOSED narrowphase: rays ride the LANE axis throughout
@@ -593,14 +630,7 @@ def _tight_body(nodes_ref, hints_ref, gate_ref, groups_ref, slab_ref, lmat_ref,
                     narrow_subtile(st)
 
     def visit(cursor):
-        ax = nodes_ref[0, cursor]
-        ay = nodes_ref[1, cursor]
-        az = nodes_ref[2, cursor]
-        bx = nodes_ref[3, cursor]
-        by = nodes_ref[4, cursor]
-        bz = nodes_ref[5, cursor]
-        entry = nodes_ref[6, cursor]
-        exit_ = nodes_ref[7, cursor]
+        ax, ay, az, bx, by, bz, entry, exit_ = _read_node(nodes_ref, cursor, PACKED)
 
         # slab components re-read from VMEM each visit (holding them in
         # registers across the loop spills the register file); rows 0-2 are
@@ -677,11 +707,11 @@ def _tight_body(nodes_ref, hints_ref, gate_ref, groups_ref, slab_ref, lmat_ref,
         out_ref[0, 1:2] = jnp.full((1, 128), cnt_ref[1].astype(jnp.float32))
 
 
-@partial(jax.jit, static_argnames=("num_nodes", "interpret", "packet", "precision", "skip_narrow", "width", "n_hints", "mode", "bounded", "use_bmat", "count_visits", "resident", "gated"))
+@partial(jax.jit, static_argnames=("num_nodes", "interpret", "packet", "precision", "skip_narrow", "width", "n_hints", "mode", "bounded", "use_bmat", "count_visits", "resident", "gated", "packed"))
 def _trace_tight(smem_nodes, hints, gate, groups, slab, lmat, num_nodes, interpret=False,
                  packet=2048, precision=jax.lax.Precision.HIGHEST, skip_narrow=False,
                  width=16, n_hints=0, mode="closest", bounded=False, use_bmat=False,
-                 count_visits=False, resident=False, gated=False):
+                 count_visits=False, resident=False, gated=False, packed=False):
     p = slab.shape[0]
     sub = packet // 128
     scratch = [
@@ -712,7 +742,7 @@ def _trace_tight(smem_nodes, hints, gate, groups, slab, lmat, num_nodes, interpr
         _make_tight_kernel(packet, precision, skip_narrow, width=width,
                            n_hints=n_hints, mode=mode, bounded=bounded,
                            use_bmat=use_bmat, count_visits=count_visits,
-                           resident=resident, gated=gated),
+                           resident=resident, gated=gated, packed=packed),
         out_shape=jax.ShapeDtypeStruct((p, 2 * sub, 128), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -722,13 +752,15 @@ def _trace_tight(smem_nodes, hints, gate, groups, slab, lmat, num_nodes, interpr
     )(smem_nodes, hints, gate, groups, slab, lmat)
 
 
-def _make_sweep_kernel(packet: int, exit_on_fire: bool):
+def _make_sweep_kernel(packet: int, exit_on_fire, packed: bool = False):
     def _kernel(nodes_ref, slab_ref, out_ref):
-        return _sweep_body(nodes_ref, slab_ref, out_ref, packet, exit_on_fire)
+        return _sweep_body(nodes_ref, slab_ref, out_ref, packet, exit_on_fire,
+                           packed)
     return _kernel
 
 
-def _sweep_body(nodes_ref, slab_ref, out_ref, PACKET, EXIT_ON_FIRE):
+def _sweep_body(nodes_ref, slab_ref, out_ref, PACKET, EXIT_ON_FIRE,
+                PACKED=False):
     """Broadphase-only sweep: would this packet fire any narrowphase?
 
     Contains NO narrowphase code, carries ONLY the cursor, and keeps the
@@ -742,14 +774,7 @@ def _sweep_body(nodes_ref, slab_ref, out_ref, PACKET, EXIT_ON_FIRE):
     nn = nodes_ref.shape[1]
 
     def step(cursor, remap):
-        ax = nodes_ref[0, cursor]
-        ay = nodes_ref[1, cursor]
-        az = nodes_ref[2, cursor]
-        bx = nodes_ref[3, cursor]
-        by = nodes_ref[4, cursor]
-        bz = nodes_ref[5, cursor]
-        entry = nodes_ref[6, cursor]
-        exit_ = nodes_ref[7, cursor]
+        ax, ay, az, bx, by, bz, entry, exit_ = _read_node(nodes_ref, cursor, PACKED)
         oix, oiy, oiz = slab_ref[0, 0], slab_ref[0, 1], slab_ref[0, 2]
         ix, iy, iz = slab_ref[0, 3], slab_ref[0, 4], slab_ref[0, 5]
         t1 = ax * ix - oix
@@ -795,9 +820,9 @@ def _sweep_body(nodes_ref, slab_ref, out_ref, PACKET, EXIT_ON_FIRE):
     out_ref[0, 0] = jnp.full((128,), fired.astype(jnp.float32))
 
 
-@partial(jax.jit, static_argnames=("num_nodes", "interpret", "packet", "exit_on_fire"))
+@partial(jax.jit, static_argnames=("num_nodes", "interpret", "packet", "exit_on_fire", "packed"))
 def _sweep_tight(smem_nodes, slab, num_nodes, interpret=False, packet=2048,
-                 exit_on_fire=True):
+                 exit_on_fire=True, packed=False):
     p = slab.shape[0]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=1,
@@ -808,7 +833,7 @@ def _sweep_tight(smem_nodes, slab, num_nodes, interpret=False, packet=2048,
         out_specs=pl.BlockSpec((1, 1, 128), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
-        _make_sweep_kernel(packet, exit_on_fire),
+        _make_sweep_kernel(packet, exit_on_fire, packed),
         out_shape=jax.ShapeDtypeStruct((p, 1, 128), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -907,12 +932,16 @@ def trace_closest_hit_tight(scene, rays: Ray, tris=None, interpret: bool = False
         n_hints = int(hints.shape[1])
         hints_arr = hints.reshape(-1).astype(jnp.int32)
     bg = getattr(scene, "bgroups", None)
-    sn = jnp.asarray(scene.smem_nodes)
+    pn = getattr(scene, "packed_nodes", None)
+    sn = jnp.asarray(pn if pn is not None else scene.smem_nodes)
     if sweep and not skip_narrow:
         swn = getattr(scene, "sweep_nodes", None)
-        swt = jnp.asarray(swn) if swn is not None else sn
+        if swn is not None:
+            swt, swp = jnp.asarray(swn), False
+        else:
+            swt, swp = sn, pn is not None
         fired = _sweep_tight(swt, slab, num_nodes=int(swt.shape[1]),
-                             interpret=interpret, packet=packet)
+                             interpret=interpret, packet=packet, packed=swp)
         gate = (fired[:, 0, 0] > 0).astype(jnp.int32)
     else:
         gate = jnp.zeros((p,), jnp.int32)
@@ -923,7 +952,7 @@ def trace_closest_hit_tight(scene, rays: Ray, tris=None, interpret: bool = False
         jnp.asarray(bg if bg is not None else scene.groups),
         slab,
         lmat,
-        num_nodes=int(np.shape(scene.smem_nodes)[1]),
+        num_nodes=int(sn.shape[1]),
         interpret=interpret,
         packet=packet,
         precision=precision,
@@ -933,6 +962,7 @@ def trace_closest_hit_tight(scene, rays: Ray, tris=None, interpret: bool = False
         bounded=t_max is not None,
         use_bmat=bg is not None,
         gated=sweep and not skip_narrow,
+        packed=pn is not None,
     )
     sub = packet // 128
     t = out[:, :sub].reshape(rp)[:r]
@@ -986,12 +1016,16 @@ def trace_any_hit_tight(scene, rays: Ray, t_max=None, interpret: bool = False,
         return jnp.zeros((0,), bool)
     p, rp, slab, lmat = _pack_rays_tight(rays, packet, t_max)
     bg = getattr(scene, "bgroups", None)
-    sn = jnp.asarray(scene.smem_nodes)
+    pn = getattr(scene, "packed_nodes", None)
+    sn = jnp.asarray(pn if pn is not None else scene.smem_nodes)
     if sweep:
         swn = getattr(scene, "sweep_nodes", None)
-        swt = jnp.asarray(swn) if swn is not None else sn
+        if swn is not None:
+            swt, swp = jnp.asarray(swn), False
+        else:
+            swt, swp = sn, pn is not None
         fired = _sweep_tight(swt, slab, num_nodes=int(swt.shape[1]),
-                             interpret=interpret, packet=packet)
+                             interpret=interpret, packet=packet, packed=swp)
         gate = (fired[:, 0, 0] > 0).astype(jnp.int32)
     else:
         gate = jnp.zeros((p,), jnp.int32)
@@ -1002,7 +1036,7 @@ def trace_any_hit_tight(scene, rays: Ray, t_max=None, interpret: bool = False,
         jnp.asarray(bg if bg is not None else scene.groups),
         slab,
         lmat,
-        num_nodes=int(np.shape(scene.smem_nodes)[1]),
+        num_nodes=int(sn.shape[1]),
         interpret=interpret,
         packet=packet,
         precision=precision,
@@ -1011,6 +1045,7 @@ def trace_any_hit_tight(scene, rays: Ray, t_max=None, interpret: bool = False,
         bounded=t_max is not None,
         use_bmat=bg is not None,
         gated=sweep,
+        packed=pn is not None,
     )
     t = out[:, : packet // 128].reshape(rp)[:r]
     if t_max is None:

@@ -68,24 +68,31 @@ def sharded_trace_closest_hit(mesh, scene, rays: Ray, tris=None,
     tmap = jnp.asarray(scene.tri_map)
     bg = getattr(scene, "bgroups", None)
     bg_args = (jnp.asarray(bg),) if bg is not None else ()
+    pn = getattr(scene, "packed_nodes", None)
+    pn_args = (jnp.asarray(pn),) if pn is not None else ()
     tri_args = tuple(jnp.asarray(x) for x in tris) if tris is not None else ()
-    k = 3 + len(bg_args) + len(tri_args)
+    k = 3 + len(bg_args) + len(pn_args) + len(tri_args)
 
     def body(*a):
         sn_l, gr_l, tmap_l = a[:3]
-        bg_l = a[3] if bg_args else None
-        tris_l = a[3 + len(bg_args):k] if tri_args else None
+        off = 3
+        bg_l = a[off] if bg_args else None
+        off += len(bg_args)
+        pn_l = a[off] if pn_args else None
+        off += len(pn_args)
+        tris_l = a[off:k] if tri_args else None
         o_l, d_l, inv_l = a[k:k + 3]
         tm_l = a[k + 3:]
         local_scene = scene._replace(smem_nodes=sn_l, groups=gr_l,
-                                     tri_map=tmap_l, bgroups=bg_l)
+                                     tri_map=tmap_l, bgroups=bg_l,
+                                     packed_nodes=pn_l, sweep_nodes=None)
         local = Ray(o_l, d_l, inv_l)
         hit = trace_closest_hit_tight(
             local_scene, local, tris=tris_l, packet=packet, interpret=interpret,
             t_max=tm_l[0] if tm_l else None)
         return hit.t, hit.u, hit.v, hit.shape_id
 
-    args = (sn, gr, tmap) + bg_args + tri_args + (o, d, inv) + ((tm,) if tm is not None else ())
+    args = (sn, gr, tmap) + bg_args + pn_args + tri_args + (o, d, inv) + ((tm,) if tm is not None else ())
     inner = jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(),) * k + tuple(P("rays") for _ in args[k:]),
@@ -136,21 +143,27 @@ def sharded_trace_any_hit(mesh, scene, rays: Ray, t_max=None,
     tmap = jnp.asarray(scene.tri_map)
     bg = getattr(scene, "bgroups", None)
     bg_args = (jnp.asarray(bg),) if bg is not None else ()
-    k = 3 + len(bg_args)
+    pn = getattr(scene, "packed_nodes", None)
+    pn_args = (jnp.asarray(pn),) if pn is not None else ()
+    k = 3 + len(bg_args) + len(pn_args)
 
     def body(*a):
         sn_l, gr_l, tmap_l = a[:3]
-        bg_l = a[3] if bg_args else None
+        off = 3
+        bg_l = a[off] if bg_args else None
+        off += len(bg_args)
+        pn_l = a[off] if pn_args else None
         o_l, d_l, inv_l = a[k:k + 3]
         tm_l = a[k + 3:]
         local_scene = scene._replace(smem_nodes=sn_l, groups=gr_l,
-                                     tri_map=tmap_l, bgroups=bg_l)
+                                     tri_map=tmap_l, bgroups=bg_l,
+                                     packed_nodes=pn_l, sweep_nodes=None)
         occ = trace_any_hit_tight(
             local_scene, Ray(o_l, d_l, inv_l), packet=packet, interpret=interpret,
             t_max=tm_l[0] if tm_l else None)
         return (occ,)
 
-    args = (sn, gr, tmap) + bg_args + (o, d, inv) + ((tm,) if tm is not None else ())
+    args = (sn, gr, tmap) + bg_args + pn_args + (o, d, inv) + ((tm,) if tm is not None else ())
     inner = jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(),) * k + tuple(P("rays") for _ in args[k:]),

@@ -304,3 +304,42 @@ def test_device_seeder_matches_host():
     h_dev = make_seeder(scene, packet=512, sample_stride=32, k_hints=16,
                         interpret=True)(rays)
     np.testing.assert_array_equal(np.asarray(h_np), np.asarray(h_dev))
+
+
+def test_packed_node_table_traces_correctly():
+    """bf16-pair node tables (packed=True): conservative boxes, exact hit
+    results vs the f32-table path and the brute-force oracle."""
+    from bvh_tpu.bvh.traverse import brute_force_closest_hit
+
+    a, b, c = tb.create_n_cubes(50)
+    s32 = build_tight_scene(a, b, c, use_native=False)
+    sp = build_tight_scene(a, b, c, use_native=False, packed=True)
+    assert sp.packed_nodes is not None and sp.packed_nodes.shape[0] == 5
+    centers = a.reshape(-1, 12, 3).mean(axis=1)
+    n = 1024
+    idx = np.resize(np.arange(len(centers)), n)
+    rng = np.random.default_rng(7)
+    offs = rng.normal(size=(n, 3)).astype(np.float32)
+    offs /= np.linalg.norm(offs, axis=1, keepdims=True)
+    o = (centers[idx] + offs * 40.0).astype(np.float32)
+    d = (centers[idx] + 0.15 - o).astype(np.float32)
+    flip = rng.random(n) < 0.3
+    d[flip] = offs[flip]
+    rays = Ray.create(jnp.asarray(o), jnp.asarray(d))
+    got = trace_closest_hit_tight(sp, rays, packet=128, interpret=True)
+    want = brute_force_closest_hit(rays, jnp.asarray(a), jnp.asarray(b), jnp.asarray(c))
+    tg, tw = np.asarray(got.t), np.asarray(want.t)
+    assert (np.isfinite(tg) == np.isfinite(tw)).all()
+    both = np.isfinite(tg)
+    # grazing-edge class, slightly widened by the bf16 cluster-frame shift
+    np.testing.assert_allclose(tg[both], tw[both], rtol=5e-3)
+    assert (np.abs(tg[both] / tw[both] - 1) < 3e-3).mean() > 0.97
+    # sweep-gated packed path agrees exactly with plain packed
+    got2 = trace_closest_hit_tight(sp, rays, packet=128, interpret=True, sweep=True)
+    np.testing.assert_array_equal(np.asarray(got2.t), tg)
+    # where the winner agrees with the f32-table path, t matches closely
+    ref = trace_closest_hit_tight(s32, rays, packet=128, interpret=True)
+    same = np.asarray(ref.shape_id) == np.asarray(got.shape_id)
+    assert same.mean() > 0.9
+    np.testing.assert_allclose(tg[both & same], np.asarray(ref.t)[both & same],
+                               rtol=2e-4)
