@@ -60,7 +60,8 @@ def test_fuzz_kernels_on_tpu():
         rays = Ray.create(jnp.asarray(o), jnp.asarray(d))
         aj, bj, cj = jnp.asarray(a), jnp.asarray(b), jnp.asarray(c)
 
-        got = trace_closest_hit_tight(scene, rays, packet=packet)
+        sweep = bool(rng.random() < 0.5)
+        got = trace_closest_hit_tight(scene, rays, packet=packet, sweep=sweep)
         want = brute_force_closest_hit(rays, aj, bj, cj)
         tg, tw = np.asarray(got.t), np.asarray(want.t)
         agree = (np.isfinite(tg) == np.isfinite(tw)).mean()
@@ -69,7 +70,8 @@ def test_fuzz_kernels_on_tpu():
         if both.any():
             np.testing.assert_allclose(tg[both], tw[both], rtol=3e-3,
                                        err_msg=str((rd, n_cubes, leaf, packet)))
-        occ = np.asarray(trace_any_hit_tight(scene, rays, packet=packet))
+        occ = np.asarray(trace_any_hit_tight(scene, rays, packet=packet,
+                                             sweep=sweep))
         assert (occ == np.isfinite(tg)).all(), (rd, "any-hit mismatch")
 
         # bounded occlusion: occluded iff closest hit strictly inside t_max
@@ -90,5 +92,19 @@ def test_fuzz_kernels_on_tpu():
             want2 = brute_force_closest_hit(rays, jnp.asarray(a2), jnp.asarray(b2), jnp.asarray(c2))
             t2g, t2w = np.asarray(got2.t), np.asarray(want2.t)
             assert (np.isfinite(t2g) == np.isfinite(t2w)).mean() > 0.98, (rd, "refit")
+        if builder == "host" and rng.random() < 0.3:
+            # chained scenes: force >=2 parts, compare hit t within the
+            # documented boundary-grazing class
+            from bvh_tpu.ops.cluster import build_chained_scene
+            from bvh_tpu.ops.trace import trace_closest_hit_chained
+
+            chs = build_chained_scene(a, b, c, max_part=max(n_cubes * 4, 48))
+            gotc = trace_closest_hit_chained(chs, rays, packet=packet)
+            tc = np.asarray(gotc.t)
+            assert (np.isfinite(tc) == np.isfinite(tw)).mean() > 0.99, (rd, "chained")
+            bc = np.isfinite(tc) & np.isfinite(tw)
+            if bc.any():
+                np.testing.assert_allclose(tc[bc], tw[bc], rtol=1e-2,
+                                           err_msg=str((rd, "chained")))
         print(f"round {rd}: cubes={n_cubes} leaf={leaf} packet={packet} "
-              f"builder={builder} agree={agree:.4f} OK")
+              f"builder={builder} sweep={sweep} agree={agree:.4f} OK")
