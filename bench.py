@@ -291,15 +291,20 @@ def main():
         # VPU slab flops per visit: 12 fma + 10 min/max on [packet] lanes
         vpu_flops = v_tot * 22 * packet
         peak_mxu = 197e12  # bf16 v5e; f32 ~ 1/4 of this
+        kernel_s = v_tot * 195e-9  # measured serial visit cost (CLAUDE.md)
         roofline = {
             "visits_total": v_tot,
             "fires_total": f_tot,
             "visits_per_packet": round(v_tot / n_packets, 1),
-            "ns_per_visit": round(best * 1e9 / v_tot, 2),
+            "e2e_ns_per_visit": round(best * 1e9 / v_tot, 2),
+            "kernel_model_s": round(kernel_s, 4),
+            "xla_prep_epilogue_s": round(max(best - kernel_s - 0.027, 0.0), 4),
+            "fence_s": 0.027,
             "narrow_mxu_flops": mxu_flops,
             "broad_vpu_flops": vpu_flops,
             "mxu_util_pct": round(100.0 * mxu_flops / (best * peak_mxu), 3),
-            "bound": "serial visit latency (SMEM/VMEM resident; not HBM-bound)",
+            "bound": "serial visit latency, ~195 ns/visit measured "
+                     "(SMEM/VMEM resident; not HBM- or FLOP-bound)",
         }
 
     # Fused wavefront path tracing (render.py): primary + NEE shadow +
@@ -337,6 +342,11 @@ def main():
             best_p = min(best_p, time.perf_counter() - t0)
         pathtrace_rays_per_s = side * side * 2 * (bounces + 1) / best_p
 
+    # Camera-dense fwd+bwd: gradients of a camera depth render against the
+    # 260k dense mesh — the north-star multi-bounce training configuration's
+    # inner step (scene tables fixed, rays fixed, vertex grads).
+    cam_fwd_bwd_rays_per_s = None
+
     # Sponza-class workload: camera render of the ~260k-triangle dense mesh
     # (the reference's Sponza bench is 1,381 ns/ray = 0.72 M rays/s per core;
     # its sponza.obj is a stripped blob, so testbase.create_dense_mesh stands
@@ -370,6 +380,25 @@ def main():
             best_c = min(best_c, time.perf_counter() - t0)
         cam_rays_per_s = Wd * Hd / best_c
 
+        ad_j, bd_j, cd_j = jnp.asarray(ad), jnp.asarray(bd), jnp.asarray(cd)
+        tgt_c = jnp.zeros((Wd * Hd,), jnp.float32)
+
+        def loss_cam(av, bv, cv):
+            depth, hit_m = render_depth_fast(scene_d, cam_tiled, av, bv, cv,
+                                             packet=1024)
+            return jnp.sum(jnp.where(hit_m, (depth - tgt_c) ** 2, 0.0)) * 1e-9
+
+        gcam = jax.jit(jax.value_and_grad(loss_cam, argnums=(0, 1, 2)))
+        vc, _g = gcam(ad_j, bd_j, cd_j)
+        _ = float(vc)
+        best_cg = float("inf")
+        for _ in range(max(iters - 3, 1)):
+            t0 = time.perf_counter()
+            vc, _g = gcam(ad_j, bd_j, cd_j)
+            _ = float(vc)
+            best_cg = min(best_cg, time.perf_counter() - t0)
+        cam_fwd_bwd_rays_per_s = Wd * Hd / best_cg
+
     baseline = 1.0 / 853e-9  # reference: 853 ns/ray, README.md:178
     hit_frac = float(np.isfinite(np.asarray(t)).mean())
     result = {
@@ -391,6 +420,7 @@ def main():
             "tight_refit_device_ms": round(best_tr * 1e3, 2),
             "scales": scales,
             "camera_260k_dense_rays_per_s": round(cam_rays_per_s) if cam_rays_per_s else None,
+            "camera_260k_fwd_bwd_rays_per_s": round(cam_fwd_bwd_rays_per_s) if cam_fwd_bwd_rays_per_s else None,
             "sparse_1m_tris_rays_per_s": round(sparse_1m_rays_per_s) if sparse_1m_rays_per_s else None,
             "pathtrace_2bounce_rays_per_s": round(pathtrace_rays_per_s) if pathtrace_rays_per_s else None,
             "refit_quality": refit_quality or None,
