@@ -34,7 +34,10 @@ def main():
     from bvh_tpu.ops.trace import sort_rays_device, trace_closest_hit_tight
 
     n_cubes = int(os.environ.get("BENCH_CUBES", "10000"))  # 120k triangles
-    n_rays = int(os.environ.get("BENCH_RAYS", str(1 << 20)))
+    # 2M rays per measured iteration: the result fence costs a fixed ~27ms
+    # over the remote-attach tunnel; bigger batches amortize it (the
+    # reference bench's per-ray hot loop has no such per-iteration cost)
+    n_rays = int(os.environ.get("BENCH_RAYS", str(2 << 20)))
     packet = int(os.environ.get("BENCH_PACKET", "4096"))
     iters = int(os.environ.get("BENCH_ITERS", "5"))
 
@@ -150,7 +153,10 @@ def main():
             o_sj, d_sj = jnp.asarray(o_s), jnp.asarray(d_s)
 
             def run_s():
-                perm_s, inv_s = sort_rays_device(o_sj, d_sj, bits=2)
+                # tiny tables: coherence matters less, finer origin bits
+                # keep packets tight (bits=2 measured -18% at 1.2k tris)
+                perm_s, inv_s = sort_rays_device(o_sj, d_sj,
+                                                 bits=4 if nc < 1000 else 2)
                 rays_s = Ray.create(o_sj[perm_s], d_sj[perm_s])
                 # tiny scenes: the sweep's extra dispatch outweighs the
                 # traversal it saves (measured -24% at 1.2k tris)

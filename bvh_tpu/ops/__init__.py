@@ -15,40 +15,58 @@ here to TPU kernels built around hardware facts measured on-chip:
   128 for dense meshes) so leaf boxes stay as tight as the reference's own
   subtrees — the loose-Morton 128-clusters of ``ClusterScene`` are kept as
   the earlier/simpler variant;
-* the traversal loop tolerates exactly one consumer of its anyhit reduce
-  (the cursor select); every other extraction mechanism measured costs
-  60-100 ns/visit (see the notes in ``trace.py``).
+* a traversal visit costs ~160-195 ns regardless of loop shape (the serial
+  SMEM -> vector slab -> reduce -> select chain; round-2 measurement notes
+  in ``trace.py`` and CLAUDE.md) — so the levers are visit COUNT (16-ary
+  collapse, coherence sort, seeding) and per-packet gating (``sweep=True``:
+  a narrowphase-free pre-pass kernel skips packets that cannot hit);
+* scenes beyond one SMEM node table chain Morton-partitioned parts with the
+  carried best-t pruning each next part (``build_chained_scene``).
 """
 
 from .cluster import (
+    ChainedScene,
     ClusterScene,
     TightScene,
+    build_chained_scene,
     build_cluster_scene,
     build_tight_scene,
     collapse_upper,
+    pack_node_table_bf16,
 )
 from .device_build import build_tight_scene_device, make_refitter
 from .trace import (
+    count_visits_tight,
+    make_seeder,
     sort_rays,
     sort_rays_device,
+    trace_any_hit_chained,
     trace_any_hit_tight,
     trace_closest_hit,
+    trace_closest_hit_chained,
     trace_closest_hit_seeded,
     trace_closest_hit_tight,
 )
 
 __all__ = [
+    "ChainedScene",
     "ClusterScene",
     "TightScene",
+    "build_chained_scene",
     "build_cluster_scene",
     "build_tight_scene",
     "build_tight_scene_device",
     "collapse_upper",
+    "count_visits_tight",
     "make_refitter",
+    "make_seeder",
+    "pack_node_table_bf16",
     "trace_closest_hit",
     "trace_closest_hit_tight",
     "trace_closest_hit_seeded",
+    "trace_closest_hit_chained",
     "trace_any_hit_tight",
+    "trace_any_hit_chained",
     "sort_rays",
     "sort_rays_device",
 ]

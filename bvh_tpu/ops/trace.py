@@ -378,6 +378,19 @@ def sort_rays(origins: np.ndarray, directions: np.ndarray):
 # pays the same reduce-consumer stall. The winning levers were the opposite
 # direction: LESS live state (slab re-read from VMEM + FMA form), and a
 # tighter/shallower tree (fewer visits), not a cleverer loop.
+#
+# ROUND-2 CORRECTION (measured with DCE-proof probes): the "plain loop"
+# baseline above was an artifact — a loop whose result nothing consumes is
+# dead-code-eliminated, so the 0.14s floor was an empty kernel. The honest
+# numbers: ~160 ns/visit for ANY live traversal loop (one reduce consumer,
+# one-term cond, bare-cursor carry — all shapes equal: deferred narrowphase,
+# in-kernel two-phase, cursor-sign/range exits were each built and measured
+# within noise of each other), ~195 ns/visit with the narrowphase region
+# present. The cost is the serial SMEM-read -> vector slab (21 ops x 4
+# vregs at P=4096) -> any() reduce -> select chain itself. Surviving
+# levers: fewer visits, and the per-packet SWEEP GATE (_sweep_tight below:
+# a narrowphase-free kernel answers "would this packet fire at all?" and
+# the main kernel skips gated-off packets for ~free).
 
 
 def _make_tight_kernel(packet: int, precision, skip_narrow: bool = False,
