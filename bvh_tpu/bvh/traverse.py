@@ -214,6 +214,10 @@ def nearest_to(flat: FlatBvh, points: jnp.ndarray, distance_squared_fn):
 
     Returns ``(shape_id [...] i32, distance [...])`` with distance = sqrt of
     the best squared distance (``src/bvh/bvh_impl.rs:221-238``).
+
+    ``distance_squared_fn`` is a STATIC jit argument: pass a stable
+    function object (module-level def, or a closure created once) — a
+    fresh lambda per call is a fresh cache key and recompiles every time.
     """
     n = flat.num_nodes
     r = points.shape[:-1]

@@ -145,9 +145,13 @@ def collapse_native(nodes: np.ndarray, K: int) -> np.ndarray | None:
 
 
 def build_sah_auto(shape_min, shape_max, config=None, nthreads: int = 0):
-    """Native builder when available and applicable, numpy otherwise."""
+    """Native builder when available and applicable, numpy otherwise.
+
+    The native path is f32/3-D; float64 inputs (the BHValue f64 tier) stay
+    on the numpy builder so the tree keeps f64 resolution."""
     smin = np.asarray(shape_min)
-    if smin.shape[0] > 0 and smin.shape[1] == 3 and native_available():
+    if (smin.shape[0] > 0 and smin.shape[1] == 3
+            and smin.dtype != np.float64 and native_available()):
         return build_sah_native(shape_min, shape_max, nthreads)
     from .bvh.sah_build import build_sah
     from .config import DEFAULT_CONFIG

@@ -441,15 +441,20 @@ def build_tight_scene(
         if collapse:
             smem_nodes = collapse_upper(smem_nodes, collapse)
             nn = smem_nodes.shape[1]
+        # the budget check must cover what actually ships: the shape-bucket
+        # padding below can add up to ~12.5% columns
+        nn_pad = -(-nn // max(256, 1 << max(int(nn).bit_length() - 3, 0))) \
+            * max(256, 1 << max(int(nn).bit_length() - 3, 0))
         node_bytes = 20 if packed else 32
-        if nn * node_bytes > 640_000 and not auto:
+        if nn_pad * node_bytes > 640_000 and not auto:
             # explicit leaf_size: interpret-mode tests would pass but the
             # kernel fails at launch on real hardware (SMEM prefetch budget)
             raise ValueError(
-                f"leaf_size={leaf_size} puts {nn} upper nodes "
-                f"({nn * node_bytes} B) over the ~640KB SMEM scalar-prefetch "
-                "budget; use a larger leaf_size or leaf_size=None (auto)")
-        if not (auto and leaf_size < 128 and nn * node_bytes > 640_000):
+                f"leaf_size={leaf_size} puts {nn_pad} (padded) upper nodes "
+                f"({nn_pad * node_bytes} B) over the ~640KB SMEM "
+                "scalar-prefetch budget; use a larger leaf_size or "
+                "leaf_size=None (auto)")
+        if not (auto and leaf_size < 128 and nn_pad * node_bytes > 640_000):
             break
         leaf_size *= 2
 

@@ -268,6 +268,12 @@ def make_refitter(scene: TightScene):
     occasionally, refit every frame.
 
     Returns ``refit(a, b, c) -> TightScene`` (jittable; tri_map shared).
+
+    The refit scene drops ``sweep_nodes`` (its boxes would be stale — a
+    conservative gate over MOVED geometry must come from the new boxes;
+    the sweep then falls back to the main table, still exact) and
+    ``packed_nodes`` (device-side directed bf16 rounding is not
+    implemented; the refit scene traces through the f32 table).
     """
     entry = np.asarray(scene.smem_nodes[6])
     exit_ = np.asarray(scene.smem_nodes[7]).astype(np.int64)

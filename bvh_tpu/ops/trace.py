@@ -776,13 +776,17 @@ def _sweep_body(nodes_ref, slab_ref, out_ref, PACKET, EXIT_ON_FIRE,
                 PACKED=False):
     """Broadphase-only sweep: would this packet fire any narrowphase?
 
-    Contains NO narrowphase code, carries ONLY the cursor, and keeps the
-    one-term loop cond — the only shape Mosaic pipelines (~21 ns/visit).
-    A second reduce consumer, an extra loop carry, a 2-term cond, or a
-    conditional region each cost ~140-170 ns/visit (measured). Leaf
-    entries -(cluster+1) are remapped on the fly to nn+cluster+2 (> nn),
-    so a leaf-hit drives the cursor PAST the end: `cur > nn` after the
-    loop IS the fired bit ("cursor-range exit").
+    Contains NO narrowphase code and carries only the cursor. A visit
+    still costs ~160 ns — the serial SMEM->vector->reduce->select chain;
+    see the ROUND-2 CORRECTION note above (the once-reported 21 ns
+    pipelined mode was a dead-code artifact). The sweep's value is that it
+    lets the main kernel skip gated-off packets entirely, and it avoids
+    the narrowphase region's extra ~35 ns/visit. Leaf entries -(cluster+1)
+    are remapped on the fly to nn+cluster+2 (> nn), so a leaf-hit drives
+    the cursor PAST the end: `cur > nn` after the loop IS the fired bit
+    ("cursor-range exit" — one-term cond, single reduce consumer,
+    bare-cursor carry: kept minimal because every addition measured a
+    cost, not because any shape pipelines).
     """
     nn = nodes_ref.shape[1]
 
@@ -814,7 +818,8 @@ def _sweep_body(nodes_ref, slab_ref, out_ref, PACKET, EXIT_ON_FIRE,
 
     if EXIT_ON_FIRE == "probe":
         # diagnostic: the plain no-trigger loop in this kernel's grid spec
-        # (parity check against the skip_narrow main kernel's 21 ns/visit)
+        # (the probe that exposed the round-1 dead-code artifact: a loop
+        # nothing consumes is eliminated; this one writes `fired`)
         cur = jax.lax.while_loop(lambda c: c < nn,
                                  lambda c: step(c, False)[0], jnp.int32(0))
         fired = cur > nn  # always False
@@ -856,15 +861,31 @@ def _sweep_tight(smem_nodes, slab, num_nodes, interpret=False, packet=2048,
     )(smem_nodes, slab)
 
 
-def _pack_rays_tight(rays: Ray, packet: int, t_max=None):
+def _pack_rays_tight(rays: Ray, packet: int, t_max=None, base=None):
     """Pad rays to a packet multiple; build the slab and lmat kernel inputs.
 
     Slab rows: o*inv(3) | inv(3) | t_max. Row 6 seeds the per-lane pruning
     distance (inf when unbounded) — slab rows are only compared in the
     kernel, never multiplied, so inf is safe there.
+
+    ``base``: a previous pack of the SAME rays/packet — only the t_max row
+    is rebuilt (the chained tracer re-traces identical rays per part with a
+    shrinking bound; rows 0-5 and the lmat transpose are the expensive
+    part).
     """
     r = rays.origin.shape[0]
     pad = (-r) % packet
+    if base is not None:
+        p, rp, slab_prev, lmat = base
+        sub = packet // 128
+        if t_max is None:
+            tm = jnp.full((rp, 1), _INF, jnp.float32)
+        else:
+            tm = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32).reshape(-1, 1), (r, 1))
+            if pad:
+                tm = jnp.concatenate([tm, jnp.full((pad, 1), _INF, jnp.float32)], axis=0)
+        tm_r = tm.reshape(p, sub, 128)[:, None]  # [p, 1, sub, 128]
+        return p, rp, jnp.concatenate([slab_prev[:, :6], tm_r], axis=1), lmat
     o = jnp.concatenate([rays.origin, jnp.full((pad, 3), 2.0e30, jnp.float32)], axis=0) if pad else rays.origin
     d = jnp.concatenate([rays.direction, jnp.ones((pad, 3), jnp.float32)], axis=0) if pad else rays.direction
     inv = jnp.concatenate([rays.inv_direction, jnp.ones((pad, 3), jnp.float32)], axis=0) if pad else rays.inv_direction
@@ -902,7 +923,8 @@ def trace_closest_hit_tight(scene, rays: Ray, tris=None, interpret: bool = False
                             precision=jax.lax.Precision.HIGHEST,
                             skip_narrow: bool = False,
                             hints: jnp.ndarray | None = None,
-                            t_max=None, sweep: bool = False) -> HitRecord:
+                            t_max=None, sweep: bool = False,
+                            _base=None) -> HitRecord:
     """Closest hit against a ``TightScene`` (the fast path for sparse scenes).
 
     Same contract as ``trace_closest_hit``: returns packed (t, triangle id);
@@ -916,11 +938,11 @@ def trace_closest_hit_tight(scene, rays: Ray, tris=None, interpret: bool = False
     ``t_max``: optional scalar or [n] per-ray upper distance bound — hits at
     t >= t_max are misses, and the bound prunes traversal from the start.
 
-    ``sweep``: run a region-free broadphase pre-pass per packet and skip the
-    full traversal for packets that cannot fire any narrowphase. Large win
-    on miss-heavy batches (the conditional narrowphase region costs
-    ~180 ns/visit by existing; the sweep loop runs at ~21 ns/visit), small
-    overhead on hit-dense ones. Results are identical either way.
+    ``sweep``: run a narrowphase-free broadphase pre-pass per packet and
+    skip the full traversal for packets that cannot fire. Large win on
+    miss-heavy batches (+24% measured on the random headline: gated-off
+    packets cost ~nothing), small overhead on hit-dense ones. Results are
+    identical either way.
 
     Tolerance class: the kernel's packed min-reduce steals the low
     log2(width) mantissa bits of t for the winning lane, so the raw t (and
@@ -935,7 +957,7 @@ def trace_closest_hit_tight(scene, rays: Ray, tris=None, interpret: bool = False
     if r == 0:
         z = jnp.zeros((0,), jnp.float32)
         return HitRecord(z, z, z, jnp.zeros((0,), jnp.int32))
-    p, rp, slab, lmat = _pack_rays_tight(rays, packet, t_max)
+    p, rp, slab, lmat = _pack_rays_tight(rays, packet, t_max, base=_base)
 
     if hints is None:
         hints_arr = jnp.zeros((p * 1,), jnp.int32)
@@ -1253,12 +1275,13 @@ def trace_closest_hit_chained(chained, rays: Ray, tris=None,
     else:
         best_t = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32).reshape(-1), (r,))
     best_id = jnp.full((r,), -1, jnp.int32)
+    base = _pack_rays_tight(rays, packet, None)  # rows 0-5 + lmat built once
     for part, ids in zip(chained.parts, chained.orig_ids):
         hit = trace_closest_hit_tight(part, rays, packet=packet,
                                       precision=precision, interpret=interpret,
                                       t_max=jnp.where(jnp.isfinite(best_t),
                                                       best_t, _INF),
-                                      sweep=sweep)
+                                      sweep=sweep, _base=base)
         gids = jnp.asarray(ids)
         closer = jnp.isfinite(hit.t) & (hit.t < best_t)
         best_t = jnp.where(closer, hit.t, best_t)

@@ -19,8 +19,6 @@ point-light NEE + sky miss).
 
 from __future__ import annotations
 
-from functools import partial
-
 import jax
 import jax.numpy as jnp
 

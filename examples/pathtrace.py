@@ -64,11 +64,6 @@ def camera_rays(size: int):
     return o, d
 
 
-def normals_of(a, b, c, sid):
-    n = np.cross(b[sid] - a[sid], c[sid] - a[sid])
-    return n / np.maximum(np.linalg.norm(n, axis=-1, keepdims=True), 1e-20)
-
-
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--size", type=int, default=256)

@@ -52,3 +52,52 @@ def test_build_sah_auto():
     mn, mx = tb.tri_aabbs(a, b, c)
     flat, s2n = native.build_sah_auto(mn, mx)
     assert flat.num_nodes == 2 * mn.shape[0] - 1
+
+
+def test_native_pack_bit_identical():
+    """csrc/pack.cpp (tri-AABBs, cluster cut, group pack) must reproduce the
+    numpy build path bit-for-bit — build_tight_scene(use_native=True) vs
+    (use_native=False) on every emitted table."""
+    import pytest
+
+    from bvh_tpu.native import (cut_tight_native, native_available,
+                                pack_tight_native, tri_aabbs_native)
+    from bvh_tpu.ops.cluster import build_tight_scene, cut_clusters
+    from bvh_tpu.testbase import tri_aabbs
+
+    if not native_available():
+        pytest.skip("native library unavailable")
+
+    for nc in (7, 300, 2000):
+        a, b, c = tb.create_n_cubes(nc, seed=nc)
+        nat = build_tight_scene(a, b, c)
+        ref = build_tight_scene(a, b, c, use_native=False)
+        assert nat.num_clusters == ref.num_clusters
+        assert nat.num_nodes == ref.num_nodes and nat.width == ref.width
+        np.testing.assert_array_equal(nat.smem_nodes, ref.smem_nodes)
+        np.testing.assert_array_equal(nat.groups, ref.groups)
+        np.testing.assert_array_equal(nat.tri_map, ref.tri_map)
+
+    # unit pieces: tri AABBs and the cluster cut
+    a, b, c = tb.create_n_cubes(500, seed=3)
+    mn_n, mx_n = tri_aabbs_native(a, b, c)
+    mn_p, mx_p = tri_aabbs(a, b, c)
+    np.testing.assert_array_equal(mn_n, mn_p)
+    np.testing.assert_array_equal(mx_n, mx_p)
+    from bvh_tpu.native import build_sah_auto
+
+    flat, _ = build_sah_auto(mn_p, mx_p)
+    roots_n = cut_tight_native(flat.entry, flat.exit, 16)
+    roots_p, _, _ = cut_clusters(flat, 16)
+    np.testing.assert_array_equal(roots_n, roots_p)
+
+
+def test_build_sah_auto_keeps_f64_on_numpy_path():
+    """f64 inputs must not be silently downcast by the native (f32) builder."""
+    from bvh_tpu.native import build_sah_auto
+
+    rng = np.random.default_rng(0)
+    mn = rng.uniform(-10, 10, size=(32, 3))
+    mx = mn + rng.uniform(0.1, 1.0, size=(32, 3))
+    flat, _ = build_sah_auto(mn, mx)
+    assert np.asarray(flat.aabb_min).dtype == np.float64
