@@ -442,19 +442,22 @@ def build_tight_scene(
             smem_nodes = collapse_upper(smem_nodes, collapse)
             nn = smem_nodes.shape[1]
         # the budget check must cover what actually ships: the shape-bucket
-        # padding below can add up to ~12.5% columns
+        # padding below can add up to ~12.5% columns. The limit is the
+        # largest padded table VERIFIED on hardware (20480 cols x 32 B =
+        # 655,360 ran all of round 2; 1.25 MB fails to compile) plus a
+        # small margin.
         nn_pad = -(-nn // max(256, 1 << max(int(nn).bit_length() - 3, 0))) \
             * max(256, 1 << max(int(nn).bit_length() - 3, 0))
         node_bytes = 20 if packed else 32
-        if nn_pad * node_bytes > 640_000 and not auto:
+        if nn_pad * node_bytes > 660_000 and not auto:
             # explicit leaf_size: interpret-mode tests would pass but the
             # kernel fails at launch on real hardware (SMEM prefetch budget)
             raise ValueError(
                 f"leaf_size={leaf_size} puts {nn_pad} (padded) upper nodes "
-                f"({nn_pad * node_bytes} B) over the ~640KB SMEM "
+                f"({nn_pad * node_bytes} B) over the ~660KB SMEM "
                 "scalar-prefetch budget; use a larger leaf_size or "
                 "leaf_size=None (auto)")
-        if not (auto and leaf_size < 128 and nn_pad * node_bytes > 640_000):
+        if not (auto and leaf_size < 128 and nn_pad * node_bytes > 660_000):
             break
         leaf_size *= 2
 
@@ -598,12 +601,12 @@ def build_chained_scene(a, b, c, max_part: int | None = None,
     if n == 0:
         raise ValueError("empty scene")
     if max_part is None:
-        # bf16-packed tables fit ~31k nodes in the SMEM budget (W=16 with
-        # collapse ~= 400k tris) but cost ~+90ns/visit for the vector-domain
-        # unpack — measured NET SLOWER (3 packed parts 0.30 M rays/s vs 4
-        # f32 parts 0.37 on the 1M sparse workload), so f32 parts are the
-        # default and packing is the opt-in capacity escape hatch
-        max_part = 400_000 if packed else 260_000
+        # 200k-triangle parts keep W=16 leaves (sparse scenes collapse at
+        # wider leaves: 6 W=16 parts = 0.71 M rays/s vs 4 W=32 parts =
+        # 0.42 on the 1M random workload). bf16-packed tables fit ~2x the
+        # nodes but cost ~+90ns/visit for the vector-domain unpack —
+        # measured net slower; packing stays the opt-in capacity hatch.
+        max_part = 400_000 if packed else 200_000
     k = -(-n // max_part)
     if k == 1:
         scene = build_tight_scene(a, b, c, leaf_size=leaf_size, config=config,
