@@ -184,7 +184,7 @@ def main():
         from bvh_tpu.ops.trace import trace_closest_hit_chained
 
         a_m, b_m, c_m = tb.create_n_cubes(84000)  # 1.008M triangles
-        ch = build_chained_scene(a_m, b_m, c_m, max_part=260_000)
+        ch = build_chained_scene(a_m, b_m, c_m)  # default 200k parts keep W=16
         seed_m = tb.seed_state_after(84000)
         o_m, d_m = tb.create_rays(n_rays, seed=seed_m)
         o_mj, d_mj = jnp.asarray(o_m), jnp.asarray(d_m)
