@@ -312,6 +312,10 @@ def main():
         vpu_flops = v_tot * 22 * packet
         peak_mxu = 197e12  # bf16 v5e; f32 ~ 1/4 of this
         kernel_s = v_tot * 195e-9  # measured serial visit cost (CLAUDE.md)
+        # raw residual, UNCLAMPED: prep+epilogue if the model constants
+        # (195 ns/visit, 27 ms fence) hold on this host/chip; a negative
+        # value flags that they drifted rather than silently misattributing
+        resid = best_u - kernel_s - 0.027
         roofline = {
             "config": "ungated (sweep=False; the counters' configuration)",
             "visits_total": v_tot,
@@ -320,13 +324,62 @@ def main():
             "ungated_best_s": round(best_u, 4),
             "ungated_ns_per_visit": round(best_u * 1e9 / v_tot, 2),
             "kernel_model_s": round(kernel_s, 4),
-            "xla_prep_epilogue_s": round(max(best_u - kernel_s - 0.027, 0.0), 4),
+            "xla_prep_epilogue_s": round(resid, 4),
+            "decomposition_valid": bool(resid >= 0.0),
             "fence_s": 0.027,
             "narrow_mxu_flops": mxu_flops,
             "broad_vpu_flops": vpu_flops,
             "mxu_util_pct": round(100.0 * mxu_flops / (best_u * peak_mxu), 3),
             "bound": "serial visit latency, ~195 ns/visit measured "
                      "(SMEM/VMEM resident; not HBM- or FLOP-bound)",
+        }
+
+    # Ray-vs-1000-AABBs microbench — the reference's isolated slab-test
+    # bench (`bench_intersects_aabb`, src/ray/ray_impl.rs:432-478: one ray
+    # against 1000 boxes, 4404 ns scalar / 2447 ns simd on the 3900X =
+    # 4.40 / 2.45 ns per test). The TPU analog is the batched form the VPU
+    # actually runs: [R rays x 1000 boxes] slab tests in one fused XLA op,
+    # reduced on device (materializing R x 1000 bools would measure HBM,
+    # not the test). This is the speed-of-light calibration for the
+    # kernel's ~195 ns/visit: one packet-visit is `packet` of these tests.
+    ray_aabb = None
+    if os.environ.get("BENCH_RAY_AABB", "1") == "1":
+        n_boxes = 1000
+        n_r = 1 << 17  # 131072 rays x 1000 boxes = 131M tests/iter
+        a_bx, b_bx, c_bx = tb.create_n_cubes(84)  # ~1000 tris -> 1000 boxes
+        bmn, bmx = tb.tri_aabbs(a_bx[:n_boxes], b_bx[:n_boxes], c_bx[:n_boxes])
+        o_r, d_r = tb.create_rays(n_r, seed=tb.seed_state_after(84))
+        rays_r = Ray.create(jnp.asarray(o_r), jnp.asarray(d_r))
+        bmn_j, bmx_j = jnp.asarray(bmn), jnp.asarray(bmx)
+
+        @jax.jit
+        def slab_all(o, inv, mn_, mx_):
+            # [R, 1, 3] vs [1, B, 3] — reference slab semantics (FMA form)
+            t1 = (mn_[None] - o[:, None]) * inv[:, None]
+            t2 = (mx_[None] - o[:, None]) * inv[:, None]
+            tmin = jnp.minimum(t1, t2).max(axis=-1)
+            tmax = jnp.maximum(t1, t2).min(axis=-1)
+            hit = tmax >= jnp.maximum(tmin, 0.0)
+            return jnp.sum(hit.astype(jnp.int32))
+
+        def run_ab():
+            return int(slab_all(rays_r.origin, rays_r.inv_direction,
+                                bmn_j, bmx_j))
+
+        hits_ab = run_ab()
+        best_ab = float("inf")
+        for _ in range(max(iters - 2, 1)):
+            t0 = time.perf_counter()
+            run_ab()
+            best_ab = min(best_ab, time.perf_counter() - t0)
+        tests = n_r * n_boxes
+        ns_per_test = best_ab * 1e9 / tests
+        ray_aabb = {
+            "tests_per_s": round(tests / best_ab),
+            "ns_per_test": round(ns_per_test, 4),
+            "vs_ref_scalar_4p40ns": round(4.40 / ns_per_test, 1),
+            "vs_ref_simd_2p45ns": round(2.45 / ns_per_test, 1),
+            "hit_fraction": round(hits_ab / tests, 5),
         }
 
     # Fused wavefront path tracing (render.py): primary + NEE shadow +
@@ -446,6 +499,7 @@ def main():
             "sparse_1m_tris_rays_per_s": round(sparse_1m_rays_per_s) if sparse_1m_rays_per_s else None,
             "pathtrace_2bounce_rays_per_s": round(pathtrace_rays_per_s) if pathtrace_rays_per_s else None,
             "refit_quality": refit_quality or None,
+            "ray_aabb_1000": ray_aabb,
             "roofline": roofline,
             "baseline": "svenstaro/bvh 853ns/ray (120k tris, Ryzen 3900X core, README.md:178)",
         },

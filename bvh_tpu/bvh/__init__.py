@@ -15,6 +15,7 @@ from .traverse import (
     nearest_to,
     nearest_to_triangles,
     traverse,
+    traverse_all,
 )
 from .validate import assert_consistent, assert_tight, check_consistent, check_tight
 
@@ -30,6 +31,7 @@ __all__ = [
     "nearest_traverse",
     "farthest_traverse",
     "traverse",
+    "traverse_all",
     "HitRecord",
     "closest_hit_triangles",
     "any_hit_triangles",

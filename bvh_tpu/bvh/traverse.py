@@ -90,6 +90,39 @@ def traverse(flat: FlatBvh, query, max_hits: int = 64):
     return hits, count
 
 
+def traverse_all(flat: FlatBvh, query, max_hits: int = 64,
+                 grow_limit: int = 1 << 20):
+    """``traverse`` with the reference's can't-miss Vec semantics.
+
+    ``traverse`` saturates silently when a lane collects more than
+    ``max_hits`` shapes (counts keep incrementing but slots overwrite). This
+    host-side wrapper re-runs with a doubled buffer until every lane fits —
+    the auto-regrow analog of the reference's unbounded ``Vec<&Shape>``
+    return (``src/flat_bvh.rs:396-431``). Each growth step is a new jit
+    specialization, but sizes double so the compile count is logarithmic
+    and growth stops at the first batch that fits.
+
+    Returns ``(hits, count)`` with ``count <= hits.shape[-1]`` guaranteed
+    (raises if ``grow_limit`` would be exceeded — that means the query
+    intersects essentially the whole scene and a brute-force mask is the
+    right tool).
+    """
+    k = max_hits
+    while True:
+        hits, count = traverse(flat, query, max_hits=k)
+        overflow = int(jnp.max(count)) if count.size else 0
+        if overflow <= k:
+            return hits, count
+        if k >= grow_limit:
+            raise ValueError(
+                f"traverse_all: a lane collected {overflow} hits "
+                f"(> grow_limit={grow_limit}); use brute_force_collect")
+        # jump straight to the observed requirement (counts are exact even
+        # when the buffer saturated), rounded up to the next power of two
+        while k < overflow:
+            k *= 2
+
+
 def _set_slot(buf: jnp.ndarray, slot: jnp.ndarray, val: jnp.ndarray) -> jnp.ndarray:
     """buf[..., slot] = val per-lane (scatter along the last axis)."""
     k = buf.shape[-1]

@@ -3,9 +3,11 @@
 from .obj import load_obj_triangles
 from .serialize import (
     load_bvh,
+    load_chained_scene,
     load_cluster_scene,
     load_tight_scene,
     save_bvh,
+    save_chained_scene,
     save_cluster_scene,
     save_tight_scene,
 )
@@ -17,5 +19,7 @@ __all__ = [
     "load_cluster_scene",
     "save_tight_scene",
     "load_tight_scene",
+    "save_chained_scene",
+    "load_chained_scene",
     "load_obj_triangles",
 ]

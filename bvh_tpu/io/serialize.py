@@ -114,3 +114,59 @@ def load_tight_scene(path: str):
             sweep_nodes=z["sweep_nodes"] if "sweep_nodes" in z.files else None,
             packed_nodes=z["packed_nodes"] if "packed_nodes" in z.files else None,
         )
+
+
+_CHAINED_VERSION = 1
+
+
+def save_chained_scene(path: str, chained) -> None:
+    """Persists a ``ChainedScene``: every part's TightScene tables plus the
+    part-local -> global triangle id maps, in one compressed npz (the last
+    structure the serde layer was missing; the reference persists everything
+    it builds via its serde feature, Cargo.toml:19)."""
+    from ..ops.cluster import TightScene
+
+    payload = {
+        "__chained_version__": np.int64(_CHAINED_VERSION),
+        "n_parts": np.int64(len(chained.parts)),
+    }
+    for i, (part, ids) in enumerate(zip(chained.parts, chained.orig_ids)):
+        payload[f"p{i}_smem_nodes"] = part.smem_nodes
+        payload[f"p{i}_groups"] = part.groups
+        payload[f"p{i}_tri_map"] = part.tri_map
+        payload[f"p{i}_num_clusters"] = np.int64(part.num_clusters)
+        payload[f"p{i}_num_nodes"] = np.int64(part.num_nodes)
+        payload[f"p{i}_width"] = np.int64(part.width)
+        payload[f"p{i}_orig_ids"] = np.asarray(ids)
+        for opt in ("bgroups", "sweep_nodes", "packed_nodes"):
+            v = getattr(part, opt, None)
+            if v is not None:
+                payload[f"p{i}_{opt}"] = np.asarray(v)
+    np.savez_compressed(path, **payload)
+
+
+def load_chained_scene(path: str):
+    from ..ops.cluster import ChainedScene, TightScene
+
+    with np.load(path) as z:
+        version = int(z["__chained_version__"])
+        if version > _CHAINED_VERSION:
+            raise ValueError(
+                f"chained scene version {version} is newer than supported")
+        parts, ids = [], []
+        for i in range(int(z["n_parts"])):
+            parts.append(TightScene(
+                smem_nodes=z[f"p{i}_smem_nodes"],
+                groups=z[f"p{i}_groups"],
+                tri_map=z[f"p{i}_tri_map"],
+                num_clusters=int(z[f"p{i}_num_clusters"]),
+                num_nodes=int(z[f"p{i}_num_nodes"]),
+                width=int(z[f"p{i}_width"]),
+                bgroups=z[f"p{i}_bgroups"] if f"p{i}_bgroups" in z.files else None,
+                sweep_nodes=(z[f"p{i}_sweep_nodes"]
+                             if f"p{i}_sweep_nodes" in z.files else None),
+                packed_nodes=(z[f"p{i}_packed_nodes"]
+                              if f"p{i}_packed_nodes" in z.files else None),
+            ))
+            ids.append(z[f"p{i}_orig_ids"])
+    return ChainedScene(tuple(parts), tuple(ids))

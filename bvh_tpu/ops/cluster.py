@@ -318,7 +318,135 @@ def collapse_upper(nodes: np.ndarray, K: int = 16) -> np.ndarray:
     return tab
 
 
-def _pad_node_table(smem_nodes: np.ndarray, bucket: int = 2048) -> np.ndarray:
+def _bucket(n: int, floor: int) -> int:
+    """Shape-bucketed size: ceil ``n`` to a multiple of a 1/8-granularity
+    power-of-two bucket (>= ``floor``).
+
+    THE single source of truth for table-shape bucketing: the SMEM budget
+    check, the node-table pad, the sweep-table pad and the group-row pad all
+    go through here so the budget check always matches what actually ships
+    to the kernel (a drifted copy would mis-gate the raise/widen decision).
+    """
+    b = max(floor, 1 << max(int(n).bit_length() - 3, 0))
+    return -(-int(n) // b) * b
+
+
+WIDE_K = 16  # children per wide-tree group (bits of the fired mask)
+
+
+def build_wide_table(smem_nodes: np.ndarray, num_clusters: int,
+                     K: int = WIDE_K):
+    """Converts a binary DFS entry/exit upper table into the GROUP-WALK
+    tables: a true K-ary wide tree where (almost) every internal has exactly
+    K children.
+
+    Motivation (measured; see ops/trace.py): a traversal visit costs
+    ~160-195 ns of *serial* SMEM->vector->reduce->select chain regardless of
+    its vector work, so the only lever is amortizing that chain over many
+    boxes. The group-walk kernel tests all K children of one wide node in a
+    single iteration and reduces them to ONE K-bit fired mask (one reduce
+    consumer instead of K). ``collapse_upper`` is the wrong input for it:
+    its greedy absorb counts leaves toward K, leaving bottom internals
+    binary (measured average arity ~3-4). Here each group's children are a
+    K-wide frontier cut of the binary tree (largest-surface-area internals
+    expanded first, the QBVH/Embree wide-node conversion re-designed for
+    SMEM tables), so interior groups have exactly K children and the serial
+    chain is amortized K ways everywhere.
+
+    Layout (all-static row indexing inside the kernel):
+      gnodes [7K, Gn] f32 — per group g, child k at rows 7k..7k+6:
+        amin(3), amax(3), payload. payload < 0 => leaf: -(cluster+1);
+        payload >= 0 => the child's own group id. Empty slots hold NaN
+        boxes (the slab test's NaN => miss makes them unfireable) and
+        payload -1.
+      gslot [num_clusters] i32 — cluster -> g*K + k (seed-hint addressing).
+      depth — max group-stack depth (kernel scratch must cover it).
+
+    Children keep DFS (SAH) order, so the mask's lowest-set-bit walk visits
+    them in the same order the binary walk would (pruning behavior class
+    unchanged; results bit-identical to the entry/exit kernel).
+
+    Reference analog being re-designed: the one-box-per-step flat walk,
+    /root/reference/src/flat_bvh.rs:396-431.
+    """
+    import heapq
+
+    entry = smem_nodes[6].astype(np.int64)
+    exit_ = smem_nodes[7].astype(np.int64)
+    s = smem_nodes[3:6] - smem_nodes[0:3]
+    area = s[0] * s[1] + s[1] * s[2] + s[2] * s[0]
+
+    def frontier_of(i):
+        """Expand internal node i to a <=K frontier (area-first)."""
+        heap: list = []
+        leaves: list = []
+        cnt = 0
+
+        def push(j):
+            nonlocal cnt
+            if entry[j] < 0:
+                leaves.append(j)
+            else:
+                heapq.heappush(heap, (-float(area[j]), cnt, j))
+                cnt += 1
+
+        # children of i in the binary DFS table: first = entry[i], then
+        # each sibling starts where the previous subtree ends
+        c = entry[i]
+        while c < exit_[i]:
+            push(c)
+            c = exit_[c]
+        while heap and len(leaves) + len(heap) < K:
+            _, _, j = heapq.heappop(heap)
+            c = entry[j]
+            while c < exit_[j]:
+                push(c)
+                c = exit_[c]
+        out = leaves + [j for _, _, j in heap]
+        out.sort()  # DFS / SAH order
+        return out
+
+    # pass 1: discover groups in DFS order, remember each group's frontier
+    if entry[0] < 0:
+        # single-leaf tree: one group whose only child is the root
+        frontiers = [[0]]
+        group_of = {0: 0}  # unused (no internal children)
+        depth = 1
+    else:
+        frontiers = []
+        group_of = {}
+        stack = [(0, 1)]
+        depth = 1
+        while stack:
+            i, d = stack.pop()
+            g = len(frontiers)
+            group_of[i] = g
+            fr = frontier_of(i)
+            frontiers.append(fr)
+            depth = max(depth, d)
+            for j in reversed(fr):
+                if entry[j] >= 0:
+                    stack.append((j, d + 1))
+
+    # pass 2: fill the tables
+    Gn = _bucket(len(frontiers), 8)
+    gnodes = np.full((7 * K, Gn), np.nan, np.float32)
+    gnodes[6::7, :] = -1.0  # empty-slot payload: leaf cluster 0 (unfireable)
+    gslot = np.zeros(num_clusters, np.int32)
+    for g, fr in enumerate(frontiers):
+        for k, j in enumerate(fr):
+            gnodes[7 * k:7 * k + 6, g] = smem_nodes[0:6, j]
+            if entry[j] < 0:
+                pay = float(smem_nodes[6, j])  # -(cluster+1)
+                gslot[int(-pay) - 1] = g * K + k
+            else:
+                pay = float(group_of[j])
+            gnodes[7 * k + 6, g] = pay
+    return gnodes, gslot, depth
+
+
+def _pad_node_table(smem_nodes: np.ndarray, bucket: int = 2048,
+                    target: int | None = None) -> np.ndarray:
     """Pads the SMEM node table to a bucket multiple of columns.
 
     Kernel compiles are keyed on operand shapes, and the remote Mosaic
@@ -330,7 +458,8 @@ def _pad_node_table(smem_nodes: np.ndarray, bucket: int = 2048) -> np.ndarray:
     test says (entry > 0 also keeps it off every leaf path).
     """
     nn = smem_nodes.shape[1]
-    B = -(-nn // bucket) * bucket
+    B = target if target is not None else -(-nn // bucket) * bucket
+    assert B >= nn, (B, nn)
     if B == nn:
         return smem_nodes
     pad = np.zeros((8, B - nn), np.float32)
@@ -446,10 +575,10 @@ def build_tight_scene(
         # largest padded table VERIFIED on hardware (20480 cols x 32 B =
         # 655,360 ran all of round 2; 1.25 MB fails to compile) plus a
         # small margin.
-        nn_pad = -(-nn // max(256, 1 << max(int(nn).bit_length() - 3, 0))) \
-            * max(256, 1 << max(int(nn).bit_length() - 3, 0))
+        nn_pad = _bucket(nn, 256)
         node_bytes = 20 if packed else 32
-        if nn_pad * node_bytes > 660_000 and not auto:
+        over = nn_pad * node_bytes > 660_000
+        if over and not auto:
             # explicit leaf_size: interpret-mode tests would pass but the
             # kernel fails at launch on real hardware (SMEM prefetch budget)
             raise ValueError(
@@ -457,15 +586,24 @@ def build_tight_scene(
                 f"({nn_pad * node_bytes} B) over the ~660KB SMEM "
                 "scalar-prefetch budget; use a larger leaf_size or "
                 "leaf_size=None (auto)")
-        if not (auto and leaf_size < 128 and nn_pad * node_bytes > 660_000):
+        if over and auto and leaf_size >= 128:
+            # even the widest leaves cannot fit one SMEM table: silently
+            # shipping an over-budget table would pass interpret-mode tests
+            # and fail at kernel launch on hardware with an opaque Mosaic
+            # error — fail loudly at build instead
+            raise ValueError(
+                f"scene needs {nn_pad} (padded) upper nodes even at "
+                f"leaf_size=128 ({nn_pad * node_bytes} B > ~660KB SMEM "
+                "scalar-prefetch budget); split the scene with "
+                "build_chained_scene")
+        if not over:
             break
         leaf_size *= 2
 
     # shape-bucket the node table so same-class rebuilds reuse the compiled
     # trace kernel (see _pad_node_table); ~12.5% max overhead, one extra visit
-    nb = int(smem_nodes.shape[1])
     smem_nodes = _pad_node_table(
-        smem_nodes, bucket=max(256, 1 << max(nb.bit_length() - 3, 0)))
+        smem_nodes, target=_bucket(int(smem_nodes.shape[1]), 256))
 
     # Optional coarse companion table for the gate sweep
     # (ops/trace.py::_sweep_tight): the same SAH tree cut ``sweep_cut``
@@ -497,16 +635,13 @@ def build_tight_scene(
         sweep_nodes[7] = np.asarray(s_up.exit, np.float32)
         if collapse:
             sweep_nodes = collapse_upper(sweep_nodes, collapse)
-        snb = int(sweep_nodes.shape[1])
         sweep_nodes = _pad_node_table(
-            sweep_nodes, bucket=max(64, 1 << max(snb.bit_length() - 3, 0)))
+            sweep_nodes, target=_bucket(int(sweep_nodes.shape[1]), 64))
 
     W = leaf_size
     group = 128 // W
     # G is bucketed like the node table (group-row shape stability).
-    G = (C + group - 1) // group
-    gb = max(16, 1 << max(int(G).bit_length() - 3, 0))
-    G = -(-G // gb) * gb
+    G = _bucket((C + group - 1) // group, 16)
 
     if native_pack:
         # single native pass: lane assignment + cluster-relative rows
@@ -564,6 +699,41 @@ def build_tight_scene(
                       sweep_nodes, pn)
 
 
+def _repad_tight(s: TightScene, nn_t: int, G_t: int) -> TightScene:
+    """Re-pads a TightScene's tables to a common (node, group-row) shape.
+
+    ``build_chained_scene`` equalizes all parts through here: per-part SAH
+    and cut results can land in different 1/8-granularity buckets, and a
+    single diverging part would silently trigger a 10s-3min remote kernel
+    recompile. Padding an already-padded node table is safe: the old pad
+    block's entry/exit point at the first new pad column, whose entry/exit
+    walk off the (new) end — two extra visits total.
+    """
+    sn = s.smem_nodes
+    if sn.shape[1] < nn_t:
+        sn = _pad_node_table(sn, target=nn_t)
+    g, tm = s.groups, s.tri_map
+    if g.shape[0] < G_t:
+        g = np.concatenate(
+            [g, np.zeros((G_t - g.shape[0], 16, 128), np.float32)], axis=0)
+        tm = np.concatenate(
+            [tm, np.full((G_t - s.groups.shape[0]) * 128, -1, np.int32)])
+    pn = pack_node_table_bf16(sn) if s.packed_nodes is not None else None
+    bg = s.bgroups
+    if bg is not None:
+        # (host numpy pack path only) equalize the bilinear-form rows too
+        Gb_t = _bucket(G_t * (128 // int(s.width)) // max(128 // (4 * int(s.width)), 1), 1)
+        if bg.shape[0] < Gb_t:
+            bg = np.concatenate(
+                [bg, np.zeros((Gb_t - bg.shape[0],) + bg.shape[1:], np.float32)],
+                axis=0)
+    if sn is s.smem_nodes and g is s.groups and bg is s.bgroups:
+        return s
+    # num_nodes stays the LOGICAL count (pre-pad), matching build_tight_scene
+    return s._replace(smem_nodes=sn, groups=g, tri_map=tm, packed_nodes=pn,
+                      bgroups=bg)
+
+
 class ChainedScene(NamedTuple):
     """A big scene as Morton-ordered parts, each a full TightScene.
 
@@ -590,9 +760,11 @@ def build_chained_scene(a, b, c, max_part: int | None = None,
                         packed: bool = False) -> ChainedScene:
     """Partition + per-part SAH build for scenes beyond one SMEM table.
 
-    Parts are equal-size slices of the Morton order (balanced => identical
-    padded shapes => one kernel compile). ``max_part`` bounds triangles per
-    part so W=16 leaves and the collapse still fit the SMEM budget.
+    Parts are equal-size slices of the Morton order (spatially compact by
+    construction) and are re-padded to the max table bucket across parts
+    after building (``_repad_tight``), so ONE compiled kernel serves every
+    part. ``max_part`` bounds triangles per part so W=16 leaves and the
+    collapse still fit the SMEM budget.
     """
     a = np.asarray(a, np.float32)
     b = np.asarray(b, np.float32)
@@ -635,6 +807,13 @@ def build_chained_scene(a, b, c, max_part: int | None = None,
                                        collapse=collapse, bmat=bmat,
                                        packed=packed))
         ids.append(sel)
+    # equalize padded table shapes across parts: per-part SAH results can
+    # land in different 1/8-granularity buckets, and each distinct shape
+    # is a separate (10s-3min) remote kernel compile
+    if len({int(p.width) for p in parts}) == 1:
+        nn_t = max(int(p.smem_nodes.shape[1]) for p in parts)
+        G_t = max(int(p.groups.shape[0]) for p in parts)
+        parts = [_repad_tight(p, nn_t, G_t) for p in parts]
     return ChainedScene(tuple(parts), tuple(ids))
 
 

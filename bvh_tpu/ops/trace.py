@@ -1228,19 +1228,27 @@ def count_visits_tight(scene, rays: Ray, packet: int = 2048,
         return np.zeros(0, np.int64), np.zeros(0, np.int64)
     p, rp, slab, lmat = _pack_rays_tight(rays, packet, None)
     bg = getattr(scene, "bgroups", None)
+    # packed scenes must count through the packed table (like the timed
+    # kernel does): the unpacked kernel derives the cluster-frame origin
+    # from the f32 box center while packed group rows are packed against
+    # the raw packed scalars — mixing them skews narrowphase distances and
+    # therefore the pruning-dependent visit/fire counters
+    pn = getattr(scene, "packed_nodes", None)
+    sn = jnp.asarray(pn if pn is not None else scene.smem_nodes)
     out = _trace_tight(
-        jnp.asarray(scene.smem_nodes),
+        sn,
         jnp.zeros((p,), jnp.int32),
         jnp.zeros((p,), jnp.int32),
         jnp.asarray(bg if bg is not None else scene.groups),
         slab,
         lmat,
-        num_nodes=int(np.shape(scene.smem_nodes)[1]),
+        num_nodes=int(sn.shape[1]),
         interpret=interpret,
         packet=packet,
         width=int(getattr(scene, "width", 16)),
         use_bmat=bg is not None,
         count_visits=True,
+        packed=pn is not None,
     )
     visits = np.asarray(out[:, 0, 0]).astype(np.int64)
     fires = np.asarray(out[:, 1, 0]).astype(np.int64)

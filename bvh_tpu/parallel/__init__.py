@@ -10,7 +10,8 @@ The reference's only parallelism is in-process work stealing
 Vertex gradients are summed back with ``psum`` during the backward pass.
 """
 
-from .mesh import make_mesh
+from .mesh import init_distributed, make_mesh, make_multihost_mesh
+from .scaling import ray_scaling_report
 from .shard import (
     shard_scene,
     sharded_loss_and_grads,
@@ -21,6 +22,9 @@ from .tight import sharded_trace_any_hit, sharded_trace_closest_hit
 
 __all__ = [
     "make_mesh",
+    "make_multihost_mesh",
+    "init_distributed",
+    "ray_scaling_report",
     "shard_scene",
     "sharded_render_depth",
     "sharded_loss_and_grads",

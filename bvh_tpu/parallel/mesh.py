@@ -1,8 +1,39 @@
-"""Device mesh construction helpers."""
+"""Device mesh construction: single-host, and multi-process (multi-host).
+
+The reference has no distributed component at all (survey §2.23); these
+helpers are the TPU framework's comm-backend layer: process-group init via
+``jax.distributed``, then a ('rays', 'scene') mesh whose collectives ride
+ICI within a slice and DCN across hosts. The hot loop (parallel/tight.py)
+is zero-traffic, so rays-across-hosts placement makes DCN latency
+irrelevant; only gradient psums cross hosts in training.
+"""
 
 from __future__ import annotations
 
 import jax
+
+
+def init_distributed(coordinator_address: str | None = None,
+                     num_processes: int | None = None,
+                     process_id: int | None = None, **kw) -> int:
+    """Initializes the multi-process JAX runtime (call once per process,
+    before any other JAX API, on every host of the pod).
+
+    On TPU pods the arguments are auto-detected from the metadata server —
+    ``init_distributed()`` with no arguments is the normal call; on CPU/GPU
+    fleets pass coordinator/process explicitly. Returns the process count.
+    Safe to call on a single host (no-op if already initialized or
+    single-process).
+    """
+    try:
+        jax.distributed.initialize(coordinator_address=coordinator_address,
+                                   num_processes=num_processes,
+                                   process_id=process_id, **kw)
+    except RuntimeError as e:
+        # already initialized, or single-process auto-detect: both fine
+        if "already" not in str(e).lower() and num_processes not in (None, 1):
+            raise
+    return jax.process_count()
 
 
 def make_mesh(n_devices: int | None = None, scene_shards: int = 1):
@@ -10,10 +41,33 @@ def make_mesh(n_devices: int | None = None, scene_shards: int = 1):
 
     ``scene_shards`` devices along the scene (primitive range) axis, the rest
     along the ray (data-parallel) axis. Collectives ride ICI when the mesh is
-    laid out on a physical slice; on multi-host deployments call
-    ``jax.distributed.initialize()`` first and pass the global device count.
+    laid out on a physical slice. For a mesh spanning multiple hosts use
+    ``make_multihost_mesh`` (DCN-aware ordering).
     """
     n = n_devices or jax.device_count()
     if n % scene_shards:
         raise ValueError(f"{n} devices not divisible by scene_shards={scene_shards}")
     return jax.make_mesh((n // scene_shards, scene_shards), ("rays", "scene"))
+
+
+def make_multihost_mesh(scene_shards: int = 1):
+    """A ('rays', 'scene') mesh over ALL processes' devices.
+
+    Call ``init_distributed()`` first on every host. Layout: the scene
+    axis is kept *within* a host's slice (its min-reduce of closest hits
+    rides ICI); the ray axis spans hosts — by construction the traversal
+    hot loop has no cross-shard traffic, so the DCN only carries the
+    training-step gradient psum.
+    """
+    n = jax.device_count()
+    if n % scene_shards:
+        raise ValueError(f"{n} devices not divisible by scene_shards={scene_shards}")
+    rays = n // scene_shards
+    procs = jax.process_count()
+    if procs > 1 and rays % procs == 0:
+        from jax.experimental import mesh_utils
+
+        devices = mesh_utils.create_hybrid_device_mesh(
+            (rays // procs, scene_shards), (procs, 1))
+        return jax.sharding.Mesh(devices, ("rays", "scene"))
+    return make_mesh(n, scene_shards=scene_shards)

@@ -77,3 +77,24 @@ def test_chained_single_part_passthrough():
     got = trace_closest_hit_chained(ch, rays, packet=128, interpret=True)
     want = trace_closest_hit_tight(ch.parts[0], rays, packet=128, interpret=True)
     np.testing.assert_array_equal(np.asarray(got.t), np.asarray(want.t))
+
+
+def test_chained_parts_share_table_shapes():
+    """All parts are re-padded to one (node, group) bucket — a diverging
+    part would silently cost a 10s-3min remote kernel recompile."""
+    a, b, c = tb.create_n_cubes(120)
+    ch = build_chained_scene(a, b, c, max_part=500, use_native=False)
+    assert len(ch.parts) >= 2
+    shapes = {(p.smem_nodes.shape, p.groups.shape, p.tri_map.shape)
+              for p in ch.parts}
+    assert len(shapes) == 1, shapes
+    # and the re-padded parts still trace correctly end to end
+    rng = np.random.default_rng(5)
+    rays = _rays(a, 256, rng)
+    got = trace_closest_hit_chained(ch, rays, packet=128, interpret=True)
+    aj, bj, cj = jnp.asarray(a), jnp.asarray(b), jnp.asarray(c)
+    want = brute_force_closest_hit(rays, aj, bj, cj)
+    tg, tw = np.asarray(got.t), np.asarray(want.t)
+    assert (np.isfinite(tg) == np.isfinite(tw)).all()
+    both = np.isfinite(tg)
+    np.testing.assert_allclose(tg[both], tw[both], rtol=1e-2)

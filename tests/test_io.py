@@ -71,3 +71,22 @@ def test_tight_scene_roundtrip(tmp_path):
     np.testing.assert_array_equal(back.smem_nodes, scene.smem_nodes)
     np.testing.assert_array_equal(back.groups, scene.groups)
     np.testing.assert_array_equal(back.tri_map, scene.tri_map)
+
+
+def test_chained_scene_roundtrip(tmp_path):
+    from bvh_tpu.io import load_chained_scene, save_chained_scene
+    from bvh_tpu.ops.cluster import build_chained_scene
+
+    a, b, c = tb.create_n_cubes(60)
+    ch = build_chained_scene(a, b, c, max_part=200, use_native=False)
+    path = str(tmp_path / "chained.npz")
+    save_chained_scene(path, ch)
+    back = load_chained_scene(path)
+    assert len(back.parts) == len(ch.parts)
+    for p0, p1, i0, i1 in zip(ch.parts, back.parts, ch.orig_ids, back.orig_ids):
+        assert p1.width == p0.width
+        assert p1.num_clusters == p0.num_clusters
+        np.testing.assert_array_equal(p1.smem_nodes, p0.smem_nodes)
+        np.testing.assert_array_equal(p1.groups, p0.groups)
+        np.testing.assert_array_equal(p1.tri_map, p0.tri_map)
+        np.testing.assert_array_equal(i1, i0)

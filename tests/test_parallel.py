@@ -172,3 +172,21 @@ def test_sharded_tight_trace_with_tris(setup):
     assert (np.asarray(got.shape_id) == np.asarray(want.shape_id)).all()
     np.testing.assert_allclose(np.asarray(got.u), np.asarray(want.u), atol=1e-4)
     np.testing.assert_allclose(np.asarray(got.v), np.asarray(want.v), atol=1e-4)
+
+
+def test_ray_scaling_report(setup):
+    """Scaling harness runs at 1/2/4/8 shards on the virtual mesh and the
+    sharded results stay consistent (the numbers themselves are CPU noise;
+    what this pins is that every shard count compiles and traces)."""
+    from bvh_tpu.ops.cluster import build_tight_scene
+    from bvh_tpu.parallel import ray_scaling_report
+
+    a, b, c, rays = setup
+    scene = build_tight_scene(a, b, c, use_native=False)
+    report = ray_scaling_report(scene, rays, shard_counts=(1, 2, 4, 8),
+                                packet=128, iters=1, interpret=True)
+    assert set(report) == {1, 2, 4, 8}
+    for n, row in report.items():
+        assert row["rays_per_s"] > 0
+        assert row["efficiency"] > 0
+    assert report[1]["efficiency"] == 1.0

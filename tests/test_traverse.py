@@ -225,3 +225,21 @@ def test_nearest_to_generic_balls():
     # winning ids must achieve the best distance (ties legal)
     got_d2 = d2_all[np.arange(64), np.asarray(sid)]
     np.testing.assert_allclose(got_d2, best, rtol=1e-4, atol=1e-6)
+
+
+def test_traverse_all_auto_grows(grid_scene):
+    from bvh_tpu.bvh import traverse_all
+
+    a, b, c, mn, mx, flat, centers = grid_scene
+    q = AabbQuery(
+        Aabb(
+            jnp.asarray(mn.min(axis=0)[None] - 1),
+            jnp.asarray(mx.max(axis=0)[None] + 1),
+        )
+    )
+    hits, count = traverse_all(flat, q, max_hits=8)
+    n = mn.shape[0]
+    assert int(count[0]) == n
+    assert hits.shape[-1] >= n  # buffer grew until everything fit
+    got = sorted(int(x) for x in np.asarray(hits[0]) if x >= 0)
+    assert got == list(range(n))  # every shape collected exactly once
