@@ -69,7 +69,7 @@ def load_cluster_scene(path: str) -> ClusterScene:
         )
 
 
-_TIGHT_VERSION = 2  # v2 adds the optional precomputed bilinear forms
+_TIGHT_VERSION = 3  # v2: optional bilinear forms; v3: wide-walk tables
 
 
 def save_tight_scene(path: str, scene) -> None:
@@ -83,6 +83,10 @@ def save_tight_scene(path: str, scene) -> None:
         extra["sweep_nodes"] = np.asarray(scene.sweep_nodes)
     if getattr(scene, "packed_nodes", None) is not None:
         extra["packed_nodes"] = np.asarray(scene.packed_nodes)
+    if getattr(scene, "gnodes", None) is not None:
+        extra["gnodes"] = np.asarray(scene.gnodes)
+        extra["gslot"] = np.asarray(scene.gslot)
+        extra["gdepth"] = np.int64(scene.gdepth)
     np.savez_compressed(
         path,
         __tight_version__=np.int64(_TIGHT_VERSION),
@@ -113,6 +117,9 @@ def load_tight_scene(path: str):
             bgroups=z["bgroups"] if "bgroups" in z.files else None,
             sweep_nodes=z["sweep_nodes"] if "sweep_nodes" in z.files else None,
             packed_nodes=z["packed_nodes"] if "packed_nodes" in z.files else None,
+            gnodes=z["gnodes"] if "gnodes" in z.files else None,
+            gslot=z["gslot"] if "gslot" in z.files else None,
+            gdepth=int(z["gdepth"]) if "gdepth" in z.files else 0,
         )
 
 
@@ -138,10 +145,12 @@ def save_chained_scene(path: str, chained) -> None:
         payload[f"p{i}_num_nodes"] = np.int64(part.num_nodes)
         payload[f"p{i}_width"] = np.int64(part.width)
         payload[f"p{i}_orig_ids"] = np.asarray(ids)
-        for opt in ("bgroups", "sweep_nodes", "packed_nodes"):
+        for opt in ("bgroups", "sweep_nodes", "packed_nodes", "gnodes",
+                    "gslot"):
             v = getattr(part, opt, None)
             if v is not None:
                 payload[f"p{i}_{opt}"] = np.asarray(v)
+        payload[f"p{i}_gdepth"] = np.int64(getattr(part, "gdepth", 0))
     np.savez_compressed(path, **payload)
 
 
@@ -167,6 +176,10 @@ def load_chained_scene(path: str):
                              if f"p{i}_sweep_nodes" in z.files else None),
                 packed_nodes=(z[f"p{i}_packed_nodes"]
                               if f"p{i}_packed_nodes" in z.files else None),
+                gnodes=z[f"p{i}_gnodes"] if f"p{i}_gnodes" in z.files else None,
+                gslot=z[f"p{i}_gslot"] if f"p{i}_gslot" in z.files else None,
+                gdepth=(int(z[f"p{i}_gdepth"])
+                        if f"p{i}_gdepth" in z.files else 0),
             ))
             ids.append(z[f"p{i}_orig_ids"])
     return ChainedScene(tuple(parts), tuple(ids))

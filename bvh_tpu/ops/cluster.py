@@ -196,6 +196,9 @@ class TightScene(NamedTuple):
     bgroups: np.ndarray | None = None  # [Gb, 16, row_w] precomputed bilinear forms (see pack_bgroups)
     sweep_nodes: np.ndarray | None = None  # [8, Ns] coarse table for the gate sweep (~8x leaf cut)
     packed_nodes: np.ndarray | None = None  # [5, Nn] bf16-pair table (pack_node_table_bf16)
+    gnodes: np.ndarray | None = None  # [7K, Gn] wide-tree table (build_wide_table)
+    gslot: np.ndarray | None = None  # [C] i32 cluster -> g*K + k (wide seed hints)
+    gdepth: int = 0  # wide-tree group-stack depth
 
     @property
     def num_tris(self) -> int:
@@ -474,7 +477,7 @@ def build_tight_scene(
     a: np.ndarray, b: np.ndarray, c: np.ndarray, leaf_size: int | None = None,
     config=None, use_native: bool = True, collapse: int | None = 16,
     bmat: bool | None = None, sweep_cut: int | None = None,
-    packed: bool = False,
+    packed: bool = False, wide: bool = True,
 ) -> TightScene:
     """Host prep for the tight-cluster kernel: SAH build, cut, pack, upper BVH.
 
@@ -567,6 +570,7 @@ def build_tight_scene(
         smem_nodes[3:6] = np.asarray(up.aabb_max).T
         smem_nodes[6] = entry
         smem_nodes[7] = np.asarray(up.exit, np.float32)
+        smem_binary = smem_nodes  # pre-collapse binary table (wide-tree input)
         if collapse:
             smem_nodes = collapse_upper(smem_nodes, collapse)
             nn = smem_nodes.shape[1]
@@ -604,6 +608,20 @@ def build_tight_scene(
     # trace kernel (see _pad_node_table); ~12.5% max overhead, one extra visit
     smem_nodes = _pad_node_table(
         smem_nodes, target=_bucket(int(smem_nodes.shape[1]), 256))
+
+    # Group-walk (wide-tree) tables: K-ary frontier cut of the BINARY upper
+    # tree (collapse_upper leaves bottom internals binary; the wide kernel
+    # wants exactly-K groups everywhere). Falls back to the entry/exit
+    # kernel (gnodes=None) if the wide table would not fit the SMEM budget
+    # or the group stack (never at the scene sizes one SMEM table allows).
+    gnodes = gslot = None
+    gdepth = 0
+    if wide and not packed:
+        gnodes, gslot, gdepth = build_wide_table(smem_binary, C)
+        if (gdepth > 14
+                or gnodes.shape[0] * gnodes.shape[1] * 4 > 660_000):
+            gnodes = gslot = None
+            gdepth = 0
 
     # Optional coarse companion table for the gate sweep
     # (ops/trace.py::_sweep_tight): the same SAH tree cut ``sweep_cut``
@@ -654,7 +672,7 @@ def build_tight_scene(
             raise RuntimeError("native pack failed (cluster overflow?)")
         pn = pack_node_table_bf16(smem_nodes) if packed else None
         return TightScene(smem_nodes, groups, tri_map_pad, C, nn, W, None,
-                          sweep_nodes, pn)
+                          sweep_nodes, pn, gnodes, gslot, gdepth)
 
     shape_ids = np.asarray(flat.shape)[leaves]  # tri id per tree leaf, DFS order
 
@@ -696,10 +714,25 @@ def build_tight_scene(
         bgroups = pack_bgroups(blocks, C_pad, W)
     pn = pack_node_table_bf16(smem_nodes) if packed else None
     return TightScene(smem_nodes, groups, tri_map_pad, C, nn, W, bgroups,
-                      sweep_nodes, pn)
+                      sweep_nodes, pn, gnodes, gslot, gdepth)
 
 
-def _repad_tight(s: TightScene, nn_t: int, G_t: int) -> TightScene:
+def _pad_wide_table(gnodes: np.ndarray, target: int) -> np.ndarray:
+    """Pads a wide-tree table to ``target`` columns (shape bucketing).
+
+    Pad columns are unreachable groups: NaN boxes (unfireable) with
+    empty-slot payloads, same as ``build_wide_table`` empty slots.
+    """
+    Gn = gnodes.shape[1]
+    assert target >= Gn, (target, Gn)
+    if target == Gn:
+        return gnodes
+    pad = np.full((gnodes.shape[0], target - Gn), np.nan, np.float32)
+    pad[6::7, :] = -1.0
+    return np.concatenate([gnodes, pad], axis=1)
+
+
+def _repad_tight(s: TightScene, nn_t: int, G_t: int, Gn_t: int = 0) -> TightScene:
     """Re-pads a TightScene's tables to a common (node, group-row) shape.
 
     ``build_chained_scene`` equalizes all parts through here: per-part SAH
@@ -727,11 +760,15 @@ def _repad_tight(s: TightScene, nn_t: int, G_t: int) -> TightScene:
             bg = np.concatenate(
                 [bg, np.zeros((Gb_t - bg.shape[0],) + bg.shape[1:], np.float32)],
                 axis=0)
-    if sn is s.smem_nodes and g is s.groups and bg is s.bgroups:
+    gn = s.gnodes
+    if gn is not None and Gn_t and gn.shape[1] < Gn_t:
+        gn = _pad_wide_table(gn, Gn_t)
+    if (sn is s.smem_nodes and g is s.groups and bg is s.bgroups
+            and gn is s.gnodes):
         return s
     # num_nodes stays the LOGICAL count (pre-pad), matching build_tight_scene
     return s._replace(smem_nodes=sn, groups=g, tri_map=tm, packed_nodes=pn,
-                      bgroups=bg)
+                      bgroups=bg, gnodes=gn)
 
 
 class ChainedScene(NamedTuple):
@@ -813,7 +850,13 @@ def build_chained_scene(a, b, c, max_part: int | None = None,
     if len({int(p.width) for p in parts}) == 1:
         nn_t = max(int(p.smem_nodes.shape[1]) for p in parts)
         G_t = max(int(p.groups.shape[0]) for p in parts)
-        parts = [_repad_tight(p, nn_t, G_t) for p in parts]
+        if all(p.gnodes is not None for p in parts):
+            Gn_t = max(int(p.gnodes.shape[1]) for p in parts)
+        else:
+            Gn_t = 0
+            parts = [p._replace(gnodes=None, gslot=None, gdepth=0)
+                     for p in parts]
+        parts = [_repad_tight(p, nn_t, G_t, Gn_t) for p in parts]
     return ChainedScene(tuple(parts), tuple(ids))
 
 

@@ -425,6 +425,191 @@ def _make_tight_kernel(packet: int, precision, skip_narrow: bool = False,
     return _kernel
 
 
+_SENT_I = 0x7F800000  # +inf bit pattern (packed best-key sentinel)
+
+
+def _narrow_cluster(c, ccx, ccy, ccz, box6, groups_ref, slab_ref, lmat_ref,
+                    bestk_ref, bestc_ref, vb_ref, *, W, SUBTILE, PACKET,
+                    PRECISION, MODE, BOUNDED, USE_BMAT):
+    """Shared narrowphase: MXU Moller-Trumbore of cluster ``c`` against the
+    packet, updating the packed best keys and per-lane pruning distances.
+
+    ``c`` is the cluster id (i32 scalar); ``ccx/ccy/ccz`` the cluster-frame
+    origin; ``box6 = (ax, ay, az, bx, by, bz)`` the leaf box used only for
+    the per-subtile gating recompute when the packet is split into
+    narrowphase subtiles. Used by both the entry/exit tight kernel and the
+    group-walk kernel (one implementation, bit-identical results).
+    """
+    GSHIFT = (128 // W).bit_length() - 1
+    GMASK = (128 // W) - 1
+    SUBTILE = min(SUBTILE, PACKET)
+    NT = max(PACKET // SUBTILE, 1)
+    ST = SUBTILE // 128
+    _SENT = jnp.int32(_SENT_I)
+    ax, ay, az, bx, by, bz = box6
+
+    if USE_BMAT:
+        # groups_ref holds the PRECOMPUTED bilinear forms (see
+        # cluster.pack_bgroups): the whole Moller-Trumbore matrix build
+        # below — ~20 serial small-tile ops on the leaf-visit critical
+        # path — collapses to one dynamic row fetch (+ a lane roll when
+        # two W=16 clusters share a 128-lane row).
+        per_row = max(128 // (4 * W), 1)
+        if per_row > 1:
+            g = jax.lax.shift_right_logical(c, 1)
+            sub = jax.lax.bitwise_and(c, 1)
+            tile = groups_ref[pl.ds(g, 1)][0]  # [16, 128]
+            shift = jax.lax.bitwise_and(128 - sub * (4 * W), 127)
+            bmat = pltpu.roll(tile, shift, axis=1)[:, 0:4 * W]
+        else:
+            bmat = groups_ref[pl.ds(c, 1)][0]  # [16, 4W]
+    else:
+        g = jax.lax.shift_right_logical(c, GSHIFT)
+        sub = jax.lax.bitwise_and(c, GMASK)
+        tile = groups_ref[pl.ds(g, 1)][0]  # [16, 128]
+        shift = jax.lax.bitwise_and(128 - sub * W, 127)
+        tr = pltpu.roll(tile, shift, axis=1)  # cluster's tris at lanes 0..W-1
+
+        a0, a1, a2 = tr[0:1, 0:W], tr[1:2, 0:W], tr[2:3, 0:W]
+        e10, e11, e12 = tr[3:4, 0:W], tr[4:5, 0:W], tr[5:6, 0:W]
+        e20, e21, e22 = tr[6:7, 0:W], tr[7:8, 0:W], tr[8:9, 0:W]
+
+        p00, p01, p02 = _cross_rows(e20, e21, e22, e10, e11, e12)  # e2 x e1
+        q0, q1, q2 = _cross_rows(e20, e21, e22, a0, a1, a2)  # e2 x a'
+        r0, r1, r2 = _cross_rows(e10, e11, e12, a0, a1, a2)  # e1 x a'
+        n0, n1, n2 = _cross_rows(e10, e11, e12, e20, e21, e22)  # e1 x e2
+        an = a0 * n0 + a1 * n1 + a2 * n2
+
+        z1 = jnp.zeros((1, W), jnp.float32)
+
+        def rows(*rs):
+            out = list(rs)
+            while len(out) < 16:
+                out.append(z1)
+            return jnp.concatenate(out, axis=0)
+
+        b_det = rows(p00, p01, p02)
+        b_u = rows(-q0, -q1, -q2, e20, e21, e22)
+        b_v = rows(r0, r1, r2, -e10, -e11, -e12)
+        b_t = rows(z1, z1, z1, z1, z1, z1, n0, n1, n2, -an)
+        bmat = jnp.concatenate([b_det, b_u, b_v, b_t], axis=1)  # [16, 4W]
+
+    def narrow_subtile(st):
+        # TRANSPOSED narrowphase: rays ride the LANE axis throughout
+        # ([4W, SUBTILE] product, [W, SUBTILE] blocks), so every op in
+        # the hit test runs at full 128-lane density. The ray-major
+        # orientation ([SUBTILE, W], W=16 lanes) cost 128 tiles per op
+        # at 1/8 lane use — measured 54% of the aimed-workload time.
+        lm = lmat_ref[0, :, st * SUBTILE:(st + 1) * SUBTILE]  # [16, SUBTILE]
+        dx, dy, dz = lm[0:1], lm[1:2], lm[2:3]
+        cxd0 = ccy * dz - ccz * dy
+        cxd1 = ccz * dx - ccx * dz
+        cxd2 = ccx * dy - ccy * dx
+        lp = jnp.concatenate(
+            [
+                lm[0:3],
+                lm[3:4] - cxd0,
+                lm[4:5] - cxd1,
+                lm[5:6] - cxd2,
+                lm[6:7] - ccx,
+                lm[7:8] - ccy,
+                lm[8:9] - ccz,
+                lm[9:16],
+            ],
+            axis=0,
+        )  # [16, SUBTILE]
+
+        m = jax.lax.dot_general(
+            bmat, lp, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=PRECISION,
+        )  # [4W, SUBTILE]
+
+        det = m[0:W]
+        udet = m[W:2 * W]
+        vdet = m[2 * W:3 * W]
+        tdet = m[3 * W:4 * W]
+        cull = det < _EPS
+        ok = (
+            ~cull
+            & (udet >= 0.0)
+            & (udet <= det)
+            & (vdet >= 0.0)
+            & (udet + vdet <= det)
+            & (tdet > _EPS * det)
+        )
+        t = tdet * pl.reciprocal(jnp.where(cull, 1.0, det), approx=True)
+        dist = jnp.where(ok, t, _INF)
+
+        # packed min-reduce: steal the low log2(W) mantissa bits of t
+        # for the triangle index (t > 0 => f32 bits are order-preserving)
+        LMASK = jnp.int32(W - 1)
+        lanes_i = jax.lax.broadcasted_iota(jnp.int32, (W, SUBTILE), 0)
+        key = pltpu.bitcast(dist, jnp.int32)
+        key = jnp.where(ok, (key & ~LMASK) | lanes_i, _SENT)
+        # sublane reduce straight into slab layout; everything after
+        # also runs at dense 128-lane width. Mosaic lowers the
+        # 1D->(rows,128) relayout only for full-tile (1024) or
+        # single-row (128) sizes; odd subtile sizes reduce per
+        # tile-aligned lane group and stack rows instead.
+        if SUBTILE >= 1024 or SUBTILE == 128:
+            km = jnp.min(key, axis=0).reshape(ST, 128)
+        else:
+            km = jnp.concatenate(
+                [jnp.min(key[:, i * 128:(i + 1) * 128], axis=0,
+                         keepdims=True) for i in range(ST)],
+                axis=0,
+            )
+
+        sl = slice(st * ST, (st + 1) * ST)
+        bk = bestk_ref[sl, :]
+        closer = km < bk
+        nbk = jnp.where(closer, km, bk)
+        bestk_ref[sl, :] = nbk
+        bestc_ref[sl, :] = jnp.where(closer, c, bestc_ref[sl, :])
+        # refresh the per-lane pruning distances (+inf while no hit)
+        nt = pltpu.bitcast(nbk & ~LMASK, jnp.float32)
+        if MODE == "any":
+            # occlusion query: a lane with any hit inside t_max is done —
+            # -inf makes every later `tmin < vb` test fail, so the lane
+            # stops pulling the packet into subtrees entirely
+            tmx = slab_ref[0, 6, sl, :]
+            vb_ref[sl, :] = jnp.where(nt < tmx, -_INF, tmx)
+        elif BOUNDED:
+            # keep vb <= t_max: a recorded hit beyond the bound must not
+            # loosen pruning (the host drops it as a miss afterwards)
+            vb_ref[sl, :] = jnp.minimum(nt, vb_ref[sl, :])
+        else:
+            vb_ref[sl, :] = nt
+
+    if NT == 1:
+        narrow_subtile(0)
+    else:
+        # recompute which subtiles hit this leaf's box (cheap per trigger)
+        oix, oiy, oiz = slab_ref[0, 0], slab_ref[0, 1], slab_ref[0, 2]
+        ix, iy, iz = slab_ref[0, 3], slab_ref[0, 4], slab_ref[0, 5]
+        t1 = ax * ix - oix
+        t2 = bx * ix - oix
+        u1 = ay * iy - oiy
+        u2 = by * iy - oiy
+        v1 = az * iz - oiz
+        v2 = bz * iz - oiz
+        tmin = jnp.maximum(
+            jnp.maximum(jnp.minimum(t1, t2), jnp.minimum(u1, u2)),
+            jnp.minimum(v1, v2),
+        )
+        tmax = jnp.minimum(
+            jnp.minimum(jnp.maximum(t1, t2), jnp.maximum(u1, u2)),
+            jnp.maximum(v1, v2),
+        )
+        useful = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < vb_ref[:, :])
+        for st in range(NT):
+            flag = jnp.any(useful[st * ST:(st + 1) * ST, :])
+
+            @pl.when(flag)
+            def _(st=st):
+                narrow_subtile(st)
+
+
 def _tight_body(nodes_ref, hints_ref, gate_ref, groups_ref, slab_ref, lmat_ref,
                 out_ref, bestk_ref, bestc_ref, vb_ref, cnt_ref, PACKET,
                 PRECISION, SKIP_NARROW=False, SUBTILE=1024, W=16, N_HINTS=0,
@@ -433,12 +618,10 @@ def _tight_body(nodes_ref, hints_ref, gate_ref, groups_ref, slab_ref, lmat_ref,
     assert W in (16, 32, 64, 128)
     assert MODE in ("closest", "any")
     nn = nodes_ref.shape[1]
-    GSHIFT = (128 // W).bit_length() - 1  # log2(clusters per group row)
-    GMASK = (128 // W) - 1
     SUB = PACKET // 128  # sublane tiles of the ray packet
-    SUBTILE = min(SUBTILE, PACKET)
-    NT = max(PACKET // SUBTILE, 1)  # narrowphase subtiles
-    ST = SUBTILE // 128  # sublane rows per subtile
+    # bound once at top level: program_id inside a pl.when region does not
+    # lower in interpret mode (sweep-gated + seeded combination)
+    pid = pl.program_id(0)
 
     # Per-ray best hit as a PACKED int key ([SUB,128] slab layout): high bits
     # the f32 t (order-preserving for t > 0), low log2(W) bits the triangle
@@ -465,52 +648,6 @@ def _tight_body(nodes_ref, hints_ref, gate_ref, groups_ref, slab_ref, lmat_ref,
         c = (-cluster_f - 1.0).astype(jnp.int32)
         if COUNT_VISITS:
             cnt_ref[1] = cnt_ref[1] + 1
-        if USE_BMAT:
-            # groups_ref holds the PRECOMPUTED bilinear forms (see
-            # cluster.pack_bgroups): the whole Moller-Trumbore matrix build
-            # below — ~20 serial small-tile ops on the leaf-visit critical
-            # path — collapses to one dynamic row fetch (+ a lane roll when
-            # two W=16 clusters share a 128-lane row).
-            per_row = max(128 // (4 * W), 1)
-            if per_row > 1:
-                g = jax.lax.shift_right_logical(c, 1)
-                sub = jax.lax.bitwise_and(c, 1)
-                tile = groups_ref[pl.ds(g, 1)][0]  # [16, 128]
-                shift = jax.lax.bitwise_and(128 - sub * (4 * W), 127)
-                bmat = pltpu.roll(tile, shift, axis=1)[:, 0:4 * W]
-            else:
-                bmat = groups_ref[pl.ds(c, 1)][0]  # [16, 4W]
-        else:
-            g = jax.lax.shift_right_logical(c, GSHIFT)
-            sub = jax.lax.bitwise_and(c, GMASK)
-            tile = groups_ref[pl.ds(g, 1)][0]  # [16, 128]
-            shift = jax.lax.bitwise_and(128 - sub * W, 127)
-            tr = pltpu.roll(tile, shift, axis=1)  # cluster's tris at lanes 0..W-1
-
-            a0, a1, a2 = tr[0:1, 0:W], tr[1:2, 0:W], tr[2:3, 0:W]
-            e10, e11, e12 = tr[3:4, 0:W], tr[4:5, 0:W], tr[5:6, 0:W]
-            e20, e21, e22 = tr[6:7, 0:W], tr[7:8, 0:W], tr[8:9, 0:W]
-
-            p00, p01, p02 = _cross_rows(e20, e21, e22, e10, e11, e12)  # e2 x e1
-            q0, q1, q2 = _cross_rows(e20, e21, e22, a0, a1, a2)  # e2 x a'
-            r0, r1, r2 = _cross_rows(e10, e11, e12, a0, a1, a2)  # e1 x a'
-            n0, n1, n2 = _cross_rows(e10, e11, e12, e20, e21, e22)  # e1 x e2
-            an = a0 * n0 + a1 * n1 + a2 * n2
-
-            z1 = jnp.zeros((1, W), jnp.float32)
-
-            def rows(*rs):
-                out = list(rs)
-                while len(out) < 16:
-                    out.append(z1)
-                return jnp.concatenate(out, axis=0)
-
-            b_det = rows(p00, p01, p02)
-            b_u = rows(-q0, -q1, -q2, e20, e21, e22)
-            b_v = rows(r0, r1, r2, -e10, -e11, -e12)
-            b_t = rows(z1, z1, z1, z1, z1, z1, n0, n1, n2, -an)
-            bmat = jnp.concatenate([b_det, b_u, b_v, b_t], axis=1)  # [16, 4W]
-
         # ray transform into the cluster frame. Packed scenes use the RAW
         # packed f32 scalars of rows 0-2 as the frame origin: their float
         # value is ~the box min corner (the bf16 min rides the high half;
@@ -526,121 +663,12 @@ def _tight_body(nodes_ref, hints_ref, gate_ref, groups_ref, slab_ref, lmat_ref,
             ccx = (ax + bx) * 0.5
             ccy = (ay + by) * 0.5
             ccz = (az + bz) * 0.5
-
-        def narrow_subtile(st):
-            # TRANSPOSED narrowphase: rays ride the LANE axis throughout
-            # ([4W, SUBTILE] product, [W, SUBTILE] blocks), so every op in
-            # the hit test runs at full 128-lane density. The ray-major
-            # orientation ([SUBTILE, W], W=16 lanes) cost 128 tiles per op
-            # at 1/8 lane use — measured 54% of the aimed-workload time.
-            lm = lmat_ref[0, :, st * SUBTILE:(st + 1) * SUBTILE]  # [16, SUBTILE]
-            dx, dy, dz = lm[0:1], lm[1:2], lm[2:3]
-            cxd0 = ccy * dz - ccz * dy
-            cxd1 = ccz * dx - ccx * dz
-            cxd2 = ccx * dy - ccy * dx
-            lp = jnp.concatenate(
-                [
-                    lm[0:3],
-                    lm[3:4] - cxd0,
-                    lm[4:5] - cxd1,
-                    lm[5:6] - cxd2,
-                    lm[6:7] - ccx,
-                    lm[7:8] - ccy,
-                    lm[8:9] - ccz,
-                    lm[9:16],
-                ],
-                axis=0,
-            )  # [16, SUBTILE]
-
-            m = jax.lax.dot_general(
-                bmat, lp, (((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32, precision=PRECISION,
-            )  # [4W, SUBTILE]
-
-            det = m[0:W]
-            udet = m[W:2 * W]
-            vdet = m[2 * W:3 * W]
-            tdet = m[3 * W:4 * W]
-            cull = det < _EPS
-            ok = (
-                ~cull
-                & (udet >= 0.0)
-                & (udet <= det)
-                & (vdet >= 0.0)
-                & (udet + vdet <= det)
-                & (tdet > _EPS * det)
-            )
-            t = tdet * pl.reciprocal(jnp.where(cull, 1.0, det), approx=True)
-            dist = jnp.where(ok, t, _INF)
-
-            # packed min-reduce: steal the low log2(W) mantissa bits of t
-            # for the triangle index (t > 0 => f32 bits are order-preserving)
-            LMASK = jnp.int32(W - 1)
-            lanes_i = jax.lax.broadcasted_iota(jnp.int32, (W, SUBTILE), 0)
-            key = pltpu.bitcast(dist, jnp.int32)
-            key = jnp.where(ok, (key & ~LMASK) | lanes_i, _SENT)
-            # sublane reduce straight into slab layout; everything after
-            # also runs at dense 128-lane width. Mosaic lowers the
-            # 1D->(rows,128) relayout only for full-tile (1024) or
-            # single-row (128) sizes; odd subtile sizes reduce per
-            # tile-aligned lane group and stack rows instead.
-            if SUBTILE >= 1024 or SUBTILE == 128:
-                km = jnp.min(key, axis=0).reshape(ST, 128)
-            else:
-                km = jnp.concatenate(
-                    [jnp.min(key[:, i * 128:(i + 1) * 128], axis=0,
-                             keepdims=True) for i in range(ST)],
-                    axis=0,
-                )
-
-            sl = slice(st * ST, (st + 1) * ST)
-            bk = bestk_ref[sl, :]
-            closer = km < bk
-            nbk = jnp.where(closer, km, bk)
-            bestk_ref[sl, :] = nbk
-            bestc_ref[sl, :] = jnp.where(closer, c, bestc_ref[sl, :])
-            # refresh the per-lane pruning distances (+inf while no hit)
-            nt = pltpu.bitcast(nbk & ~LMASK, jnp.float32)
-            if MODE == "any":
-                # occlusion query: a lane with any hit inside t_max is done —
-                # -inf makes every later `tmin < vb` test fail, so the lane
-                # stops pulling the packet into subtrees entirely
-                tmx = slab_ref[0, 6, sl, :]
-                vb_ref[sl, :] = jnp.where(nt < tmx, -_INF, tmx)
-            elif BOUNDED:
-                # keep vb <= t_max: a recorded hit beyond the bound must not
-                # loosen pruning (the host drops it as a miss afterwards)
-                vb_ref[sl, :] = jnp.minimum(nt, vb_ref[sl, :])
-            else:
-                vb_ref[sl, :] = nt
-
-        if NT == 1:
-            narrow_subtile(0)
-        else:
-            # recompute which subtiles hit this leaf's box (cheap per trigger)
-            oix, oiy, oiz = slab_ref[0, 0], slab_ref[0, 1], slab_ref[0, 2]
-            ix, iy, iz = slab_ref[0, 3], slab_ref[0, 4], slab_ref[0, 5]
-            t1 = ax * ix - oix
-            t2 = bx * ix - oix
-            u1 = ay * iy - oiy
-            u2 = by * iy - oiy
-            v1 = az * iz - oiz
-            v2 = bz * iz - oiz
-            tmin = jnp.maximum(
-                jnp.maximum(jnp.minimum(t1, t2), jnp.minimum(u1, u2)),
-                jnp.minimum(v1, v2),
-            )
-            tmax = jnp.minimum(
-                jnp.minimum(jnp.maximum(t1, t2), jnp.maximum(u1, u2)),
-                jnp.maximum(v1, v2),
-            )
-            useful = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < vb_ref[:, :])
-            for st in range(NT):
-                flag = jnp.any(useful[st * ST:(st + 1) * ST, :])
-
-                @pl.when(flag)
-                def _(st=st):
-                    narrow_subtile(st)
+        _narrow_cluster(
+            c, ccx, ccy, ccz, (ax, ay, az, bx, by, bz), groups_ref, slab_ref,
+            lmat_ref, bestk_ref, bestc_ref, vb_ref, W=W, SUBTILE=SUBTILE,
+            PACKET=PACKET, PRECISION=PRECISION, MODE=MODE, BOUNDED=BOUNDED,
+            USE_BMAT=USE_BMAT,
+        )
 
     def visit(cursor):
         ax, ay, az, bx, by, bz, entry, exit_ = _read_node(nodes_ref, cursor, PACKED)
@@ -673,7 +701,7 @@ def _tight_body(nodes_ref, hints_ref, gate_ref, groups_ref, slab_ref, lmat_ref,
         # phase 0: seed per-lane pruning distances by narrowphasing the
         # sampled hint leaves (unconditional fori, idempotent; -1 disables)
         if N_HINTS and not SKIP_NARROW:
-            base = pl.program_id(0) * N_HINTS
+            base = pid * N_HINTS
 
             @pl.when(hints_ref[base] >= 0)
             def _():
@@ -700,7 +728,7 @@ def _tight_body(nodes_ref, hints_ref, gate_ref, groups_ref, slab_ref, lmat_ref,
         # packet the sweep proved fires nothing skips the entire traversal
         # — its outputs decode from the untouched init (miss everywhere).
         # The branch reads a prefetched SMEM scalar: ~free.
-        @pl.when(gate_ref[pl.program_id(0)] > 0)
+        @pl.when(gate_ref[pid] > 0)
         def _():
             run_traversal()
     else:
@@ -861,6 +889,251 @@ def _sweep_tight(smem_nodes, slab, num_nodes, interpret=False, packet=2048,
     )(smem_nodes, slab)
 
 
+# ---------------------------------------------------------------------------
+# GROUP-WALK kernel: K-ary wide tree, ONE fired-mask reduce per K children.
+#
+# The tight kernel above retires ONE node per ~160-195 ns serial
+# SMEM->vector->reduce->select chain — the chain latency, not the vector
+# work, is the visit cost (see the ROUND-2 CORRECTION note). This kernel
+# amortizes the chain K=16 ways: the tree is a true K-ary wide tree
+# (``cluster.build_wide_table``), and one iteration slab-tests ALL K
+# children of a group against the packet, OR-folds the per-ray fired bits
+# into ONE K-bit scalar mask (a single reduce consumer), then walks the
+# mask's set bits — leaf bits narrowphase, interior bits push the remaining
+# mask and descend. Non-fired subtrees are never touched (the entry/exit
+# walk paid a full chain per node just to skip them).
+#
+# Walk state is three scalars (depth, group, mask) plus a tiny SMEM stack;
+# masks pop in DFS order so visit order — and therefore pruning behavior
+# and results — matches the entry/exit kernel exactly.
+#
+# Reference analog being re-designed: the one-box-per-step stackless walk,
+# /root/reference/src/flat_bvh.rs:396-431 (one AABB test per loop step).
+# ---------------------------------------------------------------------------
+
+WIDE_DMAX = 16  # fixed mask-stack depth (static => one compile per scene bucket)
+
+
+def _make_wide_kernel(packet: int, precision, K: int = 16, subtile: int = 1024,
+                      width: int = 16, n_hints: int = 0, mode: str = "closest",
+                      bounded: bool = False, count_visits: bool = False,
+                      gated: bool = False):
+    def _kernel(gnodes_ref, hints_ref, gate_ref, groups_ref, slab_ref, lmat_ref,
+                out_ref, bestk_ref, bestc_ref, vb_ref, cnt_ref, stk_ref, m2_ref):
+        return _wide_body(gnodes_ref, hints_ref, gate_ref, groups_ref, slab_ref,
+                          lmat_ref, out_ref, bestk_ref, bestc_ref, vb_ref,
+                          cnt_ref, stk_ref, m2_ref, packet, precision, K,
+                          subtile, width, n_hints, mode, bounded, count_visits,
+                          gated)
+    return _kernel
+
+
+def _wide_body(gnodes_ref, hints_ref, gate_ref, groups_ref, slab_ref, lmat_ref,
+               out_ref, bestk_ref, bestc_ref, vb_ref, cnt_ref, stk_ref, m2_ref,
+               PACKET, PRECISION, K=16, SUBTILE=1024, W=16, N_HINTS=0,
+               MODE="closest", BOUNDED=False, COUNT_VISITS=False, GATED=False):
+    assert W in (16, 32, 64, 128)
+    assert MODE in ("closest", "any")
+    assert K in (8, 16)
+    SUB = PACKET // 128
+    KSHIFT = K.bit_length() - 1
+    _SENT = jnp.int32(_SENT_I)
+    # program_id is bound ONCE at kernel top level: binding it inside a
+    # pl.when region fails to lower in interpret mode (no cpu MLIR rule)
+    pid = pl.program_id(0)
+
+    bestk_ref[:, :] = jnp.full((SUB, 128), _SENT, jnp.int32)
+    bestc_ref[:, :] = jnp.zeros((SUB, 128), jnp.int32)
+    vb_ref[:, :] = slab_ref[0, 6]
+    if COUNT_VISITS:
+        cnt_ref[0] = 0  # loop iterations
+        cnt_ref[1] = 0  # narrowphase fires
+        cnt_ref[2] = 0  # group tests (each = K child boxes)
+
+    def child_box(k, g):
+        """Child k's box from the wide table column g (6 scalar reads).
+
+        ``k`` may be a traced scalar: the row index is plain scalar
+        arithmetic into the SMEM table (rows 7k..7k+5)."""
+        base = 7 * k
+        return (gnodes_ref[base, g], gnodes_ref[base + 1, g],
+                gnodes_ref[base + 2, g], gnodes_ref[base + 3, g],
+                gnodes_ref[base + 4, g], gnodes_ref[base + 5, g])
+
+    def narrow_slot(k, g):
+        """Narrowphase the leaf cluster sitting at slot (g, k)."""
+        pay = gnodes_ref[7 * k + 6, g]
+        c = (-pay - 1.0).astype(jnp.int32)
+        ax, ay, az, bx, by, bz = child_box(k, g)
+        if COUNT_VISITS:
+            cnt_ref[1] = cnt_ref[1] + 1
+        _narrow_cluster(
+            c, (ax + bx) * 0.5, (ay + by) * 0.5, (az + bz) * 0.5,
+            (ax, ay, az, bx, by, bz), groups_ref, slab_ref, lmat_ref,
+            bestk_ref, bestc_ref, vb_ref, W=W, SUBTILE=SUBTILE, PACKET=PACKET,
+            PRECISION=PRECISION, MODE=MODE, BOUNDED=BOUNDED, USE_BMAT=False,
+        )
+
+    def group_test(g):
+        """Slab-test all K children of group g; return the K-bit fired mask.
+
+        K serial-chain-free child tests (each child's test depends only on
+        its own 6 SMEM scalars — the scalar core runs ahead of the VPU),
+        ONE log-tree OR fold and ONE reduce consumer at the end. Empty
+        slots hold NaN boxes: every comparison is false, the bit never
+        sets."""
+        oix, oiy, oiz = slab_ref[0, 0], slab_ref[0, 1], slab_ref[0, 2]
+        ix, iy, iz = slab_ref[0, 3], slab_ref[0, 4], slab_ref[0, 5]
+        vbv = vb_ref[:, :]
+        macc = jnp.zeros((SUB, 128), jnp.int32)
+        for k in range(K):
+            ax, ay, az, bx, by, bz = child_box(k, g)
+            t1 = ax * ix - oix
+            t2 = bx * ix - oix
+            u1 = ay * iy - oiy
+            u2 = by * iy - oiy
+            v1 = az * iz - oiz
+            v2 = bz * iz - oiz
+            tmin = jnp.maximum(
+                jnp.maximum(jnp.minimum(t1, t2), jnp.minimum(u1, u2)),
+                jnp.minimum(v1, v2))
+            tmax = jnp.minimum(
+                jnp.minimum(jnp.maximum(t1, t2), jnp.maximum(u1, u2)),
+                jnp.maximum(v1, v2))
+            fired = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < vbv)
+            macc = macc | jnp.where(fired, jnp.int32(1 << k), jnp.int32(0))
+        # log-tree OR fold: sublanes, then lane rotations, then one reduce
+        # (jnp.max over an all-equal tile == the OR; masks are nonnegative)
+        acc = macc
+        s = SUB
+        while s > 1:
+            s //= 2
+            acc = acc[:s, :] | acc[s:2 * s, :]
+        for sh in (64, 32, 16, 8, 4, 2, 1):
+            acc = acc | pltpu.roll(acc, sh, axis=1)
+        if COUNT_VISITS:
+            cnt_ref[2] = cnt_ref[2] + 1
+        return jnp.max(acc)
+
+    def ctz16(m):
+        """Index of the lowest set bit of a 16-bit mask (scalar selects)."""
+        low = jax.lax.bitwise_and(m, -m)
+        k = jnp.int32(0)
+        for bit, msk in ((1, 0xAAAA), (2, 0xCCCC), (4, 0xF0F0), (8, 0xFF00)):
+            k = k + jax.lax.select(
+                jax.lax.bitwise_and(low, jnp.int32(msk)) != 0,
+                jnp.int32(bit), jnp.int32(0))
+        return k
+
+    def run_traversal():
+        if N_HINTS:
+            base = pid * N_HINTS
+
+            @pl.when(hints_ref[base] >= 0)
+            def _():
+                def seed(j, carry):
+                    slot = hints_ref[base + j]
+                    narrow_slot(jax.lax.bitwise_and(slot, K - 1),
+                                jax.lax.shift_right_logical(slot, KSHIFT))
+                    return carry
+
+                jax.lax.fori_loop(0, N_HINTS, seed, 0)
+
+        m0 = group_test(jnp.int32(0))
+
+        def body(carry):
+            d, gid, mask = carry
+            if COUNT_VISITS:
+                cnt_ref[0] = cnt_ref[0] + 1
+            has = mask != 0
+            k = ctz16(mask)
+            mask2 = jax.lax.bitwise_and(mask, mask - 1)
+            pay = gnodes_ref[7 * k + 6, gid]
+            is_leaf = pay < 0.0
+            desc = has & jnp.logical_not(is_leaf)
+
+            @pl.when(has & is_leaf)
+            def _():
+                narrow_slot(k, gid)
+
+            @pl.when(desc)
+            def _():
+                m2_ref[0] = group_test(pay.astype(jnp.int32))
+
+            # stack frame for the current depth (read back on pop); the
+            # pop-iteration store targets the abandoned slot — harmless
+            stk_ref[2 * d] = gid
+            stk_ref[2 * d + 1] = mask2
+            dm1 = jnp.maximum(d - 1, 0)
+            pgid = stk_ref[2 * dm1]
+            pmask = stk_ref[2 * dm1 + 1]
+            nd = jax.lax.select(desc, d + 1, jax.lax.select(has, d, d - 1))
+            ngid = jax.lax.select(desc, pay.astype(jnp.int32),
+                                  jax.lax.select(has, gid, pgid))
+            nmask = jax.lax.select(desc, m2_ref[0],
+                                   jax.lax.select(has, mask2, pmask))
+            return nd, ngid, nmask
+
+        jax.lax.while_loop(lambda s: s[0] >= 0, body,
+                           (jnp.int32(0), jnp.int32(0), m0))
+
+    if GATED:
+        @pl.when(gate_ref[pid] > 0)
+        def _():
+            run_traversal()
+    else:
+        run_traversal()
+
+    bk = bestk_ref[:, :]
+    LMASK = jnp.int32(W - 1)
+    out_ref[0, 0:SUB] = pltpu.bitcast(bk & ~LMASK, jnp.float32)
+    hit = bk < jnp.int32(_SENT_I)
+    gid_out = bestc_ref[:, :] * W + jax.lax.bitwise_and(bk, LMASK)
+    out_ref[0, SUB:2 * SUB] = jnp.where(hit, gid_out, -1).astype(jnp.float32)
+    if COUNT_VISITS:
+        out_ref[0, 0:1] = jnp.full((1, 128), cnt_ref[0].astype(jnp.float32))
+        out_ref[0, 1:2] = jnp.full((1, 128), cnt_ref[1].astype(jnp.float32))
+        out_ref[0, 2:3] = jnp.full((1, 128), cnt_ref[2].astype(jnp.float32))
+
+
+def _trace_wide(gnodes, hints, gate, groups, slab, lmat, interpret=False,
+                packet=2048, precision=jax.lax.Precision.HIGHEST,
+                width=16, n_hints=0, mode="closest", bounded=False,
+                count_visits=False, gated=False, k_ary=16):
+    p = slab.shape[0]
+    sub = packet // 128
+    scratch = [
+        pltpu.VMEM((sub, 128), jnp.int32),
+        pltpu.VMEM((sub, 128), jnp.int32),
+        pltpu.VMEM((sub, 128), jnp.float32),
+        pltpu.SMEM((4,), jnp.int32),
+        pltpu.SMEM((2 * WIDE_DMAX,), jnp.int32),
+        pltpu.SMEM((1,), jnp.int32),
+    ]
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=3,
+        grid=(p,),
+        scratch_shapes=scratch,
+        in_specs=[
+            pl.BlockSpec(groups.shape, lambda i, *_: (0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + slab.shape[1:], lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + lmat.shape[1:], lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2 * sub, 128), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        _make_wide_kernel(packet, precision, K=k_ary, width=width,
+                          n_hints=n_hints, mode=mode, bounded=bounded,
+                          count_visits=count_visits, gated=gated),
+        out_shape=jax.ShapeDtypeStruct((p, 2 * sub, 128), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=120 * 1024 * 1024,
+        ),
+    )(gnodes, hints, gate, groups, slab, lmat)
+
+
 def _pack_rays_tight(rays: Ray, packet: int, t_max=None, base=None):
     """Pad rays to a packet multiple; build the slab and lmat kernel inputs.
 
@@ -924,6 +1197,7 @@ def trace_closest_hit_tight(scene, rays: Ray, tris=None, interpret: bool = False
                             skip_narrow: bool = False,
                             hints: jnp.ndarray | None = None,
                             t_max=None, sweep: bool = False,
+                            wide: bool | None = None,
                             _base=None) -> HitRecord:
     """Closest hit against a ``TightScene`` (the fast path for sparse scenes).
 
@@ -968,6 +1242,13 @@ def trace_closest_hit_tight(scene, rays: Ray, tris=None, interpret: bool = False
         hints_arr = hints.reshape(-1).astype(jnp.int32)
     bg = getattr(scene, "bgroups", None)
     pn = getattr(scene, "packed_nodes", None)
+    gn = getattr(scene, "gnodes", None)
+    if wide is None:
+        wide = gn is not None and bg is None and pn is None and not skip_narrow
+    if wide:
+        assert gn is not None, "scene built without wide tables (wide=False?)"
+        assert bg is None and pn is None and not skip_narrow, \
+            "wide walk composes with the default narrowphase only"
     sn = jnp.asarray(pn if pn is not None else scene.smem_nodes)
     if sweep and not skip_narrow:
         swn = getattr(scene, "sweep_nodes", None)
@@ -980,25 +1261,42 @@ def trace_closest_hit_tight(scene, rays: Ray, tris=None, interpret: bool = False
         gate = (fired[:, 0, 0] > 0).astype(jnp.int32)
     else:
         gate = jnp.zeros((p,), jnp.int32)
-    out = _trace_tight(
-        sn,
-        hints_arr,
-        gate,
-        jnp.asarray(bg if bg is not None else scene.groups),
-        slab,
-        lmat,
-        num_nodes=int(sn.shape[1]),
-        interpret=interpret,
-        packet=packet,
-        precision=precision,
-        skip_narrow=skip_narrow,
-        width=int(getattr(scene, "width", 16)),
-        n_hints=n_hints,
-        bounded=t_max is not None,
-        use_bmat=bg is not None,
-        gated=sweep and not skip_narrow,
-        packed=pn is not None,
-    )
+    if wide:
+        out = _trace_wide(
+            jnp.asarray(gn),
+            hints_arr,
+            gate,
+            jnp.asarray(scene.groups),
+            slab,
+            lmat,
+            interpret=interpret,
+            packet=packet,
+            precision=precision,
+            width=int(getattr(scene, "width", 16)),
+            n_hints=n_hints,
+            bounded=t_max is not None,
+            gated=sweep,
+        )
+    else:
+        out = _trace_tight(
+            sn,
+            hints_arr,
+            gate,
+            jnp.asarray(bg if bg is not None else scene.groups),
+            slab,
+            lmat,
+            num_nodes=int(sn.shape[1]),
+            interpret=interpret,
+            packet=packet,
+            precision=precision,
+            skip_narrow=skip_narrow,
+            width=int(getattr(scene, "width", 16)),
+            n_hints=n_hints,
+            bounded=t_max is not None,
+            use_bmat=bg is not None,
+            gated=sweep and not skip_narrow,
+            packed=pn is not None,
+        )
     sub = packet // 128
     t = out[:, :sub].reshape(rp)[:r]
     lane_id = out[:, sub:].reshape(rp)[:r].astype(jnp.int32)
@@ -1027,7 +1325,8 @@ def trace_closest_hit_tight(scene, rays: Ray, tris=None, interpret: bool = False
 def trace_any_hit_tight(scene, rays: Ray, t_max=None, interpret: bool = False,
                         packet: int = 2048,
                         precision=jax.lax.Precision.HIGHEST,
-                        sweep: bool = False) -> jnp.ndarray:
+                        sweep: bool = False,
+                        wide: bool | None = None) -> jnp.ndarray:
     """True per ray iff any triangle hit with t < t_max exists (occlusion).
 
     The shadow-ray / visibility query (the Pallas analog of
@@ -1052,6 +1351,13 @@ def trace_any_hit_tight(scene, rays: Ray, t_max=None, interpret: bool = False,
     p, rp, slab, lmat = _pack_rays_tight(rays, packet, t_max)
     bg = getattr(scene, "bgroups", None)
     pn = getattr(scene, "packed_nodes", None)
+    gn = getattr(scene, "gnodes", None)
+    if wide is None:
+        wide = gn is not None and bg is None and pn is None
+    if wide:
+        assert gn is not None, "scene built without wide tables (wide=False?)"
+        assert bg is None and pn is None, \
+            "wide walk composes with the default narrowphase only"
     sn = jnp.asarray(pn if pn is not None else scene.smem_nodes)
     if sweep:
         swn = getattr(scene, "sweep_nodes", None)
@@ -1064,24 +1370,41 @@ def trace_any_hit_tight(scene, rays: Ray, t_max=None, interpret: bool = False,
         gate = (fired[:, 0, 0] > 0).astype(jnp.int32)
     else:
         gate = jnp.zeros((p,), jnp.int32)
-    out = _trace_tight(
-        sn,
-        jnp.zeros((p,), jnp.int32),
-        gate,
-        jnp.asarray(bg if bg is not None else scene.groups),
-        slab,
-        lmat,
-        num_nodes=int(sn.shape[1]),
-        interpret=interpret,
-        packet=packet,
-        precision=precision,
-        width=int(getattr(scene, "width", 16)),
-        mode="any",
-        bounded=t_max is not None,
-        use_bmat=bg is not None,
-        gated=sweep,
-        packed=pn is not None,
-    )
+    if wide:
+        out = _trace_wide(
+            jnp.asarray(gn),
+            jnp.zeros((p,), jnp.int32),
+            gate,
+            jnp.asarray(scene.groups),
+            slab,
+            lmat,
+            interpret=interpret,
+            packet=packet,
+            precision=precision,
+            width=int(getattr(scene, "width", 16)),
+            mode="any",
+            bounded=t_max is not None,
+            gated=sweep,
+        )
+    else:
+        out = _trace_tight(
+            sn,
+            jnp.zeros((p,), jnp.int32),
+            gate,
+            jnp.asarray(bg if bg is not None else scene.groups),
+            slab,
+            lmat,
+            num_nodes=int(sn.shape[1]),
+            interpret=interpret,
+            packet=packet,
+            precision=precision,
+            width=int(getattr(scene, "width", 16)),
+            mode="any",
+            bounded=t_max is not None,
+            use_bmat=bg is not None,
+            gated=sweep,
+            packed=pn is not None,
+        )
     t = out[:, : packet // 128].reshape(rp)[:r]
     if t_max is None:
         return jnp.isfinite(t)
@@ -1182,11 +1505,15 @@ def compute_seed_hints(scene, rays: Ray, packet: int = 2048,
     lane_of_tri = np_.zeros(n_tris, np_.int64)
     valid = tri_map >= 0
     lane_of_tri[tri_map[valid]] = np_.nonzero(valid)[0]
-    nodes_entry = np_.asarray(scene.smem_nodes[6])
-    leaf_nodes = np_.nonzero(nodes_entry < 0)[0]
-    leaf_cluster = (-nodes_entry[leaf_nodes] - 1.0).astype(np_.int64)
-    node_of_cluster = np_.zeros(int(scene.num_clusters), np_.int64)
-    node_of_cluster[leaf_cluster] = leaf_nodes
+    if getattr(scene, "gnodes", None) is not None:
+        # wide-walk scenes: hints are leaf SLOT ids g*K+k (see _wide_body)
+        node_of_cluster = np_.asarray(scene.gslot, np_.int64)
+    else:
+        nodes_entry = np_.asarray(scene.smem_nodes[6])
+        leaf_nodes = np_.nonzero(nodes_entry < 0)[0]
+        leaf_cluster = (-nodes_entry[leaf_nodes] - 1.0).astype(np_.int64)
+        node_of_cluster = np_.zeros(int(scene.num_clusters), np_.int64)
+        node_of_cluster[leaf_cluster] = leaf_nodes
 
     sid = np_.asarray(pre.shape_id)
     pad = (-r) % packet
@@ -1361,11 +1688,15 @@ def make_seeder(scene, packet: int = 2048, sample_stride: int = 32,
     lane_of_tri = np.zeros(n_tris, np.int32)
     valid = tri_map >= 0
     lane_of_tri[tri_map[valid]] = np.nonzero(valid)[0].astype(np.int32)
-    nodes_entry = np.asarray(scene.smem_nodes[6])
-    leaf_nodes = np.nonzero(nodes_entry < 0)[0]
-    leaf_cluster = (-nodes_entry[leaf_nodes] - 1.0).astype(np.int64)
-    node_of_cluster = np.zeros(int(scene.num_clusters), np.int32)
-    node_of_cluster[leaf_cluster] = leaf_nodes.astype(np.int32)
+    if getattr(scene, "gnodes", None) is not None:
+        # wide-walk scenes: hints are leaf SLOT ids g*K+k (see _wide_body)
+        node_of_cluster = np.asarray(scene.gslot, np.int32)
+    else:
+        nodes_entry = np.asarray(scene.smem_nodes[6])
+        leaf_nodes = np.nonzero(nodes_entry < 0)[0]
+        leaf_cluster = (-nodes_entry[leaf_nodes] - 1.0).astype(np.int64)
+        node_of_cluster = np.zeros(int(scene.num_clusters), np.int32)
+        node_of_cluster[leaf_cluster] = leaf_nodes.astype(np.int32)
     lane_j = jnp.asarray(lane_of_tri)
     node_j = jnp.asarray(node_of_cluster)
     BIG = jnp.int32(0x7FFFFFF0)
