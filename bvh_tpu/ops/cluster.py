@@ -340,112 +340,132 @@ WIDE_K = 16  # children per wide-tree group (bits of the fired mask)
 def build_wide_table(smem_nodes: np.ndarray, num_clusters: int,
                      K: int = WIDE_K):
     """Converts a binary DFS entry/exit upper table into the GROUP-WALK
-    tables: a true K-ary wide tree where (almost) every internal has exactly
-    K children.
+    tables: a K-ary wide tree with near-K fanout at EVERY level.
 
     Motivation (measured; see ops/trace.py): a traversal visit costs
-    ~160-195 ns of *serial* SMEM->vector->reduce->select chain regardless of
-    its vector work, so the only lever is amortizing that chain over many
-    boxes. The group-walk kernel tests all K children of one wide node in a
-    single iteration and reduces them to ONE K-bit fired mask (one reduce
-    consumer instead of K). ``collapse_upper`` is the wrong input for it:
-    its greedy absorb counts leaves toward K, leaving bottom internals
-    binary (measured average arity ~3-4). Here each group's children are a
-    K-wide frontier cut of the binary tree (largest-surface-area internals
-    expanded first, the QBVH/Embree wide-node conversion re-designed for
-    SMEM tables), so interior groups have exactly K children and the serial
-    chain is amortized K ways everywhere.
+    ~160-195 ns of *serial* SMEM->vector->reduce->select chain regardless
+    of its vector work, so the only lever is amortizing that chain over
+    many boxes. The group-walk kernel tests all K children of one wide
+    node in a single iteration and reduces them to ONE K-bit fired mask
+    (one reduce consumer instead of K).
+
+    Construction is a hierarchical cut of the binary SAH tree (same move
+    as ``cut_clusters``, applied level over level): repeatedly mark the
+    current frontier (first the cluster leaves, then the group roots) and
+    take every MAXIMAL subtree containing <= K marks as the next level's
+    group, dissolving ALL binary internals inside it. Every group's
+    children are real frontier members, so fanout is ~K/2..K everywhere
+    and the serial chain is amortized ~K ways at every level. (The
+    round-2 frontier-expansion version left bottom internals with 2-3
+    leaf children as their own groups — 3600 groups for 10k clusters,
+    blowing the SMEM budget; this cut yields ~C/12.)
 
     Layout (all-static row indexing inside the kernel):
-      gnodes [7K, Gn] f32 — per group g, child k at rows 7k..7k+6:
+      gnodes [7K+1, Gn] f32 — per group g, child k at rows 7k..7k+6:
         amin(3), amax(3), payload. payload < 0 => leaf: -(cluster+1);
         payload >= 0 => the child's own group id. Empty slots hold NaN
         boxes (the slab test's NaN => miss makes them unfireable) and
-        payload -1.
+        payload -1. Row 7K is the group's LEAF MASK (bit k set iff slot
+        k is a leaf) — the walk narrowphases all fired leaf bits inside
+        the descend region and carries only interior bits on its stack.
+        The hierarchical cut makes children single-kind per group (all
+        leaves or all groups), so the mask is all-or-nothing today; the
+        kernel handles mixed masks anyway.
       gslot [num_clusters] i32 — cluster -> g*K + k (seed-hint addressing).
-      depth — max group-stack depth (kernel scratch must cover it).
+      depth — group-stack depth (kernel scratch must cover it).
 
-    Children keep DFS (SAH) order, so the mask's lowest-set-bit walk visits
-    them in the same order the binary walk would (pruning behavior class
-    unchanged; results bit-identical to the entry/exit kernel).
+    Children keep DFS (SAH) order, so the mask's lowest-set-bit walk
+    visits them in the order the binary walk would (pruning behavior
+    class unchanged; results bit-identical to the entry/exit kernel).
 
     Reference analog being re-designed: the one-box-per-step flat walk,
     /root/reference/src/flat_bvh.rs:396-431.
     """
-    import heapq
-
     entry = smem_nodes[6].astype(np.int64)
     exit_ = smem_nodes[7].astype(np.int64)
-    s = smem_nodes[3:6] - smem_nodes[0:3]
-    area = s[0] * s[1] + s[1] * s[2] + s[2] * s[0]
+    nn = smem_nodes.shape[1]
 
-    def frontier_of(i):
-        """Expand internal node i to a <=K frontier (area-first)."""
-        heap: list = []
-        leaves: list = []
-        cnt = 0
-
-        def push(j):
-            nonlocal cnt
-            if entry[j] < 0:
-                leaves.append(j)
-            else:
-                heapq.heappush(heap, (-float(area[j]), cnt, j))
-                cnt += 1
-
-        # children of i in the binary DFS table: first = entry[i], then
-        # each sibling starts where the previous subtree ends
-        c = entry[i]
-        while c < exit_[i]:
-            push(c)
-            c = exit_[c]
-        while heap and len(leaves) + len(heap) < K:
-            _, _, j = heapq.heappop(heap)
-            c = entry[j]
-            while c < exit_[j]:
-                push(c)
-                c = exit_[c]
-        out = leaves + [j for _, _, j in heap]
-        out.sort()  # DFS / SAH order
-        return out
-
-    # pass 1: discover groups in DFS order, remember each group's frontier
     if entry[0] < 0:
         # single-leaf tree: one group whose only child is the root
-        frontiers = [[0]]
-        group_of = {0: 0}  # unused (no internal children)
-        depth = 1
-    else:
-        frontiers = []
-        group_of = {}
-        stack = [(0, 1)]
-        depth = 1
-        while stack:
-            i, d = stack.pop()
-            g = len(frontiers)
-            group_of[i] = g
-            fr = frontier_of(i)
-            frontiers.append(fr)
-            depth = max(depth, d)
-            for j in reversed(fr):
-                if entry[j] >= 0:
-                    stack.append((j, d + 1))
+        Gn = _bucket(1, 8)
+        gnodes = np.full((7 * K + 1, Gn), np.nan, np.float32)
+        gnodes[6:7 * K:7, :] = -1.0
+        gnodes[7 * K, :] = 0.0
+        gnodes[0:6, 0] = smem_nodes[0:6, 0]
+        gnodes[6, 0] = smem_nodes[6, 0]
+        gnodes[7 * K, 0] = 1.0  # leaf mask: bit 0
+        gslot = np.zeros(num_clusters, np.int32)
+        gslot[int(-smem_nodes[6, 0]) - 1] = 0
+        return gnodes, gslot, 1
 
-    # pass 2: fill the tables
-    Gn = _bucket(len(frontiers), 8)
-    gnodes = np.full((7 * K, Gn), np.nan, np.float32)
-    gnodes[6::7, :] = -1.0  # empty-slot payload: leaf cluster 0 (unfireable)
+    # parents from the DFS entry/exit layout. The input is the BINARY SAH
+    # table (pre-collapse), so every internal has exactly two children:
+    # left = entry[i], right = exit of the left subtree — two scatters.
+    parent = np.full(nn, -1, np.int64)
+    internal = np.nonzero(entry >= 0)[0]
+    l = entry[internal]
+    r = exit_[l]
+    assert (r < exit_[internal]).all(), "build_wide_table needs a binary table"
+    parent[l] = internal
+    parent[r] = internal
+
+    idx = np.arange(nn, dtype=np.int64)
+    marks = np.nonzero(entry < 0)[0]  # level 0: cluster leaves, DFS order
+    levels = [marks]
+    while not (len(marks) == 1 and marks[0] == 0):
+        cnt = np.searchsorted(marks, exit_) - np.searchsorted(marks, idx)
+        small = cnt <= K
+        psmall = np.where(parent >= 0, small[np.maximum(parent, 0)], False)
+        roots = np.nonzero(small & ~psmall & (cnt >= 1))[0]
+        assert len(roots) < len(marks) or (len(roots) == 1), \
+            "hierarchical cut made no progress"
+        levels.append(roots)
+        marks = roots
+    depth = len(levels) - 1
+
+    # Group ids are level-major, top level (the root group) first, within a
+    # level in DFS order — the kernel never walks by id (the mask drives
+    # visit order), it only needs gid 0 == root and parent payload == the
+    # child's gid. Everything below is vectorized: per level, each previous-
+    # level mark is a child of exactly ONE root, in order, so the child
+    # list of level j IS levels[j-1] and the per-child (group, slot)
+    # coordinates fall out of a running count.
+    n_groups = sum(len(lv) for lv in levels[1:])
+    offset = np.zeros(depth + 1, np.int64)  # level -> first gid
+    acc = 0
+    for lvl in range(depth, 0, -1):
+        offset[lvl] = acc
+        acc += len(levels[lvl])
+
+    Gn = _bucket(n_groups, 8)
+    gnodes = np.full((7 * K + 1, Gn), np.nan, np.float32)
+    gnodes[6:7 * K:7, :] = -1.0  # empty-slot payload: leaf 0 (unfireable)
+    gnodes[7 * K, :] = 0.0  # leaf masks
     gslot = np.zeros(num_clusters, np.int32)
-    for g, fr in enumerate(frontiers):
-        for k, j in enumerate(fr):
-            gnodes[7 * k:7 * k + 6, g] = smem_nodes[0:6, j]
-            if entry[j] < 0:
-                pay = float(smem_nodes[6, j])  # -(cluster+1)
-                gslot[int(-pay) - 1] = g * K + k
-            else:
-                pay = float(group_of[j])
-            gnodes[7 * k + 6, g] = pay
+    gflat = gnodes.reshape(-1)
+    for lvl in range(depth, 0, -1):
+        roots = levels[lvl]
+        prev = levels[lvl - 1]
+        lo = np.searchsorted(prev, roots)
+        hi = np.searchsorted(prev, exit_[roots])
+        counts = hi - lo
+        assert counts.min() >= 1 and counts.max() <= K, (counts.min(), counts.max())
+        g = offset[lvl] + np.repeat(np.arange(len(roots), dtype=np.int64), counts)
+        k = np.arange(len(prev), dtype=np.int64) - np.repeat(lo, counts)
+        ch = prev  # the concatenated child list, in order
+        rows = (7 * k)[:, None] + np.arange(6)[:, None].T  # [n_ch, 6]
+        gflat[(rows * Gn + g[:, None]).reshape(-1)] = \
+            smem_nodes[0:6, ch].T.reshape(-1)
+        if lvl == 1:
+            pay = smem_nodes[6, ch].astype(np.float32)  # -(cluster+1)
+            gslot[(-pay).astype(np.int64) - 1] = (g * K + k).astype(np.int32)
+            np.add.at(gnodes[7 * K], g, (1 << k).astype(np.float32))
+        else:
+            pay = (offset[lvl - 1]
+                   + np.arange(len(prev), dtype=np.int64)).astype(np.float32)
+        gflat[(7 * k + 6) * Gn + g] = pay
     return gnodes, gslot, depth
+
 
 
 def _pad_node_table(smem_nodes: np.ndarray, bucket: int = 2048,
@@ -727,8 +747,10 @@ def _pad_wide_table(gnodes: np.ndarray, target: int) -> np.ndarray:
     assert target >= Gn, (target, Gn)
     if target == Gn:
         return gnodes
+    K = gnodes.shape[0] // 7
     pad = np.full((gnodes.shape[0], target - Gn), np.nan, np.float32)
-    pad[6::7, :] = -1.0
+    pad[6:7 * K:7, :] = -1.0
+    pad[7 * K:, :] = 0.0
     return np.concatenate([gnodes, pad], axis=1)
 
 

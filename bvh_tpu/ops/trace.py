@@ -793,10 +793,21 @@ def _trace_tight(smem_nodes, hints, gate, groups, slab, lmat, num_nodes, interpr
     )(smem_nodes, hints, gate, groups, slab, lmat)
 
 
-def _make_sweep_kernel(packet: int, exit_on_fire, packed: bool = False):
-    def _kernel(nodes_ref, slab_ref, out_ref):
-        return _sweep_body(nodes_ref, slab_ref, out_ref, packet, exit_on_fire,
-                           packed)
+def _make_sweep_kernel(packet: int, exit_on_fire, packed: bool = False,
+                       gated: bool = False):
+    if gated:
+        def _kernel(nodes_ref, gate_ref, slab_ref, out_ref):
+            # pre-gated packet: skip the whole sweep walk, report unfired
+            out_ref[0, 0] = jnp.zeros((128,), jnp.float32)
+
+            @pl.when(gate_ref[pl.program_id(0)] > 0)
+            def _():
+                _sweep_body(nodes_ref, slab_ref, out_ref, packet,
+                            exit_on_fire, packed)
+    else:
+        def _kernel(nodes_ref, slab_ref, out_ref):
+            return _sweep_body(nodes_ref, slab_ref, out_ref, packet,
+                               exit_on_fire, packed)
     return _kernel
 
 
@@ -868,10 +879,12 @@ def _sweep_body(nodes_ref, slab_ref, out_ref, PACKET, EXIT_ON_FIRE,
 
 @partial(jax.jit, static_argnames=("num_nodes", "interpret", "packet", "exit_on_fire", "packed"))
 def _sweep_tight(smem_nodes, slab, num_nodes, interpret=False, packet=2048,
-                 exit_on_fire=True, packed=False):
+                 exit_on_fire=True, packed=False, pre_gate=None):
     p = slab.shape[0]
+    gated = pre_gate is not None
+    operands = ([smem_nodes, pre_gate] if gated else [smem_nodes])
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=1,
+        num_scalar_prefetch=2 if gated else 1,
         grid=(p,),
         in_specs=[
             pl.BlockSpec((1,) + slab.shape[1:], lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM),
@@ -879,14 +892,14 @@ def _sweep_tight(smem_nodes, slab, num_nodes, interpret=False, packet=2048,
         out_specs=pl.BlockSpec((1, 1, 128), lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
-        _make_sweep_kernel(packet, exit_on_fire, packed),
+        _make_sweep_kernel(packet, exit_on_fire, packed, gated=gated),
         out_shape=jax.ShapeDtypeStruct((p, 1, 128), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=64 * 1024 * 1024,
         ),
-    )(smem_nodes, slab)
+    )(*operands, slab)
 
 
 # ---------------------------------------------------------------------------
@@ -945,8 +958,9 @@ def _wide_body(gnodes_ref, hints_ref, gate_ref, groups_ref, slab_ref, lmat_ref,
     bestk_ref[:, :] = jnp.full((SUB, 128), _SENT, jnp.int32)
     bestc_ref[:, :] = jnp.zeros((SUB, 128), jnp.int32)
     vb_ref[:, :] = slab_ref[0, 6]
+    m2_ref[0] = 0  # read unconditionally by the walk's first iteration
     if COUNT_VISITS:
-        cnt_ref[0] = 0  # loop iterations
+        cnt_ref[0] = 0  # loop iterations (interior descends + pops)
         cnt_ref[1] = 0  # narrowphase fires
         cnt_ref[2] = 0  # group tests (each = K child boxes)
 
@@ -1025,6 +1039,27 @@ def _wide_body(gnodes_ref, hints_ref, gate_ref, groups_ref, slab_ref, lmat_ref,
                 jnp.int32(bit), jnp.int32(0))
         return k
 
+    def narrow_mask(lm, g):
+        """Narrowphase every set bit of the fired-LEAF mask ``lm`` of group
+        ``g`` (a tight scalar ctz loop — no per-leaf walk iteration)."""
+
+        def step(m):
+            narrow_slot(ctz16(m), g)
+            return jax.lax.bitwise_and(m, m - 1)
+
+        jax.lax.while_loop(lambda m: m != 0, step, lm)
+
+    def enter(g):
+        """Test group ``g``; narrowphase its fired leaves; return the
+        fired INTERIOR bits (the only thing the walk stacks)."""
+        m = group_test(g)
+        # leaf mask stored as a float VALUE (<= 2^K, exact in f32): scalar
+        # f32<->i32 bitcast does not lower in Mosaic, int conversion does
+        lmask = gnodes_ref[7 * K, g].astype(jnp.int32)
+        lm = jax.lax.bitwise_and(m, lmask)
+        narrow_mask(lm, g)
+        return jax.lax.bitwise_and(m, jax.lax.bitwise_not(lmask))
+
     def run_traversal():
         if N_HINTS:
             base = pid * N_HINTS
@@ -1039,26 +1074,23 @@ def _wide_body(gnodes_ref, hints_ref, gate_ref, groups_ref, slab_ref, lmat_ref,
 
                 jax.lax.fori_loop(0, N_HINTS, seed, 0)
 
-        m0 = group_test(jnp.int32(0))
+        m0 = enter(jnp.int32(0))
 
         def body(carry):
+            # Every set bit is an INTERIOR child (leaves were consumed by
+            # ``enter``), so an iteration is descend-or-pop — no leaf
+            # branch, ONE conditional region.
             d, gid, mask = carry
             if COUNT_VISITS:
                 cnt_ref[0] = cnt_ref[0] + 1
             has = mask != 0
             k = ctz16(mask)
             mask2 = jax.lax.bitwise_and(mask, mask - 1)
-            pay = gnodes_ref[7 * k + 6, gid]
-            is_leaf = pay < 0.0
-            desc = has & jnp.logical_not(is_leaf)
+            child = gnodes_ref[7 * k + 6, gid].astype(jnp.int32)
 
-            @pl.when(has & is_leaf)
+            @pl.when(has)
             def _():
-                narrow_slot(k, gid)
-
-            @pl.when(desc)
-            def _():
-                m2_ref[0] = group_test(pay.astype(jnp.int32))
+                m2_ref[0] = enter(child)
 
             # stack frame for the current depth (read back on pop); the
             # pop-iteration store targets the abandoned slot — harmless
@@ -1067,10 +1099,12 @@ def _wide_body(gnodes_ref, hints_ref, gate_ref, groups_ref, slab_ref, lmat_ref,
             dm1 = jnp.maximum(d - 1, 0)
             pgid = stk_ref[2 * dm1]
             pmask = stk_ref[2 * dm1 + 1]
-            nd = jax.lax.select(desc, d + 1, jax.lax.select(has, d, d - 1))
-            ngid = jax.lax.select(desc, pay.astype(jnp.int32),
+            m2 = m2_ref[0]
+            push = has & (m2 != 0)  # a leaf-only subgroup has nothing to push
+            nd = jax.lax.select(push, d + 1, jax.lax.select(has, d, d - 1))
+            ngid = jax.lax.select(push, child,
                                   jax.lax.select(has, gid, pgid))
-            nmask = jax.lax.select(desc, m2_ref[0],
+            nmask = jax.lax.select(push, m2,
                                    jax.lax.select(has, mask2, pmask))
             return nd, ngid, nmask
 
@@ -1198,6 +1232,7 @@ def trace_closest_hit_tight(scene, rays: Ray, tris=None, interpret: bool = False
                             hints: jnp.ndarray | None = None,
                             t_max=None, sweep: bool = False,
                             wide: bool | None = None,
+                            pre_gate=None,
                             _base=None) -> HitRecord:
     """Closest hit against a ``TightScene`` (the fast path for sparse scenes).
 
@@ -1250,6 +1285,7 @@ def trace_closest_hit_tight(scene, rays: Ray, tris=None, interpret: bool = False
         assert bg is None and pn is None and not skip_narrow, \
             "wide walk composes with the default narrowphase only"
     sn = jnp.asarray(pn if pn is not None else scene.smem_nodes)
+    pg = None if pre_gate is None else pre_gate.astype(jnp.int32)
     if sweep and not skip_narrow:
         swn = getattr(scene, "sweep_nodes", None)
         if swn is not None:
@@ -1257,8 +1293,11 @@ def trace_closest_hit_tight(scene, rays: Ray, tris=None, interpret: bool = False
         else:
             swt, swp = sn, pn is not None
         fired = _sweep_tight(swt, slab, num_nodes=int(swt.shape[1]),
-                             interpret=interpret, packet=packet, packed=swp)
+                             interpret=interpret, packet=packet, packed=swp,
+                             pre_gate=pg)
         gate = (fired[:, 0, 0] > 0).astype(jnp.int32)
+    elif pg is not None:
+        gate = pg
     else:
         gate = jnp.zeros((p,), jnp.int32)
     if wide:
@@ -1275,7 +1314,7 @@ def trace_closest_hit_tight(scene, rays: Ray, tris=None, interpret: bool = False
             width=int(getattr(scene, "width", 16)),
             n_hints=n_hints,
             bounded=t_max is not None,
-            gated=sweep,
+            gated=sweep or pg is not None,
         )
     else:
         out = _trace_tight(
@@ -1294,7 +1333,7 @@ def trace_closest_hit_tight(scene, rays: Ray, tris=None, interpret: bool = False
             n_hints=n_hints,
             bounded=t_max is not None,
             use_bmat=bg is not None,
-            gated=sweep and not skip_narrow,
+            gated=(sweep and not skip_narrow) or pg is not None,
             packed=pn is not None,
         )
     sub = packet // 128
@@ -1326,7 +1365,8 @@ def trace_any_hit_tight(scene, rays: Ray, t_max=None, interpret: bool = False,
                         packet: int = 2048,
                         precision=jax.lax.Precision.HIGHEST,
                         sweep: bool = False,
-                        wide: bool | None = None) -> jnp.ndarray:
+                        wide: bool | None = None,
+                        pre_gate=None) -> jnp.ndarray:
     """True per ray iff any triangle hit with t < t_max exists (occlusion).
 
     The shadow-ray / visibility query (the Pallas analog of
@@ -1359,6 +1399,7 @@ def trace_any_hit_tight(scene, rays: Ray, t_max=None, interpret: bool = False,
         assert bg is None and pn is None, \
             "wide walk composes with the default narrowphase only"
     sn = jnp.asarray(pn if pn is not None else scene.smem_nodes)
+    pg = None if pre_gate is None else pre_gate.astype(jnp.int32)
     if sweep:
         swn = getattr(scene, "sweep_nodes", None)
         if swn is not None:
@@ -1366,8 +1407,11 @@ def trace_any_hit_tight(scene, rays: Ray, t_max=None, interpret: bool = False,
         else:
             swt, swp = sn, pn is not None
         fired = _sweep_tight(swt, slab, num_nodes=int(swt.shape[1]),
-                             interpret=interpret, packet=packet, packed=swp)
+                             interpret=interpret, packet=packet, packed=swp,
+                             pre_gate=pg)
         gate = (fired[:, 0, 0] > 0).astype(jnp.int32)
+    elif pg is not None:
+        gate = pg
     else:
         gate = jnp.zeros((p,), jnp.int32)
     if wide:
@@ -1384,7 +1428,7 @@ def trace_any_hit_tight(scene, rays: Ray, t_max=None, interpret: bool = False,
             width=int(getattr(scene, "width", 16)),
             mode="any",
             bounded=t_max is not None,
-            gated=sweep,
+            gated=sweep or pg is not None,
         )
     else:
         out = _trace_tight(
@@ -1402,7 +1446,7 @@ def trace_any_hit_tight(scene, rays: Ray, t_max=None, interpret: bool = False,
             mode="any",
             bounded=t_max is not None,
             use_bmat=bg is not None,
-            gated=sweep,
+            gated=sweep or pg is not None,
             packed=pn is not None,
         )
     t = out[:, : packet // 128].reshape(rp)[:r]
@@ -1582,6 +1626,72 @@ def count_visits_tight(scene, rays: Ray, packet: int = 2048,
     return visits, fires
 
 
+def count_visits_wide(scene, rays: Ray, packet: int = 2048,
+                      interpret: bool = False):
+    """Wide-kernel counters per packet (debug mode; NOT a timed config).
+
+    Returns ``(iterations, fires, group_tests)`` int arrays [n_packets]:
+    loop iterations (= fired children + pops), narrowphase fires, and
+    16-child group tests. The wide kernel's cost model is
+    ``iterations x chain_latency + group_tests x vector_cost +
+    fires x narrow_cost`` — bench.py's roofline uses these.
+    """
+    r = rays.origin.shape[0]
+    if r == 0:
+        z = np.zeros(0, np.int64)
+        return z, z, z
+    gn = getattr(scene, "gnodes", None)
+    assert gn is not None, "scene built without wide tables"
+    p, rp, slab, lmat = _pack_rays_tight(rays, packet, None)
+    out = _trace_wide(
+        jnp.asarray(gn),
+        jnp.zeros((p,), jnp.int32),
+        jnp.zeros((p,), jnp.int32),
+        jnp.asarray(scene.groups),
+        slab,
+        lmat,
+        interpret=interpret,
+        packet=packet,
+        width=int(getattr(scene, "width", 16)),
+        count_visits=True,
+    )
+    iters = np.asarray(out[:, 0, 0]).astype(np.int64)
+    fires = np.asarray(out[:, 1, 0]).astype(np.int64)
+    gtests = np.asarray(out[:, 2, 0]).astype(np.int64)
+    return iters, fires, gtests
+
+
+@jax.jit
+def _part_root_gate(slab, box, best_t):
+    """Per-packet gate for one chained part: does ANY ray in the packet hit
+    the part's ROOT box closer than its current best t?
+
+    One fused XLA op over [n_packets, packet] — replaces a full sweep-walk
+    dispatch per part for packets that cannot touch the part at all (the
+    parts are Morton-compact, so most packets miss most parts). The sweep
+    still refines the survivors; a pre-gated-off packet skips both the
+    sweep walk and the main kernel (VERDICT round-2 item 5).
+    """
+    oix, oiy, oiz = slab[:, 0], slab[:, 1], slab[:, 2]
+    ix, iy, iz = slab[:, 3], slab[:, 4], slab[:, 5]
+    ax, ay, az, bx, by, bz = box
+    t1 = ax * ix - oix
+    t2 = bx * ix - oix
+    u1 = ay * iy - oiy
+    u2 = by * iy - oiy
+    v1 = az * iz - oiz
+    v2 = bz * iz - oiz
+    tmin = jnp.maximum(jnp.maximum(jnp.minimum(t1, t2), jnp.minimum(u1, u2)),
+                       jnp.minimum(v1, v2))
+    tmax = jnp.minimum(jnp.minimum(jnp.maximum(t1, t2), jnp.maximum(u1, u2)),
+                       jnp.maximum(v1, v2))
+    p, sub, lanes = tmin.shape
+    bt = jnp.full((p * sub * lanes,), _INF, jnp.float32)
+    bt = bt.at[: best_t.shape[0]].set(best_t).reshape(p, sub, lanes)
+    fired = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < bt)
+    return jnp.any(fired, axis=(1, 2)).astype(jnp.int32)
+
+
 def trace_closest_hit_chained(chained, rays: Ray, tris=None,
                               packet: int = 2048,
                               precision=jax.lax.Precision.HIGHEST,
@@ -1612,11 +1722,14 @@ def trace_closest_hit_chained(chained, rays: Ray, tris=None,
     best_id = jnp.full((r,), -1, jnp.int32)
     base = _pack_rays_tight(rays, packet, None)  # rows 0-5 + lmat built once
     for part, ids in zip(chained.parts, chained.orig_ids):
+        root = tuple(float(part.smem_nodes[i, 0]) for i in range(6))
+        gate = _part_root_gate(base[2], root,
+                               jnp.where(jnp.isfinite(best_t), best_t, _INF))
         hit = trace_closest_hit_tight(part, rays, packet=packet,
                                       precision=precision, interpret=interpret,
                                       t_max=jnp.where(jnp.isfinite(best_t),
                                                       best_t, _INF),
-                                      sweep=sweep, _base=base)
+                                      sweep=sweep, pre_gate=gate, _base=base)
         gids = jnp.asarray(ids)
         closer = jnp.isfinite(hit.t) & (hit.t < best_t)
         best_t = jnp.where(closer, hit.t, best_t)
@@ -1658,11 +1771,14 @@ def trace_any_hit_chained(chained, rays: Ray, t_max=None, packet: int = 2048,
         tm0 = jnp.full((r,), _INF, jnp.float32)
     else:
         tm0 = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32).reshape(-1), (r,))
+    base = _pack_rays_tight(rays, packet, None)
     for part in chained.parts:
         tm = jnp.where(occ, 0.0, tm0)
+        root = tuple(float(part.smem_nodes[i, 0]) for i in range(6))
+        gate = _part_root_gate(base[2], root, tm)
         got = trace_any_hit_tight(part, rays, t_max=tm, packet=packet,
                                   precision=precision, interpret=interpret,
-                                  sweep=sweep)
+                                  sweep=sweep, pre_gate=gate)
         occ = occ | got
     return occ
 

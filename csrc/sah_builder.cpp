@@ -22,6 +22,11 @@
 #include <thread>
 #include <vector>
 
+#if defined(__SSE2__)
+#include <immintrin.h>
+#define BVH_SSE 1
+#endif
+
 namespace {
 
 constexpr int NB = 6;
@@ -53,7 +58,8 @@ struct Rec {
 struct Ctx {
   const float* smin;
   const float* smax;
-  std::vector<Rec> rec;
+  std::vector<Rec> rec;  // padded by one record: SSE loads read 1 float past
+  std::vector<int8_t> bucket_scratch;  // [n] per-position, segment-passed
   float* out_amin;
   float* out_amax;
   int32_t* entry;
@@ -73,6 +79,31 @@ struct Bounds {
 };
 
 Bounds bounds_of(const Ctx& ctx, const int32_t* idx, int64_t len) {
+#ifdef BVH_SSE
+  // lane 3 of each load is the next field's first float (the rec vector is
+  // padded by one element so the last load stays in bounds); it accumulates
+  // junk that the .xyz extraction below never reads. min/max on finite
+  // floats is bit-identical to the scalar path.
+  __m128 amin = _mm_set1_ps(INF), amax = _mm_set1_ps(-INF);
+  __m128 cmin = _mm_set1_ps(INF), cmax = _mm_set1_ps(-INF);
+  for (int64_t k = 0; k < len; ++k) {
+    const Rec& r = ctx.rec[idx[k]];
+    __m128 mn4 = _mm_loadu_ps(&r.mn.x);
+    __m128 mx4 = _mm_loadu_ps(&r.mx.x);
+    __m128 c4 = _mm_loadu_ps(&r.c.x);
+    amin = _mm_min_ps(amin, mn4);
+    amax = _mm_max_ps(amax, mx4);
+    cmin = _mm_min_ps(cmin, c4);
+    cmax = _mm_max_ps(cmax, c4);
+  }
+  alignas(16) float a0[4], a1[4], c0[4], c1[4];
+  _mm_store_ps(a0, amin);
+  _mm_store_ps(a1, amax);
+  _mm_store_ps(c0, cmin);
+  _mm_store_ps(c1, cmax);
+  return {{a0[0], a0[1], a0[2]}, {a1[0], a1[1], a1[2]},
+          {c0[0], c0[1], c0[2]}, {c1[0], c1[1], c1[2]}};
+#else
   Bounds b{{INF, INF, INF}, {-INF, -INF, -INF}, {INF, INF, INF}, {-INF, -INF, -INF}};
   for (int64_t k = 0; k < len; ++k) {
     const Rec& r = ctx.rec[idx[k]];
@@ -82,6 +113,7 @@ Bounds bounds_of(const Ctx& ctx, const int32_t* idx, int64_t len) {
     b.cmax = vmax(b.cmax, r.c);
   }
   return b;
+#endif
 }
 
 // Builds the subtree over idx[0..len) into node slot `node`, whose skip
@@ -89,8 +121,9 @@ Bounds bounds_of(const Ctx& ctx, const int32_t* idx, int64_t len) {
 // index buffer: partitions write into it and the buffers swap for the
 // children (double-buffering removes the per-node scratch allocation and
 // copy-back of the original formulation — ~30% of build time at 120k).
-void build_node(Ctx& ctx, int32_t* idx, int32_t* other, int64_t len, int64_t node,
-                int64_t parent, int64_t exit_idx, const Bounds& b) {
+void build_node(Ctx& ctx, int32_t* idx, int32_t* other, int8_t* bkt_buf,
+                int64_t len, int64_t node, int64_t parent, int64_t exit_idx,
+                const Bounds& b) {
   ctx.parent[node] = (int32_t)parent;
   ctx.exit_[node] = (int32_t)exit_idx;
   ctx.out_amin[3 * node] = b.amin.x;
@@ -126,11 +159,49 @@ void build_node(Ctx& ctx, int32_t* idx, int32_t* other, int64_t len, int64_t nod
     lb = bounds_of(ctx, idx, l_count);
     rb = bounds_of(ctx, idx + l_count, len - l_count);
   } else {
-    // stable 6-bucket binning on the centroid axis
+    // stable 6-bucket binning on the centroid axis (bucket labels go to
+    // the shared per-position scratch; one allocation per build, not per
+    // node). The bucket-index float math stays scalar in the same
+    // operation order as the numpy reference (bit-identity requirement).
     Bounds bb[NB];
     int64_t cnt[NB] = {0};
+    int8_t* bucket = bkt_buf;
+#ifdef BVH_SSE
+    __m128 bamin[NB], bamax[NB], bcmin[NB], bcmax[NB];
+    for (int i = 0; i < NB; ++i) {
+      bamin[i] = _mm_set1_ps(INF);
+      bamax[i] = _mm_set1_ps(-INF);
+      bcmin[i] = _mm_set1_ps(INF);
+      bcmax[i] = _mm_set1_ps(-INF);
+    }
+    const float inv_axis = 1.0f;  // division kept scalar below (identity)
+    (void)inv_axis;
+    for (int64_t k = 0; k < len; ++k) {
+      const Rec& rc = ctx.rec[idx[k]];
+      float ca = axis == 0 ? rc.c.x : (axis == 1 ? rc.c.y : rc.c.z);
+      float rel = (ca - cmin_ax) / axis_size;
+      int bkt = (int)(rel * BUCKET_SCALE);
+      bucket[k] = (int8_t)bkt;
+      cnt[bkt]++;
+      __m128 mn4 = _mm_loadu_ps(&rc.mn.x);
+      __m128 mx4 = _mm_loadu_ps(&rc.mx.x);
+      __m128 c4 = _mm_loadu_ps(&rc.c.x);
+      bamin[bkt] = _mm_min_ps(bamin[bkt], mn4);
+      bamax[bkt] = _mm_max_ps(bamax[bkt], mx4);
+      bcmin[bkt] = _mm_min_ps(bcmin[bkt], c4);
+      bcmax[bkt] = _mm_max_ps(bcmax[bkt], c4);
+    }
+    for (int i = 0; i < NB; ++i) {
+      alignas(16) float a0[4], a1[4], c0[4], c1[4];
+      _mm_store_ps(a0, bamin[i]);
+      _mm_store_ps(a1, bamax[i]);
+      _mm_store_ps(c0, bcmin[i]);
+      _mm_store_ps(c1, bcmax[i]);
+      bb[i] = {{a0[0], a0[1], a0[2]}, {a1[0], a1[1], a1[2]},
+               {c0[0], c0[1], c0[2]}, {c1[0], c1[1], c1[2]}};
+    }
+#else
     for (auto& x : bb) x = {{INF, INF, INF}, {-INF, -INF, -INF}, {INF, INF, INF}, {-INF, -INF, -INF}};
-    std::vector<int8_t> bucket(len);
     for (int64_t k = 0; k < len; ++k) {
       const Rec& rc = ctx.rec[idx[k]];
       float ca = axis == 0 ? rc.c.x : (axis == 1 ? rc.c.y : rc.c.z);
@@ -143,6 +214,7 @@ void build_node(Ctx& ctx, int32_t* idx, int32_t* other, int64_t len, int64_t nod
       bb[bkt].cmin = vmin(bb[bkt].cmin, rc.c);
       bb[bkt].cmax = vmax(bb[bkt].cmax, rc.c);
     }
+#endif
     // sweep the 5 planes, strict < keeps the first minimum
     float parent_sa = surface_area(b.amin, b.amax);
     float best_cost = INF;
@@ -205,17 +277,17 @@ void build_node(Ctx& ctx, int32_t* idx, int32_t* other, int64_t len, int64_t nod
     }
   }
   if (parallel) {
-    std::thread tl([&ctx, idx, other, l_count, left, node, right, lb] {
-      build_node(ctx, idx, other, l_count, left, node, right, lb);
+    std::thread tl([&ctx, idx, other, bkt_buf, l_count, left, node, right, lb] {
+      build_node(ctx, idx, other, bkt_buf, l_count, left, node, right, lb);
     });
-    build_node(ctx, idx + l_count, other + l_count, len - l_count, right, node,
-               exit_idx, rb);
+    build_node(ctx, idx + l_count, other + l_count, bkt_buf + l_count,
+               len - l_count, right, node, exit_idx, rb);
     tl.join();
     ctx.threads_left.fetch_add(1);
   } else {
-    build_node(ctx, idx, other, l_count, left, node, right, lb);
-    build_node(ctx, idx + l_count, other + l_count, len - l_count, right, node,
-               exit_idx, rb);
+    build_node(ctx, idx, other, bkt_buf, l_count, left, node, right, lb);
+    build_node(ctx, idx + l_count, other + l_count, bkt_buf + l_count,
+               len - l_count, right, node, exit_idx, rb);
   }
 }
 
@@ -241,7 +313,8 @@ extern "C" int bvh_build_sah(const float* shape_min, const float* shape_max, int
   ctx.threads_left.store(std::max(hw - 1, 0));
   ctx.par_cutoff = 4096;
 
-  ctx.rec.resize(n);
+  ctx.rec.resize(n + 1);  // +1: SSE loads read one float past the record
+  ctx.bucket_scratch.resize(n);
   for (int64_t i = 0; i < n; ++i) {
     V3 mn = load(shape_min, i), mx = load(shape_max, i);
     ctx.rec[i] = {mn, mx,
@@ -252,7 +325,8 @@ extern "C" int bvh_build_sah(const float* shape_min, const float* shape_max, int
   for (int64_t i = 0; i < n; ++i) idx[i] = (int32_t)i;
 
   Bounds root = bounds_of(ctx, idx.data(), n);
-  build_node(ctx, idx.data(), other.data(), n, 0, -1, ctx.total, root);
+  build_node(ctx, idx.data(), other.data(), ctx.bucket_scratch.data(), n, 0,
+             -1, ctx.total, root);
   return 0;
 }
 
