@@ -35,6 +35,7 @@ from .cluster import (
     pack_node_table_bf16,
 )
 from .device_build import build_tight_scene_device, make_refitter
+from .nearest import count_visits_nearest, nearest_tight
 from .trace import (
     count_visits_tight,
     make_seeder,
@@ -57,8 +58,10 @@ __all__ = [
     "build_tight_scene",
     "build_tight_scene_device",
     "collapse_upper",
+    "count_visits_nearest",
     "count_visits_tight",
     "make_refitter",
+    "nearest_tight",
     "make_seeder",
     "pack_node_table_bf16",
     "trace_closest_hit",

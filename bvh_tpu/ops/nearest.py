@@ -1,0 +1,397 @@
+"""Kernel-speed nearest-triangle queries against a ``TightScene``.
+
+The TPU re-design of the reference's CPU nearest-neighbor fast paths —
+``nearest_to`` on the flat BVH (``/root/reference/src/flat_bvh.rs:513-562``)
+and the pruned descent of ``nearest_child`` / ``nearest_to`` on the pointer
+tree (``/root/reference/src/bvh/bvh_node.rs:327-374``, ``bvh_impl.rs:221-238``)
+— using the same SMEM/VPU/MXU machinery as the ray trace kernels
+(``ops/trace.py``): a packet of 128-lane point tiles walks the DFS
+entry/exit upper table with per-lane squared-distance pruning, and leaf
+visits run an MXU point-triangle narrowphase over the cluster's W packed
+triangles.
+
+Design notes (why this differs from the per-point reference loop):
+
+* Pruning bound seeding. The reference seeds its bound with the first leaf
+  the descent reaches; a packet kernel wants a bound *before* narrowphase.
+  Every VISITED node's box bounds >=1 real triangle, so the squared
+  distance to its FARTHEST face corner is a valid upper bound on the
+  nearest-triangle distance; each visit refines ``vb = min(vb, d2max(box))``
+  for ~6 extra VPU ops, so the pruning radius tightens monotonically as
+  the walk descends — no separate seeding pass needed.
+
+* MXU narrowphase. Closest-point-on-triangle (Ericson 5.1.5, the same
+  algorithm as the reference's testbase ``Triangle`` PointDistance impl,
+  ``/root/reference/src/testbase.rs:314-443``) needs, per (triangle, point)
+  pair, only the two edge projections ``d1 = e1.ap``, ``d2 = e2.ap`` plus
+  per-triangle constants (|e1|^2, e1.e2, |e2|^2, a'.a', ...). All of those
+  are bilinear in (triangle row, point column), so ONE [8, 6W] x [8, P]
+  ``dot_general`` per leaf yields every input of the region logic with
+  points riding the 128-lane axis at full density; per-triangle constants
+  are broadcast through the matmul via the point matrix's ones-row. The
+  region select cascade then runs on [W, P] tiles.
+
+Exactness: the region candidates divide by |e1|^2, |e2|^2 and the face
+normal's squared length; zero-area (degenerate) triangles produce NaN
+distances whose bit patterns exceed the +inf sentinel, so they can never
+win — consistent with the reference testbase, which assumes non-degenerate
+triangles. The packed min-reduce steals log2(W) mantissa bits of the f32
+squared distance for the winning lane (same tolerance class as the trace
+kernels: up to W-1 ulps of d^2).
+"""
+
+from functools import partial
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+from jax.experimental import pallas as pl
+from jax.experimental.pallas import tpu as pltpu
+
+_INF = np.float32(np.inf)
+_SENT_I = 0x7F800000  # +inf bits: sentinel above every finite d2 key
+
+
+def _nearest_body(nodes_ref, groups_ref, pslab_ref, pmat_ref, out_ref,
+                  bestk_ref, bestc_ref, vb_ref, cnt_ref, PACKET, PRECISION,
+                  W=16, COUNT_VISITS=False):
+    assert W in (16, 32, 64, 128)
+    nn = nodes_ref.shape[1]
+    SUB = PACKET // 128
+    GSHIFT = (128 // W).bit_length() - 1
+    GMASK = (128 // W) - 1
+    _SENT = jnp.int32(_SENT_I)
+
+    bestk_ref[:, :] = jnp.full((SUB, 128), _SENT, jnp.int32)
+    bestc_ref[:, :] = jnp.zeros((SUB, 128), jnp.int32)
+    # per-lane pruning bound = squared distance; row 3 carries d_max^2
+    vb_ref[:, :] = pslab_ref[0, 3]
+    if COUNT_VISITS:
+        cnt_ref[0] = 0
+        cnt_ref[1] = 0
+
+    def narrowphase(node):
+        c = (-nodes_ref[6, node] - 1.0).astype(jnp.int32)
+        if COUNT_VISITS:
+            cnt_ref[1] = cnt_ref[1] + 1
+        # triangles are stored cluster-relative to the box center
+        ccx = (nodes_ref[0, node] + nodes_ref[3, node]) * 0.5
+        ccy = (nodes_ref[1, node] + nodes_ref[4, node]) * 0.5
+        ccz = (nodes_ref[2, node] + nodes_ref[5, node]) * 0.5
+
+        g = jax.lax.shift_right_logical(c, GSHIFT)
+        sub = jax.lax.bitwise_and(c, GMASK)
+        tile = groups_ref[pl.ds(g, 1)][0]  # [16, 128]
+        shift = jax.lax.bitwise_and(128 - sub * W, 127)
+        tr = pltpu.roll(tile, shift, axis=1)  # cluster tris at lanes 0..W-1
+
+        a0, a1, a2 = tr[0:1, 0:W], tr[1:2, 0:W], tr[2:3, 0:W]
+        e10, e11, e12 = tr[3:4, 0:W], tr[4:5, 0:W], tr[5:6, 0:W]
+        e20, e21, e22 = tr[6:7, 0:W], tr[7:8, 0:W], tr[8:9, 0:W]
+
+        # per-triangle scalars, [1, W] rows
+        s_e1a = e10 * a0 + e11 * a1 + e12 * a2
+        s_e2a = e20 * a0 + e21 * a1 + e22 * a2
+        s_aa = a0 * a0 + a1 * a1 + a2 * a2
+        q_aa = e10 * e10 + e11 * e11 + e12 * e12
+        q_bc = e10 * e20 + e11 * e21 + e12 * e22
+        q_cc = e20 * e20 + e21 * e21 + e22 * e22
+
+        z1 = jnp.zeros((1, W), jnp.float32)
+
+        def rows(*rs):
+            out = list(rs)
+            while len(out) < 8:
+                out.append(z1)
+            return jnp.concatenate(out, axis=0)
+
+        # 6 blocks of W columns each; contraction over 8 sublane rows of
+        # the point matrix (x', y', z', 1, 0...)
+        bmat = jnp.concatenate(
+            [
+                rows(e10, e11, e12, -s_e1a),   # d1 = e1 . (p' - a')
+                rows(e20, e21, e22, -s_e2a),   # d2 = e2 . (p' - a')
+                rows(-2.0 * a0, -2.0 * a1, -2.0 * a2, s_aa),  # a'a' - 2a'p'
+                rows(z1, z1, z1, q_aa),        # |e1|^2 broadcast
+                rows(z1, z1, z1, q_bc),        # e1.e2 broadcast
+                rows(z1, z1, z1, q_cc),        # |e2|^2 broadcast
+            ],
+            axis=1,
+        )  # [8, 6W]
+
+        pm = pmat_ref[0]  # [8, PACKET]
+        lp = jnp.concatenate(
+            [pm[0:1] - ccx, pm[1:2] - ccy, pm[2:3] - ccz, pm[3:8]], axis=0
+        )  # [8, PACKET]; rows 3 = ones, 4-7 = zeros
+
+        m = jax.lax.dot_general(
+            bmat, lp, (((0,), (0,)), ((), ())),
+            preferred_element_type=jnp.float32, precision=PRECISION,
+        )  # [6W, PACKET]
+
+        d1 = m[0:W]
+        d2 = m[W:2 * W]
+        apc = m[2 * W:3 * W]
+        aa = m[3 * W:4 * W]
+        bc = m[4 * W:5 * W]
+        cc = m[5 * W:6 * W]
+
+        pp = lp[0:1] * lp[0:1] + lp[1:2] * lp[1:2] + lp[2:3] * lp[2:3]
+        ap2 = pp + apc  # |p' - a'|^2
+
+        # Ericson 5.1.5 region cascade. Wheres applied in REVERSE priority
+        # (A > B > AB > C > AC > BC > face), so the earliest region wins.
+        d3 = d1 - aa
+        d4 = d2 - bc
+        d5 = d1 - bc
+        d6 = d2 - cc
+        va = d3 * d6 - d5 * d4
+        vb2 = d5 * d2 - d1 * d6
+        vc = d1 * d4 - d3 * d2
+
+        t_bc = (d4 - d3) / ((d4 - d3) + (d5 - d6))
+        denom = va + vb2 + vc
+        v = vb2 / denom
+        w = vc / denom
+        r_bc = (va <= 0.0) & (d4 - d3 >= 0.0) & (d5 - d6 >= 0.0)
+        v = jnp.where(r_bc, 1.0 - t_bc, v)
+        w = jnp.where(r_bc, t_bc, w)
+        r_ac = (vb2 <= 0.0) & (d2 >= 0.0) & (d6 <= 0.0)
+        v = jnp.where(r_ac, 0.0, v)
+        w = jnp.where(r_ac, d2 / (d2 - d6), w)
+        r_c = (d6 >= 0.0) & (d5 <= d6)
+        v = jnp.where(r_c, 0.0, v)
+        w = jnp.where(r_c, 1.0, w)
+        r_ab = (vc <= 0.0) & (d1 >= 0.0) & (d3 <= 0.0)
+        v = jnp.where(r_ab, d1 / (d1 - d3), v)
+        w = jnp.where(r_ab, 0.0, w)
+        r_b = (d3 >= 0.0) & (d4 <= d3)
+        v = jnp.where(r_b, 1.0, v)
+        w = jnp.where(r_b, 0.0, w)
+        r_a = (d1 <= 0.0) & (d2 <= 0.0)
+        v = jnp.where(r_a, 0.0, v)
+        w = jnp.where(r_a, 0.0, w)
+
+        d2out = ap2 + v * (v * aa + 2.0 * w * bc - 2.0 * d1) \
+            + w * (w * cc - 2.0 * d2)
+        # pad / degenerate slots (aa == 0) can never win; NaNs from their
+        # divisions have bit patterns above the +inf sentinel already, but
+        # mask explicitly so a padded slot with aa==0, d2out==|p'|^2 (a
+        # REAL finite number) cannot steal the min
+        d2out = jnp.where(aa > 0.0, jnp.maximum(d2out, 0.0), _INF)
+
+        LMASK = jnp.int32(W - 1)
+        lanes_i = jax.lax.broadcasted_iota(jnp.int32, (W, PACKET), 0)
+        key = pltpu.bitcast(d2out, jnp.int32)
+        key = jnp.where(d2out < _INF, (key & ~LMASK) | lanes_i, _SENT)
+        if PACKET >= 1024 or PACKET == 128:
+            km = jnp.min(key, axis=0).reshape(SUB, 128)
+        else:
+            km = jnp.concatenate(
+                [jnp.min(key[:, i * 128:(i + 1) * 128], axis=0,
+                         keepdims=True) for i in range(SUB)],
+                axis=0,
+            )
+
+        bk = bestk_ref[:, :]
+        closer = km < bk
+        nbk = jnp.where(closer, km, bk)
+        bestk_ref[:, :] = nbk
+        bestc_ref[:, :] = jnp.where(closer, c, bestc_ref[:, :])
+        nt = pltpu.bitcast(nbk & ~LMASK, jnp.float32)
+        vb_ref[:, :] = jnp.minimum(nt, vb_ref[:, :])
+
+    def visit(cursor):
+        ax, ay, az = nodes_ref[0, cursor], nodes_ref[1, cursor], nodes_ref[2, cursor]
+        bx, by, bz = nodes_ref[3, cursor], nodes_ref[4, cursor], nodes_ref[5, cursor]
+        entry = nodes_ref[6, cursor]
+        exit_ = nodes_ref[7, cursor]
+        px, py, pz = pslab_ref[0, 0], pslab_ref[0, 1], pslab_ref[0, 2]
+        # min squared distance to the box (0 inside)
+        tx = jnp.maximum(jnp.maximum(ax - px, px - bx), 0.0)
+        ty = jnp.maximum(jnp.maximum(ay - py, py - by), 0.0)
+        tz = jnp.maximum(jnp.maximum(az - pz, pz - bz), 0.0)
+        d2min = tx * tx + ty * ty + tz * tz
+        # max squared distance to the box's farthest face corner: a valid
+        # upper bound on the nearest triangle inside (monotone refinement)
+        mx = jnp.maximum(px - ax, bx - px)
+        my = jnp.maximum(py - ay, by - py)
+        mz = jnp.maximum(pz - az, bz - pz)
+        d2max = mx * mx + my * my + mz * mz
+        vb = jnp.minimum(vb_ref[:, :], d2max)
+        vb_ref[:, :] = vb
+        fired = jnp.any(d2min < vb)
+        is_leaf = entry < 0.0
+        if COUNT_VISITS:
+            cnt_ref[0] = cnt_ref[0] + 1
+        return fired, is_leaf, entry, exit_
+
+    def body(cursor):
+        fired, is_leaf, entry, exit_ = visit(cursor)
+
+        @pl.when(is_leaf & fired)
+        def _():
+            narrowphase(cursor)
+
+        nxt = jax.lax.select(is_leaf | jnp.logical_not(fired), exit_, entry)
+        return nxt.astype(jnp.int32)
+
+    jax.lax.while_loop(lambda cur: cur < nn, body, 0)
+
+    bk = bestk_ref[:, :]
+    LMASK = jnp.int32(W - 1)
+    out_ref[0, 0:SUB] = pltpu.bitcast(bk & ~LMASK, jnp.float32)
+    hit = bk < jnp.int32(_SENT_I)
+    gid = bestc_ref[:, :] * W + jax.lax.bitwise_and(bk, LMASK)
+    out_ref[0, SUB:2 * SUB] = jnp.where(hit, gid, -1).astype(jnp.float32)
+    if COUNT_VISITS:
+        out_ref[0, 0:1] = jnp.full((1, 128), cnt_ref[0].astype(jnp.float32))
+        out_ref[0, 1:2] = jnp.full((1, 128), cnt_ref[1].astype(jnp.float32))
+
+
+def _make_nearest_kernel(packet, precision, width, count_visits):
+    def _kernel(nodes_ref, groups_ref, pslab_ref, pmat_ref, out_ref,
+                bestk_ref, bestc_ref, vb_ref, cnt_ref):
+        return _nearest_body(nodes_ref, groups_ref, pslab_ref, pmat_ref,
+                             out_ref, bestk_ref, bestc_ref, vb_ref, cnt_ref,
+                             packet, precision, W=width,
+                             COUNT_VISITS=count_visits)
+    return _kernel
+
+
+@partial(jax.jit, static_argnames=("num_nodes", "interpret", "packet",
+                                   "precision", "width", "count_visits"))
+def _nearest_tight(smem_nodes, groups, pslab, pmat, num_nodes,
+                   interpret=False, packet=2048,
+                   precision=jax.lax.Precision.HIGHEST, width=16,
+                   count_visits=False):
+    p = pslab.shape[0]
+    sub = packet // 128
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(p,),
+        scratch_shapes=[
+            pltpu.VMEM((sub, 128), jnp.int32),
+            pltpu.VMEM((sub, 128), jnp.int32),
+            pltpu.VMEM((sub, 128), jnp.float32),
+            pltpu.SMEM((2,), jnp.int32),
+        ],
+        in_specs=[
+            pl.BlockSpec(groups.shape, lambda i, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + pslab.shape[1:], lambda i, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + pmat.shape[1:], lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2 * sub, 128), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        _make_nearest_kernel(packet, precision, width, count_visits),
+        out_shape=jax.ShapeDtypeStruct((p, 2 * sub, 128), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+    )(smem_nodes, groups, pslab, pmat)
+
+
+def _pack_points(points, packet, d_max=None):
+    """Pads points to a packet multiple (replicating the last point, which
+    adds no traversal work) and builds the two kernel layouts: the slab
+    [p, 4, sub, 128] (x, y, z, d_max^2) and the lane-major point matrix
+    [p, 8, packet] (x, y, z, 1, 0...) for the MXU narrowphase."""
+    pts = jnp.asarray(points, jnp.float32)
+    r = pts.shape[0]
+    pad = (-r) % packet
+    if pad:
+        pts = jnp.concatenate(
+            [pts, jnp.broadcast_to(pts[r - 1], (pad, 3))], axis=0)
+    rp = r + pad
+    p = rp // packet
+    sub = packet // 128
+    if d_max is None:
+        bound = jnp.full((rp, 1), _INF, jnp.float32)
+    else:
+        d = jnp.broadcast_to(jnp.asarray(d_max, jnp.float32).reshape(-1),
+                             (r,)).reshape(-1, 1)
+        bound = d * d
+        if pad:
+            bound = jnp.concatenate(
+                [bound, jnp.full((pad, 1), _INF, jnp.float32)], axis=0)
+    slab = jnp.concatenate([pts, bound], axis=1)
+    slab = slab.reshape(p, sub, 128, 4).transpose(0, 3, 1, 2)
+    ones = jnp.ones((rp, 1), jnp.float32)
+    zeros = jnp.zeros((rp, 4), jnp.float32)
+    pmat = (jnp.concatenate([pts, ones, zeros], axis=1)
+            .reshape(p, packet, 8).transpose(0, 2, 1))
+    return p, rp, slab, pmat
+
+
+def nearest_tight(scene, points, packet: int = 2048, d_max=None,
+                  interpret: bool = False,
+                  precision=jax.lax.Precision.HIGHEST):
+    """Nearest triangle to each point (kernel path).
+
+    Returns ``(shape_id [n] i32, distance [n] f32)``: the global triangle
+    id nearest each point and its exact euclidean distance (sqrt of the
+    kernel's squared distance). ``shape_id`` is -1 (distance +inf) only
+    when ``d_max`` is given and no triangle lies within it, or the scene
+    is empty — the contract of the reference's ``nearest_to``
+    (``/root/reference/src/flat_bvh.rs:513-562``) with an optional radius.
+
+    ``d_max``: optional scalar or [n] search radius; triangles at
+    distance >= d_max are ignored and the radius prunes traversal from
+    the start.
+    """
+    pts = jnp.asarray(points, jnp.float32)
+    r = pts.shape[0]
+    if r == 0 or scene.num_nodes == 0:
+        return (jnp.full((r,), -1, jnp.int32),
+                jnp.full((r,), _INF, jnp.float32))
+    assert getattr(scene, "packed_nodes", None) is None, \
+        "nearest_tight reads f32 node tables (build with packed=False)"
+    p, rp, pslab, pmat = _pack_points(pts, packet, d_max)
+    out = _nearest_tight(
+        jnp.asarray(scene.smem_nodes), jnp.asarray(scene.groups),
+        pslab, pmat, num_nodes=scene.num_nodes, interpret=interpret,
+        packet=packet, precision=precision,
+        width=int(getattr(scene, "width", 16)),
+    )
+    sub = packet // 128
+    d2 = out[:, :sub].reshape(rp)[:r]
+    lane_id = out[:, sub:2 * sub].reshape(rp)[:r].astype(jnp.int32)
+    hit = jnp.isfinite(d2)
+    if d_max is not None:
+        # packed keys truncate d2 downward (lane bits stolen), so compare
+        # with the exact bound only as a conservative filter
+        dm = jnp.broadcast_to(jnp.asarray(d_max, jnp.float32).reshape(-1),
+                              (r,))
+        hit = hit & (d2 < dm * dm)
+    tri_map = jnp.asarray(scene.tri_map)
+    sid = jnp.where(hit, tri_map[jnp.clip(lane_id, 0, tri_map.shape[0] - 1)],
+                    -1)
+    dist = jnp.where(hit, jnp.sqrt(jnp.maximum(d2, 0.0)), _INF)
+    return sid, dist
+
+
+def count_visits_nearest(scene, points, packet: int = 2048,
+                         interpret: bool = False):
+    """Per-packet (visits, narrowphase fires) for ``nearest_tight``
+    (debug/roofline mode — NOT a timed configuration)."""
+    pts = jnp.asarray(points, jnp.float32)
+    if pts.shape[0] == 0:
+        z = np.zeros(0, np.int64)
+        return z, z
+    p, rp, pslab, pmat = _pack_points(pts, packet, None)
+    out = _nearest_tight(
+        jnp.asarray(scene.smem_nodes), jnp.asarray(scene.groups),
+        pslab, pmat, num_nodes=scene.num_nodes, interpret=interpret,
+        packet=packet, width=int(getattr(scene, "width", 16)),
+        count_visits=True,
+    )
+    visits = np.asarray(out[:, 0, 0]).astype(np.int64)
+    fires = np.asarray(out[:, 1, 0]).astype(np.int64)
+    return visits, fires

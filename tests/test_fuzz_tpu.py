@@ -106,5 +106,22 @@ def test_fuzz_kernels_on_tpu():
             if bc.any():
                 np.testing.assert_allclose(tc[bc], tw[bc], rtol=1e-2,
                                            err_msg=str((rd, "chained")))
+        if rng.random() < 0.4:
+            # nearest-neighbor kernel vs the brute oracle
+            from bvh_tpu.ops.nearest import nearest_tight
+            from bvh_tpu.tri import point_triangle_distance_squared
+
+            npts = int(rng.integers(64, 1024))
+            pts = (centers[rng.integers(0, len(centers), npts)]
+                   + rng.normal(scale=rng.uniform(0.5, 50),
+                                size=(npts, 3))).astype(np.float32)
+            sidn, distn = nearest_tight(scene, pts, packet=packet)
+            d2b = point_triangle_distance_squared(
+                jnp.asarray(pts)[:, None, :], aj[None], bj[None], cj[None])
+            bd = np.sqrt(np.asarray(d2b).min(axis=1))
+            np.testing.assert_allclose(np.asarray(distn), bd, rtol=1e-4,
+                                       atol=0.01,
+                                       err_msg=str((rd, "nearest")))
+
         print(f"round {rd}: cubes={n_cubes} leaf={leaf} packet={packet} "
               f"builder={builder} sweep={sweep} agree={agree:.4f} OK")
