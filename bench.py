@@ -250,21 +250,36 @@ def main():
     if os.environ.get("BENCH_REFIT_QUALITY", "1") == "1":
         from bvh_tpu.ops.device_build import make_refitter as _mk_refit
 
+        from bvh_tpu.ops import make_updater
+        from bvh_tpu.ops.trace import trace_closest_hit_chained
+
         refitter = _mk_refit(scene)
         for frac, label in ((0.01, "1pct"), (0.1, "10pct"), (0.5, "50pct")):
-            am, bm, cm, _ = tb.randomly_transform_scene(
-                a, b, c, amount=int(len(a) * frac), seed=13)
+            amount = int(len(a) * frac)
+            am, bm, cm, moved = tb.randomly_transform_scene(
+                a, b, c, amount=amount, seed=13)
             amj, bmj, cmj = jnp.asarray(am), jnp.asarray(bm), jnp.asarray(cm)
+            updater = make_updater(scene, max_moved=amount)
             cells = {
                 "refit": refitter(amj, bmj, cmj),
                 "host_rebuild": build_tight_scene(am, bm, cm),
+                # mask+delta update: static part keeps original SAH quality,
+                # moved tris live in a device-built delta part (ops/update.py)
+                "update": updater(amj, bmj, cmj,
+                                  jnp.asarray(moved, jnp.int32)[:amount]),
             }
             for name, sc in cells.items():
-                def run_q(sc=sc):
+                chained_q = hasattr(sc, "parts")
+
+                def run_q(sc=sc, chained_q=chained_q):
                     perm, inv = sort_rays_device(o_dev, d_dev, bits=2)
                     rr = Ray.create(o_dev[perm], d_dev[perm])
-                    out_q = trace_closest_hit_tight(sc, rr, packet=packet,
-                                                    sweep=True)
+                    if chained_q:
+                        out_q = trace_closest_hit_chained(sc, rr, packet=packet,
+                                                          sweep=True)
+                    else:
+                        out_q = trace_closest_hit_tight(sc, rr, packet=packet,
+                                                        sweep=True)
                     tq = out_q.t[inv]
                     return float(jnp.sum(jnp.where(jnp.isfinite(tq), tq, 0.0)))
 

@@ -35,6 +35,7 @@ from .cluster import (
     pack_node_table_bf16,
 )
 from .device_build import build_tight_scene_device, make_refitter
+from .update import make_updater
 from .nearest import count_visits_nearest, nearest_tight
 from .trace import (
     count_visits_tight,
@@ -61,6 +62,7 @@ __all__ = [
     "count_visits_nearest",
     "count_visits_tight",
     "make_refitter",
+    "make_updater",
     "nearest_tight",
     "make_seeder",
     "pack_node_table_bf16",

@@ -145,8 +145,15 @@ def _grid_upper(cl_min: jnp.ndarray, cl_max: jnp.ndarray, fanout: int = 16):
 
 @partial(jax.jit, static_argnames=("width", "upper", "bmat"))
 def _build_core(a: jnp.ndarray, b: jnp.ndarray, c: jnp.ndarray, width: int = TIGHT,
-                upper: str = "grid", bmat: bool = False):
-    """Jittable core: returns (smem_nodes, groups, tri_map[, bgroups])."""
+                upper: str = "grid", bmat: bool = False,
+                valid_in: jnp.ndarray | None = None):
+    """Jittable core: returns (smem_nodes, groups, tri_map[, bgroups]).
+
+    ``valid_in``: optional [n] bool — triangles marked False are excluded
+    (they sort to the end, their lanes go degenerate, and their tri_map
+    entries are -1). Lets callers build over a runtime-sized subset of a
+    fixed-shape buffer (the per-frame delta part in ``ops/update.py``).
+    """
     n = a.shape[0]
     W = width
     group = 128 // W
@@ -155,9 +162,17 @@ def _build_core(a: jnp.ndarray, b: jnp.ndarray, c: jnp.ndarray, width: int = TIG
     G = -(-C // group)
 
     centroid = (a + b + c) * jnp.float32(1.0 / 3.0)
-    lo = centroid.min(axis=0)
-    hi = centroid.max(axis=0)
-    codes = morton_codes(centroid, lo, hi)
+    if valid_in is not None:
+        # excluded tris must not pollute the quantization bounds or clusters
+        cfin = jnp.where(valid_in[:, None], centroid, jnp.nan)
+        lo = jnp.nan_to_num(jnp.nanmin(cfin, axis=0), nan=0.0)
+        hi = jnp.nan_to_num(jnp.nanmax(cfin, axis=0), nan=0.0)
+        codes = morton_codes(centroid, lo, hi)
+        codes = jnp.where(valid_in, codes, jnp.int32(0x7FFFFFFF))
+    else:
+        lo = centroid.min(axis=0)
+        hi = centroid.max(axis=0)
+        codes = morton_codes(centroid, lo, hi)
     order = jnp.argsort(codes, stable=True).astype(jnp.int32)
 
     pad = n_pad - n
@@ -166,6 +181,9 @@ def _build_core(a: jnp.ndarray, b: jnp.ndarray, c: jnp.ndarray, width: int = TIG
     else:
         order_p = order
     valid = order_p >= 0
+    if valid_in is not None:
+        valid = valid & valid_in[jnp.maximum(order_p, 0)]
+        order_p = jnp.where(valid, order_p, -1)
     safe = jnp.maximum(order_p, 0)
     a_s = a[safe]
     b_s = b[safe]

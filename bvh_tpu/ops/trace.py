@@ -1674,7 +1674,7 @@ def _part_root_gate(slab, box, best_t):
     """
     oix, oiy, oiz = slab[:, 0], slab[:, 1], slab[:, 2]
     ix, iy, iz = slab[:, 3], slab[:, 4], slab[:, 5]
-    ax, ay, az, bx, by, bz = box
+    ax, ay, az, bx, by, bz = (box[i] for i in range(6))
     t1 = ax * ix - oix
     t2 = bx * ix - oix
     u1 = ay * iy - oiy
@@ -1722,7 +1722,8 @@ def trace_closest_hit_chained(chained, rays: Ray, tris=None,
     best_id = jnp.full((r,), -1, jnp.int32)
     base = _pack_rays_tight(rays, packet, None)  # rows 0-5 + lmat built once
     for part, ids in zip(chained.parts, chained.orig_ids):
-        root = tuple(float(part.smem_nodes[i, 0]) for i in range(6))
+        # numpy slice is free; a device-built part's slice stays on device
+        root = jnp.asarray(part.smem_nodes[:6, 0])
         gate = _part_root_gate(base[2], root,
                                jnp.where(jnp.isfinite(best_t), best_t, _INF))
         hit = trace_closest_hit_tight(part, rays, packet=packet,
@@ -1774,7 +1775,7 @@ def trace_any_hit_chained(chained, rays: Ray, t_max=None, packet: int = 2048,
     base = _pack_rays_tight(rays, packet, None)
     for part in chained.parts:
         tm = jnp.where(occ, 0.0, tm0)
-        root = tuple(float(part.smem_nodes[i, 0]) for i in range(6))
+        root = jnp.asarray(part.smem_nodes[:6, 0])
         gate = _part_root_gate(base[2], root, tm)
         got = trace_any_hit_tight(part, rays, t_max=tm, packet=packet,
                                   precision=precision, interpret=interpret,

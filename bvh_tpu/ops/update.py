@@ -1,0 +1,122 @@
+"""Quality-preserving incremental update — the TPU `update_shapes`.
+
+The reference updates a BVH in place by removing each moved shape and
+re-inserting it at the SAH-optimal seam (`/root/reference/src/bvh/
+optimization.rs:304-315`); its README shows post-update traversal within
+~1.1-1.4x of a full rebuild even at 50% churn (`README.md:217-238`).
+Pointer surgery like that is hostile to the TPU (serial, data-dependent),
+and plain topology-fixed refit (`device_build.make_refitter`) loses the
+quality war: one moved triangle drags its whole cluster box across the
+scene (round-2 bench: 2.6x traversal degradation at 1% churn).
+
+The TPU-native equivalent of remove+reinsert is **mask+delta**:
+
+  1. *Remove*: moved triangles' lanes in the static part's packed group
+     rows are zeroed (a degenerate triangle never fires Moller-Trumbore).
+     Every box table — SMEM entry/exit, wide-group, sweep, bf16-packed —
+     is untouched: removing geometry only ever makes boxes conservative,
+     so the static part traces at its original host-SAH quality forever.
+  2. *Reinsert*: the moved triangles are rebuilt ON DEVICE into a small
+     delta part (`device_build._build_core` over a fixed-capacity buffer,
+     Morton clusters + fixed-fanout upper tree), the TPU analog of the
+     reference's per-shape SAH descent — a fresh tree over exactly the
+     shapes that moved.
+  3. Trace chained: static part first, carried best-t prunes the delta
+     part (`trace.trace_closest_hit_chained`).
+
+Updates are expressed against the ORIGINAL scene with the cumulative
+moved set, so per-frame cost is one fixed jitted program: a lane scatter
+(~n_lanes x 16 f32) plus a delta build over <= max_moved tris. Rebuild on
+host when the cumulative churn approaches max_moved.
+"""
+
+from __future__ import annotations
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .cluster import ChainedScene, TIGHT, TightScene
+from .device_build import _build_core, _grid_layout
+
+
+def make_updater(scene: TightScene, max_moved: int, delta_width: int = TIGHT):
+    """Build ``update(a, b, c, moved_idx) -> ChainedScene`` for a TightScene.
+
+    ``a, b, c``: the FULL new vertex arrays ([n, 3] each; unmoved rows may
+    hold their old values — only rows listed in ``moved_idx`` are read).
+    ``moved_idx``: int32 [max_moved], the cumulative set of triangles that
+    moved since the scene was built, padded with -1. Duplicates are
+    permitted (the delta part then narrowphases the triangle twice).
+
+    The returned ChainedScene has two parts: the original scene with the
+    moved lanes masked out (all box tables intact => original traversal
+    quality) and a device-built delta part over the moved triangles. It
+    plugs straight into ``trace_closest_hit_chained`` /
+    ``trace_any_hit_chained``. Fully jittable; one compile per
+    (scene shape-bucket, max_moved) pair.
+
+    For scenes beyond one SMEM table (ChainedScene), make one updater per
+    part and split ``moved_idx`` by part membership.
+    """
+    tri_map = np.asarray(scene.tri_map)
+    n_lanes = tri_map.shape[0]
+    n = int(tri_map.max()) + 1
+    if max_moved < 1:
+        raise ValueError("max_moved must be >= 1")
+    # inverse permutation: original triangle id -> lane
+    lanes_of = np.full(n, n_lanes, np.int32)  # OOB => scatter-drop
+    occ = tri_map >= 0
+    lanes_of[tri_map[occ]] = np.nonzero(occ)[0].astype(np.int32)
+    lanes_of_j = jnp.asarray(lanes_of)
+
+    G = int(np.asarray(scene.groups).shape[0])
+    groups_j = jnp.asarray(scene.groups)
+    W = delta_width
+    cap = -(-max_moved // W) * W  # lane-align the delta buffer
+    Cd = cap // W
+    nn_d = int(_grid_layout(Cd)[0].shape[0])
+
+    @jax.jit
+    def update_core(a, b, c, moved_idx):
+        a = jnp.asarray(a, jnp.float32)
+        b = jnp.asarray(b, jnp.float32)
+        c = jnp.asarray(c, jnp.float32)
+        moved_idx = jnp.asarray(moved_idx, jnp.int32).reshape(-1)
+        mvalid = moved_idx >= 0
+        safe_m = jnp.maximum(moved_idx, 0)
+
+        # 1) mask the moved lanes out of the static part's group rows
+        lanes = jnp.where(mvalid, lanes_of_j[safe_m], n_lanes)
+        rows = groups_j.transpose(0, 2, 1).reshape(n_lanes, 16)
+        rows = rows.at[lanes].set(0.0, mode="drop")
+        masked_groups = rows.reshape(G, 128, 16).transpose(0, 2, 1)
+
+        # 2) delta part over the moved triangles (fixed-capacity buffer)
+        pad = cap - moved_idx.shape[0]
+        if pad:
+            z = jnp.zeros((pad,), jnp.int32)
+            safe_b = jnp.concatenate([safe_m, z])
+            valid_b = jnp.concatenate([mvalid, z.astype(bool)])
+        else:
+            safe_b, valid_b = safe_m, mvalid
+        am, bm, cm = a[safe_b], b[safe_b], c[safe_b]
+        smem_d, groups_d, tmap_d = _build_core(
+            am, bm, cm, W, "grid", False, valid_in=valid_b)
+        return masked_groups, smem_d, groups_d, tmap_d, safe_b
+
+    def update(a, b, c, moved_idx) -> ChainedScene:
+        if np.shape(moved_idx)[0] > cap:
+            raise ValueError(
+                f"{np.shape(moved_idx)[0]} moved ids > max_moved capacity "
+                f"{cap}; rebuild the scene (or raise max_moved)")
+        masked_groups, smem_d, groups_d, tmap_d, safe_b = update_core(
+            a, b, c, moved_idx)
+        static = scene._replace(groups=masked_groups, bgroups=None)
+        delta = TightScene(smem_d, groups_d, tmap_d, Cd, nn_d, W)
+        static_ids = jnp.arange(n, dtype=jnp.int32)
+        return ChainedScene(parts=(static, delta),
+                            orig_ids=(static_ids, safe_b))
+
+    update.core = update_core  # jit-composable inner (arrays only)
+    return update

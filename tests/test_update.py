@@ -1,0 +1,190 @@
+"""Quality-preserving incremental update (mask+delta, ``ops/update.py``).
+
+The contract re-designed from the reference's ``Bvh::update_shapes``
+(/root/reference/src/bvh/optimization.rs:304-315): after any churn, the
+updated acceleration structure must return exactly the hits of a fresh
+build over the new geometry. Here the static part keeps its original
+boxes (conservative after removal) and the moved set lives in a
+device-built delta part, traced chained.
+"""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from bvh_tpu import Ray
+from bvh_tpu import testbase as tb
+from bvh_tpu.ops import build_tight_scene, make_updater
+from bvh_tpu.ops.trace import (trace_any_hit_chained,
+                               trace_closest_hit_chained,
+                               trace_closest_hit_tight)
+from bvh_tpu.ray import ray_intersects_triangle
+
+
+def _oracle_closest(rays, a, b, c):
+    # broadcast each ray against every triangle
+    o = jnp.asarray(rays.origin)[:, None, :]
+    d = jnp.asarray(rays.direction)[:, None, :]
+    from bvh_tpu.ray import Ray as R
+    inter = ray_intersects_triangle(
+        R(o, d, 1.0 / d), jnp.asarray(a)[None], jnp.asarray(b)[None],
+        jnp.asarray(c)[None])
+    t = np.asarray(inter.distance)
+    best = t.min(axis=1)
+    sid = t.argmin(axis=1)
+    return best, np.where(np.isfinite(best), sid, -1)
+
+
+@pytest.fixture(scope="module")
+def moved_setup():
+    rng = np.random.default_rng(23)
+    a, b, c = tb.create_n_cubes(100)  # 1200 tris
+    a, b, c = np.asarray(a), np.asarray(b), np.asarray(c)
+    scene = build_tight_scene(a, b, c)
+    # move 3 whole cubes (36 tris) by a large offset
+    moved_cubes = rng.choice(100, size=3, replace=False)
+    moved = np.concatenate([np.arange(12) + 12 * k for k in moved_cubes])
+    shift = rng.uniform(20, 60, size=(3,)).astype(np.float32)
+    a2, b2, c2 = a.copy(), b.copy(), c.copy()
+    for arr in (a2, b2, c2):
+        arr[moved] += shift
+    return a, b, c, scene, moved.astype(np.int32), a2, b2, c2
+
+
+def _aimed_rays(a, b, c, n, rng):
+    centers = np.asarray((a + b + c) / 3.0)
+    o = rng.uniform(-60, 60, (n, 3)).astype(np.float32)
+    d = (centers[rng.integers(0, len(a), n)] - o).astype(np.float32)
+    return Ray.create(o, d)
+
+
+def test_update_matches_oracle(moved_setup):
+    a, b, c, scene, moved, a2, b2, c2 = moved_setup
+    rng = np.random.default_rng(7)
+    upd = make_updater(scene, max_moved=64)
+    pad = np.full(64, -1, np.int32)
+    pad[: len(moved)] = moved
+    chained = upd(a2, b2, c2, pad)
+    rays = _aimed_rays(a2, b2, c2, 512, rng)
+    hit = trace_closest_hit_chained(chained, rays, interpret=True)
+    bt, bid = _oracle_closest(rays, a2, b2, c2)
+    t = np.asarray(hit.t)
+    assert (np.isfinite(t) == np.isfinite(bt)).all()
+    m = np.isfinite(bt)
+    assert m.any()
+    np.testing.assert_allclose(t[m], bt[m], rtol=1e-2)
+    # ids: allow the grazing-edge class (t ties), require t agreement instead
+    sid = np.asarray(hit.shape_id)
+    exact = sid[m] == bid[m]
+    assert exact.mean() > 0.95
+
+
+def test_update_hits_moved_geometry(moved_setup):
+    """Rays aimed at the NEW positions of moved cubes must hit them."""
+    a, b, c, scene, moved, a2, b2, c2 = moved_setup
+    upd = make_updater(scene, max_moved=64)
+    pad = np.full(64, -1, np.int32)
+    pad[: len(moved)] = moved
+    chained = upd(a2, b2, c2, pad)
+    centers = np.asarray((a2 + b2 + c2) / 3.0)[moved]
+    o = np.full((len(moved), 3), -80.0, np.float32)
+    rays = Ray.create(o, centers - o)
+    hit = trace_closest_hit_chained(chained, rays, interpret=True)
+    bt, _ = _oracle_closest(rays, a2, b2, c2)
+    np.testing.assert_allclose(np.asarray(hit.t), bt, rtol=1e-2)
+    assert np.isfinite(np.asarray(hit.t)).all()
+
+
+def test_update_no_stale_hits(moved_setup):
+    """Rays aimed at the OLD positions must not hit the moved triangles."""
+    a, b, c, scene, moved, a2, b2, c2 = moved_setup
+    upd = make_updater(scene, max_moved=64)
+    pad = np.full(64, -1, np.int32)
+    pad[: len(moved)] = moved
+    chained = upd(a2, b2, c2, pad)
+    centers = np.asarray((a + b + c) / 3.0)[moved]  # OLD centers
+    o = np.full((len(moved), 3), -80.0, np.float32)
+    rays = Ray.create(o, centers - o)
+    hit = trace_closest_hit_chained(chained, rays, interpret=True)
+    bt, bid = _oracle_closest(rays, a2, b2, c2)
+    t = np.asarray(hit.t)
+    assert (np.isfinite(t) == np.isfinite(bt)).all()
+    m = np.isfinite(bt)
+    if m.any():
+        np.testing.assert_allclose(t[m], bt[m], rtol=1e-2)
+    sid = np.asarray(hit.shape_id)
+    assert not np.isin(sid[m], moved).any() or (
+        # a moved tri may legitimately be hit at its NEW location
+        np.allclose(t[m], bt[m], rtol=1e-2))
+
+
+def test_update_any_hit(moved_setup):
+    a, b, c, scene, moved, a2, b2, c2 = moved_setup
+    rng = np.random.default_rng(9)
+    upd = make_updater(scene, max_moved=64)
+    pad = np.full(64, -1, np.int32)
+    pad[: len(moved)] = moved
+    chained = upd(a2, b2, c2, pad)
+    rays = _aimed_rays(a2, b2, c2, 256, rng)
+    bt, _ = _oracle_closest(rays, a2, b2, c2)
+    tmx = np.where(np.isfinite(bt), bt * 1.25, 2.0).astype(np.float32)
+    occ = np.asarray(trace_any_hit_chained(chained, rays, t_max=tmx,
+                                           interpret=True))
+    want = np.isfinite(bt) & (bt < tmx)
+    # the packed-min t class can flip hits within W ulps of t_max; compare
+    # away from the boundary
+    safe_band = ~np.isfinite(bt) | (np.abs(bt * 1.25 - bt) > 1e-3 * bt)
+    assert (occ == want)[safe_band].all()
+    assert occ.any()
+
+
+def test_update_cumulative_and_cap(moved_setup):
+    a, b, c, scene, moved, a2, b2, c2 = moved_setup
+    rng = np.random.default_rng(13)
+    upd = make_updater(scene, max_moved=64)
+    # frame 1: first cube only
+    pad = np.full(64, -1, np.int32)
+    pad[:12] = moved[:12]
+    a1, b1, c1 = a.copy(), b.copy(), c.copy()
+    for src, dst in ((a2, a1), (b2, b1), (c2, c1)):
+        dst[moved[:12]] = src[moved[:12]]
+    ch1 = upd(a1, b1, c1, pad)
+    rays = _aimed_rays(a1, b1, c1, 256, rng)
+    hit = trace_closest_hit_chained(ch1, rays, interpret=True)
+    bt, _ = _oracle_closest(rays, a1, b1, c1)
+    m = np.isfinite(bt)
+    assert (np.isfinite(np.asarray(hit.t)) == m).all()
+    np.testing.assert_allclose(np.asarray(hit.t)[m], bt[m], rtol=1e-2)
+    # frame 2: cumulative set (all three cubes) against the ORIGINAL scene
+    pad2 = np.full(64, -1, np.int32)
+    pad2[: len(moved)] = moved
+    ch2 = upd(a2, b2, c2, pad2)
+    hit2 = trace_closest_hit_chained(ch2, rays, interpret=True)
+    bt2, _ = _oracle_closest(rays, a2, b2, c2)
+    m2 = np.isfinite(bt2)
+    np.testing.assert_allclose(np.asarray(hit2.t)[m2], bt2[m2], rtol=1e-2)
+    # capacity guard
+    with pytest.raises(ValueError):
+        upd(a2, b2, c2, np.zeros(100, np.int32))
+
+
+def test_update_quality_static_visits(moved_setup):
+    """The masked static part must trace with the ORIGINAL tree quality:
+    identical traversal structure (same boxes), only the moved lanes gone."""
+    a, b, c, scene, moved, a2, b2, c2 = moved_setup
+    upd = make_updater(scene, max_moved=64)
+    pad = np.full(64, -1, np.int32)
+    pad[: len(moved)] = moved
+    chained = upd(a2, b2, c2, pad)
+    static = chained.parts[0]
+    # every box table is untouched
+    assert static.smem_nodes is scene.smem_nodes
+    assert static.gnodes is scene.gnodes
+    assert static.sweep_nodes is scene.sweep_nodes
+    # moved lanes are degenerate, all other lanes bit-identical
+    g0 = np.asarray(scene.groups).transpose(0, 2, 1).reshape(-1, 16)
+    g1 = np.asarray(static.groups).transpose(0, 2, 1).reshape(-1, 16)
+    tri_map = np.asarray(scene.tri_map)
+    moved_lane = np.isin(tri_map, moved)
+    assert (g1[moved_lane] == 0).all()
+    assert (g1[~moved_lane] == g0[~moved_lane]).all()
