@@ -39,6 +39,8 @@ from .update import make_updater
 from .nearest import count_visits_nearest, nearest_tight
 from .trace import (
     count_visits_tight,
+    count_visits_wide,
+    make_planner,
     make_seeder,
     sort_rays,
     sort_rays_device,
@@ -61,6 +63,8 @@ __all__ = [
     "collapse_upper",
     "count_visits_nearest",
     "count_visits_tight",
+    "count_visits_wide",
+    "make_planner",
     "make_refitter",
     "make_updater",
     "nearest_tight",

@@ -468,6 +468,39 @@ def build_wide_table(smem_nodes: np.ndarray, num_clusters: int,
 
 
 
+def wide_group_meta(gnodes: np.ndarray):
+    """Host parse of a wide-walk table: ``(parent, depth, anc)`` per group.
+
+    ``parent[g]``/``depth[g]`` are int64 (root 0: parent -1, depth 0);
+    ``anc[g, d]`` is g's ancestor at depth d (-1 past g's own depth, and g
+    itself at d == depth[g]). Shape-bucket pad columns (never referenced by
+    any payload) get parent -1/depth 0. Feeds the per-packet subtree-entry
+    planner (``ops/trace.py::make_planner``).
+    """
+    gn = np.asarray(gnodes)
+    K = (gn.shape[0] - 1) // 7
+    Gn = gn.shape[1]
+    pay = gn[6:7 * K:7, :]  # [K, Gn] child payloads
+    inner = np.isfinite(pay) & (pay >= 0)
+    _, gs = np.nonzero(inner)
+    ch = pay[inner].astype(np.int64)
+    parent = np.full(Gn, -1, np.int64)
+    parent[ch] = gs
+    # the builder emits parents before children (root is group 0)
+    assert (parent[ch] < ch).all(), "wide table is not parent-first"
+    depth = np.zeros(Gn, np.int64)
+    order = np.argsort(ch)  # ids ascend => parents resolved before children
+    for g in ch[order]:
+        depth[g] = depth[parent[g]] + 1
+    D = int(depth.max()) + 1
+    anc = np.full((Gn, D), -1, np.int64)
+    anc[np.arange(Gn), depth] = np.arange(Gn)
+    for g in ch[order]:
+        d = depth[g]
+        anc[g, :d] = anc[parent[g], :d]
+    return parent, depth, anc
+
+
 def _pad_node_table(smem_nodes: np.ndarray, bucket: int = 2048,
                     target: int | None = None) -> np.ndarray:
     """Pads the SMEM node table to a bucket multiple of columns.

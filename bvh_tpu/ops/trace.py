@@ -930,21 +930,24 @@ WIDE_DMAX = 16  # fixed mask-stack depth (static => one compile per scene bucket
 def _make_wide_kernel(packet: int, precision, K: int = 16, subtile: int = 1024,
                       width: int = 16, n_hints: int = 0, mode: str = "closest",
                       bounded: bool = False, count_visits: bool = False,
-                      gated: bool = False):
-    def _kernel(gnodes_ref, hints_ref, gate_ref, groups_ref, slab_ref, lmat_ref,
-                out_ref, bestk_ref, bestc_ref, vb_ref, cnt_ref, stk_ref, m2_ref):
-        return _wide_body(gnodes_ref, hints_ref, gate_ref, groups_ref, slab_ref,
-                          lmat_ref, out_ref, bestk_ref, bestc_ref, vb_ref,
-                          cnt_ref, stk_ref, m2_ref, packet, precision, K,
-                          subtile, width, n_hints, mode, bounded, count_visits,
-                          gated)
+                      gated: bool = False, subtree: bool = False):
+    def _kernel(gnodes_ref, hints_ref, gate_ref, startg_ref, groups_ref,
+                slab_ref, lmat_ref, out_ref, bestk_ref, bestc_ref, vb_ref,
+                cnt_ref, stk_ref, m2_ref):
+        return _wide_body(gnodes_ref, hints_ref, gate_ref, startg_ref,
+                          groups_ref, slab_ref, lmat_ref, out_ref, bestk_ref,
+                          bestc_ref, vb_ref, cnt_ref, stk_ref, m2_ref, packet,
+                          precision, K, subtile, width, n_hints, mode, bounded,
+                          count_visits, gated, subtree)
     return _kernel
 
 
-def _wide_body(gnodes_ref, hints_ref, gate_ref, groups_ref, slab_ref, lmat_ref,
-               out_ref, bestk_ref, bestc_ref, vb_ref, cnt_ref, stk_ref, m2_ref,
+def _wide_body(gnodes_ref, hints_ref, gate_ref, startg_ref, groups_ref,
+               slab_ref, lmat_ref, out_ref, bestk_ref, bestc_ref, vb_ref,
+               cnt_ref, stk_ref, m2_ref,
                PACKET, PRECISION, K=16, SUBTILE=1024, W=16, N_HINTS=0,
-               MODE="closest", BOUNDED=False, COUNT_VISITS=False, GATED=False):
+               MODE="closest", BOUNDED=False, COUNT_VISITS=False, GATED=False,
+               SUBTREE=False):
     assert W in (16, 32, 64, 128)
     assert MODE in ("closest", "any")
     assert K in (8, 16)
@@ -1060,21 +1063,11 @@ def _wide_body(gnodes_ref, hints_ref, gate_ref, groups_ref, slab_ref, lmat_ref,
         narrow_mask(lm, g)
         return jax.lax.bitwise_and(m, jax.lax.bitwise_not(lmask))
 
-    def run_traversal():
-        if N_HINTS:
-            base = pid * N_HINTS
+    def walk(g0, m0, skip=None):
+        """Mask-stack walk from group ``g0`` with fired-interior mask ``m0``.
 
-            @pl.when(hints_ref[base] >= 0)
-            def _():
-                def seed(j, carry):
-                    slot = hints_ref[base + j]
-                    narrow_slot(jax.lax.bitwise_and(slot, K - 1),
-                                jax.lax.shift_right_logical(slot, KSHIFT))
-                    return carry
-
-                jax.lax.fori_loop(0, N_HINTS, seed, 0)
-
-        m0 = enter(jnp.int32(0))
+        ``skip``: optional traced group id — that child is never entered
+        (its subtree was already fully processed by a phase-1 walk)."""
 
         def body(carry):
             # Every set bit is an INTERIOR child (leaves were consumed by
@@ -1088,7 +1081,15 @@ def _wide_body(gnodes_ref, hints_ref, gate_ref, groups_ref, slab_ref, lmat_ref,
             mask2 = jax.lax.bitwise_and(mask, mask - 1)
             child = gnodes_ref[7 * k + 6, gid].astype(jnp.int32)
 
-            @pl.when(has)
+            if skip is None:
+                do_enter = has
+            else:
+                # the skipped child must read back m2 == 0 (consume the bit
+                # without pushing), so clear the stale value first
+                m2_ref[0] = 0
+                do_enter = has & (child != skip)
+
+            @pl.when(do_enter)
             def _():
                 m2_ref[0] = enter(child)
 
@@ -1109,7 +1110,39 @@ def _wide_body(gnodes_ref, hints_ref, gate_ref, groups_ref, slab_ref, lmat_ref,
             return nd, ngid, nmask
 
         jax.lax.while_loop(lambda s: s[0] >= 0, body,
-                           (jnp.int32(0), jnp.int32(0), m0))
+                           (jnp.int32(0), g0, m0))
+
+    def run_traversal():
+        if N_HINTS:
+            base = pid * N_HINTS
+
+            @pl.when(hints_ref[base] >= 0)
+            def _():
+                def seed(j, carry):
+                    slot = hints_ref[base + j]
+                    narrow_slot(jax.lax.bitwise_and(slot, K - 1),
+                                jax.lax.shift_right_logical(slot, KSHIFT))
+                    return carry
+
+                jax.lax.fori_loop(0, N_HINTS, seed, 0)
+
+        if SUBTREE:
+            # Phase 1: walk the packet's predicted subtree first — its true
+            # best hits land in vb, so the phase-2 root walk is gated down
+            # to the ancestor chain (VERDICT round-2 item 2; packet-ized
+            # pruned descent, /root/reference/src/bvh/bvh_node.rs:327-374).
+            sg = startg_ref[pid]
+
+            @pl.when(sg > 0)
+            def _():
+                walk(sg, enter(sg))
+
+            # Phase 2 (exactness): full walk from the root, skipping the
+            # already-processed subtree. sg <= 0 never matches a child id
+            # (the root group 0 is nobody's child), so the skip is inert.
+            walk(jnp.int32(0), enter(jnp.int32(0)), skip=sg)
+        else:
+            walk(jnp.int32(0), enter(jnp.int32(0)))
 
     if GATED:
         @pl.when(gate_ref[pid] > 0)
@@ -1133,9 +1166,12 @@ def _wide_body(gnodes_ref, hints_ref, gate_ref, groups_ref, slab_ref, lmat_ref,
 def _trace_wide(gnodes, hints, gate, groups, slab, lmat, interpret=False,
                 packet=2048, precision=jax.lax.Precision.HIGHEST,
                 width=16, n_hints=0, mode="closest", bounded=False,
-                count_visits=False, gated=False, k_ary=16):
+                count_visits=False, gated=False, k_ary=16, start_g=None):
     p = slab.shape[0]
     sub = packet // 128
+    subtree = start_g is not None
+    if start_g is None:
+        start_g = jnp.zeros((p,), jnp.int32)
     scratch = [
         pltpu.VMEM((sub, 128), jnp.int32),
         pltpu.VMEM((sub, 128), jnp.int32),
@@ -1145,7 +1181,7 @@ def _trace_wide(gnodes, hints, gate, groups, slab, lmat, interpret=False,
         pltpu.SMEM((1,), jnp.int32),
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=3,
+        num_scalar_prefetch=4,
         grid=(p,),
         scratch_shapes=scratch,
         in_specs=[
@@ -1158,14 +1194,15 @@ def _trace_wide(gnodes, hints, gate, groups, slab, lmat, interpret=False,
     return pl.pallas_call(
         _make_wide_kernel(packet, precision, K=k_ary, width=width,
                           n_hints=n_hints, mode=mode, bounded=bounded,
-                          count_visits=count_visits, gated=gated),
+                          count_visits=count_visits, gated=gated,
+                          subtree=subtree),
         out_shape=jax.ShapeDtypeStruct((p, 2 * sub, 128), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024,
         ),
-    )(gnodes, hints, gate, groups, slab, lmat)
+    )(gnodes, hints, gate, start_g.astype(jnp.int32), groups, slab, lmat)
 
 
 def _pack_rays_tight(rays: Ray, packet: int, t_max=None, base=None):
@@ -1233,6 +1270,7 @@ def trace_closest_hit_tight(scene, rays: Ray, tris=None, interpret: bool = False
                             t_max=None, sweep: bool = False,
                             wide: bool | None = None,
                             pre_gate=None,
+                            start_g: jnp.ndarray | None = None,
                             _base=None) -> HitRecord:
     """Closest hit against a ``TightScene`` (the fast path for sparse scenes).
 
@@ -1300,6 +1338,9 @@ def trace_closest_hit_tight(scene, rays: Ray, tris=None, interpret: bool = False
         gate = pg
     else:
         gate = jnp.zeros((p,), jnp.int32)
+    if start_g is not None:
+        assert wide, "start_g (subtree entry) requires the wide walk"
+        assert start_g.shape[0] == p, (start_g.shape, p)
     if wide:
         out = _trace_wide(
             jnp.asarray(gn),
@@ -1315,6 +1356,7 @@ def trace_closest_hit_tight(scene, rays: Ray, tris=None, interpret: bool = False
             n_hints=n_hints,
             bounded=t_max is not None,
             gated=sweep or pg is not None,
+            start_g=start_g,
         )
     else:
         out = _trace_tight(
@@ -1627,7 +1669,7 @@ def count_visits_tight(scene, rays: Ray, packet: int = 2048,
 
 
 def count_visits_wide(scene, rays: Ray, packet: int = 2048,
-                      interpret: bool = False):
+                      interpret: bool = False, start_g=None):
     """Wide-kernel counters per packet (debug mode; NOT a timed config).
 
     Returns ``(iterations, fires, group_tests)`` int arrays [n_packets]:
@@ -1635,6 +1677,8 @@ def count_visits_wide(scene, rays: Ray, packet: int = 2048,
     16-child group tests. The wide kernel's cost model is
     ``iterations x chain_latency + group_tests x vector_cost +
     fires x narrow_cost`` — bench.py's roofline uses these.
+    ``start_g``: optional per-packet subtree-entry groups (same as
+    ``trace_closest_hit_tight``) so the two-phase walk can be costed.
     """
     r = rays.origin.shape[0]
     if r == 0:
@@ -1654,6 +1698,7 @@ def count_visits_wide(scene, rays: Ray, packet: int = 2048,
         packet=packet,
         width=int(getattr(scene, "width", 16)),
         count_visits=True,
+        start_g=start_g,
     )
     iters = np.asarray(out[:, 0, 0]).astype(np.int64)
     fires = np.asarray(out[:, 1, 0]).astype(np.int64)
@@ -1853,3 +1898,60 @@ def make_seeder(scene, packet: int = 2048, sample_stride: int = 32,
         return jnp.where(hints < 0, fill, hints)
 
     return seeder
+
+
+def make_planner(scene, packet: int = 2048, sample_stride: int = 32,
+                 k_hints: int = 64, precision=jax.lax.Precision.HIGHEST,
+                 interpret: bool = False):
+    """Per-packet traversal planner: ``plan(rays) -> (hints, start_g)``.
+
+    Builds on ``make_seeder``: the sampled hits give seeding hints AND a
+    per-packet subtree-entry group — the LCA (in the wide group tree) of
+    every group the samples landed in. The kernel walks that subtree
+    FIRST (phase 1 finds the true closest hit for almost every lane),
+    then the exactness pass from the root is gated down to the ancestor
+    chain by the warm pruning bounds (``_wide_body`` SUBTREE mode). A
+    packet whose samples all missed, or whose LCA is the root, gets
+    start_g = -1 (plain single-phase walk). Results are identical to the
+    unplanned trace for ANY start_g (phase 2 re-checks everything outside
+    the subtree), so the planner is a pure performance hint.
+
+    TPU re-design of the reference's pruned descent
+    (/root/reference/src/bvh/bvh_node.rs:327-374): instead of per-ray
+    descent decisions, one subtree prediction per 2048-ray packet.
+
+        plan = make_planner(scene)
+        hints, start_g = plan(rays)
+        trace_closest_hit_tight(scene, rays, hints=hints, start_g=start_g)
+    """
+    from .cluster import wide_group_meta
+
+    assert getattr(scene, "gnodes", None) is not None, \
+        "subtree entry requires a wide-walk scene (gnodes)"
+    K = (np.asarray(scene.gnodes).shape[0] - 1) // 7
+    KSHIFT = K.bit_length() - 1
+    _, _, anc = wide_group_meta(scene.gnodes)
+    anc_j = jnp.asarray(anc, jnp.int32)  # [Gn, D]
+    seeder = make_seeder(scene, packet=packet, sample_stride=sample_stride,
+                         k_hints=k_hints, precision=precision,
+                         interpret=interpret)
+
+    def plan(rays: Ray):
+        hints = seeder(rays)
+        if hints is None:
+            return None, None
+        has = hints[:, 0] >= 0  # packets whose samples all missed get -1
+        g = jax.lax.shift_right_logical(jnp.maximum(hints, 0), KSHIFT)
+        A = anc_j[g]  # [p, k_hints, D]
+        ref = A[:, 0:1, :]
+        # chains agree on a prefix of depths; the LCA depth is the length
+        # of that prefix - 1 (cumulative AND enforces prefix semantics)
+        same = jnp.all((A == ref) & (ref >= 0), axis=1)  # [p, D]
+        same = jnp.cumprod(same.astype(jnp.int32), axis=1)
+        lca_d = jnp.sum(same, axis=1) - 1  # [p] (>= 0 when has)
+        safe_d = jnp.clip(lca_d, 0, anc_j.shape[1] - 1)
+        start = A[jnp.arange(A.shape[0]), 0, safe_d]
+        start_g = jnp.where(has & (lca_d > 0), start, -1).astype(jnp.int32)
+        return hints, start_g
+
+    return plan

@@ -1,0 +1,114 @@
+"""Per-packet subtree entry (two-phase wide walk + planner), interpret mode.
+
+The contract: ``start_g`` is a pure performance hint — for ANY per-packet
+group id, the two-phase walk (subtree first, then a root walk that skips
+the subtree) must return results identical to the single-phase wide walk.
+TPU re-design of the reference's pruned descent
+(/root/reference/src/bvh/bvh_node.rs:327-374).
+"""
+
+import numpy as np
+import pytest
+
+from bvh_tpu import Ray
+from bvh_tpu import testbase as tb
+from bvh_tpu.ops.cluster import build_tight_scene, wide_group_meta
+from bvh_tpu.ops.trace import (count_visits_wide, make_planner,
+                               trace_closest_hit_tight)
+
+
+@pytest.fixture(scope="module")
+def scene_rays():
+    rng = np.random.default_rng(17)
+    a, b, c = tb.create_n_cubes(150)  # 1800 tris
+    scene = build_tight_scene(np.asarray(a), np.asarray(b), np.asarray(c))
+    assert scene.gnodes is not None
+    n = 2048
+    centers = np.asarray((a + b + c) / 3.0)
+    o = rng.uniform(-60, 60, (n, 3)).astype(np.float32)
+    # first packet-half: coherent rays aimed at one cube cluster (the
+    # planner's win case); rest: random aims + misses
+    tgt = centers[rng.integers(0, 12, n)]  # cube 0's triangles
+    d = (tgt - o).astype(np.float32)
+    d[n // 2:] = (centers[rng.integers(0, len(centers), n // 2)]
+                  - o[n // 2:]).astype(np.float32)
+    d[7 * n // 8:] = rng.normal(size=(n // 8, 3)).astype(np.float32)
+    return np.asarray(a), np.asarray(b), np.asarray(c), scene, Ray.create(o, d)
+
+
+def test_group_meta_invariants(scene_rays):
+    a, b, c, scene, rays = scene_rays
+    parent, depth, anc = wide_group_meta(scene.gnodes)
+    Gn = parent.shape[0]
+    assert parent[0] == -1 and depth[0] == 0
+    reach = np.nonzero(parent >= 0)[0]
+    assert (depth[reach] == depth[parent[reach]] + 1).all()
+    # anc[g, depth[g]] == g; anc[g, d] for d < depth[g] is parent-chain
+    assert (anc[np.arange(Gn), depth] == np.arange(Gn)).all()
+    for g in reach[:50]:
+        d = depth[g]
+        assert anc[g, d - 1] == parent[g]
+        assert (anc[g, :d] == anc[parent[g], :d]).all()
+
+
+def test_arbitrary_start_groups_exact(scene_rays):
+    """ANY start_g must give bit-identical results (exactness pass)."""
+    a, b, c, scene, rays = scene_rays
+    base = trace_closest_hit_tight(scene, rays, interpret=True, wide=True)
+    parent, depth, anc = wide_group_meta(scene.gnodes)
+    real = np.nonzero((np.arange(len(parent)) == 0) | (parent >= 0))[0]
+    rng = np.random.default_rng(3)
+    p = -(-rays.origin.shape[0] // 2048)
+    for trial in range(3):
+        sg = rng.choice(real, size=p).astype(np.int32)
+        if trial == 0:
+            sg[:] = -1  # inert plan must also match
+        got = trace_closest_hit_tight(scene, rays, interpret=True, wide=True,
+                                      start_g=np.asarray(sg))
+        assert (np.asarray(got.t) == np.asarray(base.t)).all(), trial
+        assert (np.asarray(got.shape_id)
+                == np.asarray(base.shape_id)).all(), trial
+
+
+def test_planner_exact_and_hits(scene_rays):
+    a, b, c, scene, rays = scene_rays
+    base = trace_closest_hit_tight(scene, rays, interpret=True, wide=True)
+    plan = make_planner(scene, packet=1024, interpret=True)
+    hints, start_g = plan(rays)
+    assert start_g is not None
+    got = trace_closest_hit_tight(scene, rays, interpret=True, wide=True,
+                                  packet=1024, hints=hints, start_g=start_g)
+    assert (np.asarray(got.t) == np.asarray(base.t)).all()
+    assert (np.asarray(got.shape_id) == np.asarray(base.shape_id)).all()
+    assert np.isfinite(np.asarray(got.t)).any()
+
+
+def test_planner_assigns_subtrees(scene_rays):
+    """Coherent packets must get a non-root start group."""
+    a, b, c, scene, rays = scene_rays
+    plan = make_planner(scene, packet=1024, interpret=True)
+    hints, start_g = plan(rays)
+    sg = np.asarray(start_g)
+    parent, depth, anc = wide_group_meta(scene.gnodes)
+    # the first packet (single-cube aims) should enter a deep subtree,
+    # unless the tree is so small everything hangs off the root
+    if depth.max() >= 1:
+        assert sg[0] >= 0
+        assert depth[sg[0]] >= 1
+    # any assigned group must be a real group
+    for g in sg[sg >= 0]:
+        assert g == 0 or parent[g] >= 0
+
+
+def test_subtree_entry_cuts_visits(scene_rays):
+    """The planned walk must do fewer iterations on coherent packets."""
+    a, b, c, scene, rays = scene_rays
+    plan = make_planner(scene, packet=2048, interpret=True)
+    hints, start_g = plan(rays)
+    it0, f0, g0 = count_visits_wide(scene, rays, packet=2048, interpret=True)
+    it1, f1, g1 = count_visits_wide(scene, rays, packet=2048, interpret=True,
+                                    start_g=start_g)
+    # packet 0 is the coherent one; its group tests must drop when a
+    # subtree was assigned (phase 2 gets gated off by the warm bounds)
+    if np.asarray(start_g)[0] > 0:
+        assert g1[0] < g0[0]
