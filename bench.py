@@ -94,16 +94,17 @@ def main():
     aim_dirs = (centers[idx] + 0.1 - aim_orig).astype(np.float32)
     aimed = Ray.create(jnp.asarray(aim_orig), jnp.asarray(aim_dirs))
 
-    from bvh_tpu.ops.trace import make_seeder
+    from bvh_tpu.ops.trace import make_planner
 
-    # device-side seeding: the sampled pre-trace, hint mapping and the
-    # seeded main trace compose into one device program (the host-mapping
-    # path pays a ~27ms tunnel fence per batch)
-    seeder = make_seeder(scene, packet=packet)
+    # device-side planning: sampled pre-trace -> seeding hints + per-packet
+    # subtree-entry groups, composing with the main trace into one device
+    # program (the host-mapping path pays a ~27ms tunnel fence per batch)
+    planner = make_planner(scene, packet=packet)
 
     def run_aimed():
-        hints_a = seeder(aimed)
-        out = trace_closest_hit_tight(scene, aimed, packet=packet, hints=hints_a)
+        hints_a, start_a = planner(aimed)
+        out = trace_closest_hit_tight(scene, aimed, packet=packet,
+                                      hints=hints_a, start_g=start_a)
         return out, float(jnp.sum(jnp.where(jnp.isfinite(out.t), out.t, 0.0)))
 
     out_a, _ = run_aimed()
@@ -117,16 +118,16 @@ def main():
     # Differentiable render: forward + backward (vertex gradients) on the
     # aimed all-hit batch — the capability the reference lacks entirely.
     from bvh_tpu.diff import render_depth_fast
-    from bvh_tpu.ops.trace import compute_seed_hints
 
     aj, bj, cj = jnp.asarray(a), jnp.asarray(b), jnp.asarray(c)
     tgt = jnp.zeros((n_aimed,), jnp.float32)
-    # hit-dense batch: seed pruning hints once outside the jitted step
-    hints = compute_seed_hints(scene, aimed, packet=packet)
+    # hit-dense batch: plan (hints + subtree entries) once outside the step
+    hints, start_a = planner(aimed)
 
     def loss(av, bv, cv):
         depth, hit_m = render_depth_fast(scene, aimed, av, bv, cv,
-                                         packet=packet, hints=hints)
+                                         packet=packet, hints=hints,
+                                         start_g=start_a)
         return jnp.sum(jnp.where(hit_m, (depth - tgt) ** 2, 0.0)) * 1e-9
 
     gfn = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2)))
@@ -458,8 +459,12 @@ def main():
         dc = dc.transpose(0, 2, 1, 3, 4).reshape(-1, 3)
         cam_tiled = Ray.create(jnp.asarray(oc), jnp.asarray(dc))
 
+        planner_d = make_planner(scene_d, packet=1024)
+
         def run_cam():
-            out = trace_closest_hit_tight(scene_d, cam_tiled, packet=1024)
+            hints_c, start_c = planner_d(cam_tiled)
+            out = trace_closest_hit_tight(scene_d, cam_tiled, packet=1024,
+                                          hints=hints_c, start_g=start_c)
             return float(jnp.sum(jnp.where(jnp.isfinite(out.t), out.t, 0.0)))
 
         run_cam()
@@ -472,10 +477,12 @@ def main():
 
         ad_j, bd_j, cd_j = jnp.asarray(ad), jnp.asarray(bd), jnp.asarray(cd)
         tgt_c = jnp.zeros((Wd * Hd,), jnp.float32)
+        hints_cd, start_cd = planner_d(cam_tiled)
 
         def loss_cam(av, bv, cv):
             depth, hit_m = render_depth_fast(scene_d, cam_tiled, av, bv, cv,
-                                             packet=1024)
+                                             packet=1024, hints=hints_cd,
+                                             start_g=start_cd)
             return jnp.sum(jnp.where(hit_m, (depth - tgt_c) ** 2, 0.0)) * 1e-9
 
         gcam = jax.jit(jax.value_and_grad(loss_cam, argnums=(0, 1, 2)))

@@ -64,7 +64,8 @@ def render_depth(
 
 
 def render_hits_fast(scene, rays: Ray, tri_a, tri_b, tri_c, packet: int = 2048,
-                     interpret: bool = False, hints=None) -> HitRecord:
+                     interpret: bool = False, hints=None,
+                     start_g=None) -> HitRecord:
     """``render_hits`` with the Pallas tight-cluster kernel as the hard pass.
 
     The kernel runs under ``stop_gradient`` (discrete hit selection carries no
@@ -84,6 +85,7 @@ def render_hits_fast(scene, rays: Ray, tri_a, tri_b, tri_c, packet: int = 2048,
         packet=packet,
         interpret=interpret,
         hints=hints,
+        start_g=start_g,
     )
     sid = sg(hard.shape_id)
     safe = jnp.maximum(sid, 0)
@@ -102,9 +104,9 @@ def render_hits_fast(scene, rays: Ray, tri_a, tri_b, tri_c, packet: int = 2048,
 
 def render_depth_fast(scene, rays: Ray, tri_a, tri_b, tri_c,
                       background: float = 0.0, packet: int = 2048,
-                      interpret: bool = False, hints=None):
+                      interpret: bool = False, hints=None, start_g=None):
     """``render_depth`` on the Pallas fast path. Differentiable."""
     hit = render_hits_fast(scene, rays, tri_a, tri_b, tri_c, packet=packet,
-                           interpret=interpret, hints=hints)
+                           interpret=interpret, hints=hints, start_g=start_g)
     depth = jnp.where(hit.shape_id >= 0, hit.t, background)
     return depth, hit.shape_id >= 0
