@@ -106,6 +106,44 @@ def test_fuzz_kernels_on_tpu():
             if bc.any():
                 np.testing.assert_allclose(tc[bc], tw[bc], rtol=1e-2,
                                            err_msg=str((rd, "chained")))
+        if builder == "host" and scene.gnodes is not None and rng.random() < 0.5:
+            # subtree entry: planned walk must be bit-identical to plain
+            from bvh_tpu.ops.trace import make_planner
+
+            plan = make_planner(scene, packet=packet)
+            hints_p, start_p = plan(rays)
+            if hints_p is not None:
+                gotp = trace_closest_hit_tight(scene, rays, packet=packet,
+                                               hints=hints_p, start_g=start_p)
+                assert (np.asarray(gotp.t) == tg).all(), (rd, "planned t")
+                assert (np.asarray(gotp.shape_id)
+                        == np.asarray(got.shape_id)).all(), (rd, "planned id")
+        if builder == "host" and rng.random() < 0.4:
+            # mask+delta incremental update vs brute force on moved geometry
+            from bvh_tpu.ops import make_updater
+
+            n_tris = a.shape[0]
+            amt = max(1, int(n_tris * rng.uniform(0.01, 0.3)))
+            a2u, b2u, c2u, moved_u = tb.randomly_transform_scene(
+                a, b, c, amount=amt, seed=rd + 1)
+            cap = -(-amt // 16) * 16
+            upd = make_updater(scene, max_moved=cap)
+            pad_u = np.full(cap, -1, np.int32)
+            pad_u[:amt] = moved_u[:amt]
+            from bvh_tpu.ops.trace import trace_closest_hit_chained as _tcc
+
+            chu = upd(jnp.asarray(a2u), jnp.asarray(b2u), jnp.asarray(c2u),
+                      jnp.asarray(pad_u))
+            gotu = _tcc(chu, rays, packet=packet)
+            wantu = brute_force_closest_hit(rays, jnp.asarray(a2u),
+                                            jnp.asarray(b2u), jnp.asarray(c2u))
+            tu_g, tu_w = np.asarray(gotu.t), np.asarray(wantu.t)
+            assert (np.isfinite(tu_g) == np.isfinite(tu_w)).mean() > 0.99, \
+                (rd, "update")
+            bu = np.isfinite(tu_g) & np.isfinite(tu_w)
+            if bu.any():
+                np.testing.assert_allclose(tu_g[bu], tu_w[bu], rtol=1e-2,
+                                           err_msg=str((rd, "update")))
         if rng.random() < 0.4:
             # nearest-neighbor kernel vs the brute oracle
             from bvh_tpu.ops.nearest import nearest_tight
