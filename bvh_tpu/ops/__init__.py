@@ -37,6 +37,7 @@ from .cluster import (
 from .device_build import build_tight_scene_device, make_refitter
 from .update import make_updater
 from .nearest import count_visits_nearest, nearest_tight
+from .ordered import trace_k_closest, trace_k_closest_chained
 from .trace import (
     count_visits_tight,
     count_visits_wide,
@@ -71,6 +72,8 @@ __all__ = [
     "make_seeder",
     "pack_node_table_bf16",
     "trace_closest_hit",
+    "trace_k_closest",
+    "trace_k_closest_chained",
     "trace_closest_hit_tight",
     "trace_closest_hit_seeded",
     "trace_closest_hit_chained",
