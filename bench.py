@@ -55,13 +55,16 @@ def main():
     o_dev = jnp.asarray(origins)
     d_dev = jnp.asarray(dirs)
 
+    rays_u = Ray.create(o_dev, d_dev)  # unsorted; perm folds into the pack
+
     def run(o, d):
         perm, inv = sort_rays_device(o, d, bits=2)
-        rays = Ray.create(o[perm], d[perm])
         # sweep: region-free pre-pass gates the full kernel per packet —
         # the right default for incoherent/miss-heavy batches (see
-        # ops/trace.py); measured +24% here
-        out = trace_closest_hit_tight(scene, rays, packet=packet, sweep=True)
+        # ops/trace.py); measured +24% here. perm= folds the sort into the
+        # pack's per-field gathers (no ray gather, no layout transposes).
+        out = trace_closest_hit_tight(scene, rays_u, packet=packet, sweep=True,
+                                      perm=perm)
         t = out.t[inv]
         sid = out.shape_id[inv]
         # NOTE: block_until_ready does not actually block on the axon
@@ -153,16 +156,17 @@ def main():
             o_s, d_s = tb.create_rays(n_rays, seed=seed_s)
             o_sj, d_sj = jnp.asarray(o_s), jnp.asarray(d_s)
 
+            rays_su = Ray.create(o_sj, d_sj)
+
             def run_s():
                 # tiny tables: coherence matters less, finer origin bits
                 # keep packets tight (bits=2 measured -18% at 1.2k tris)
                 perm_s, inv_s = sort_rays_device(o_sj, d_sj,
                                                  bits=4 if nc < 1000 else 2)
-                rays_s = Ray.create(o_sj[perm_s], d_sj[perm_s])
                 # tiny scenes: the sweep's extra dispatch outweighs the
                 # traversal it saves (measured -24% at 1.2k tris)
-                out_s = trace_closest_hit_tight(scene_s, rays_s, packet=packet,
-                                                sweep=nc >= 1000)
+                out_s = trace_closest_hit_tight(scene_s, rays_su, packet=packet,
+                                                sweep=nc >= 1000, perm=perm_s)
                 ts = out_s.t[inv_s]
                 return float(jnp.sum(jnp.where(jnp.isfinite(ts), ts, 0.0)))
 
@@ -190,10 +194,12 @@ def main():
         o_m, d_m = tb.create_rays(n_rays, seed=seed_m)
         o_mj, d_mj = jnp.asarray(o_m), jnp.asarray(d_m)
 
+        r_mu = Ray.create(o_mj, d_mj)
+
         def run_m():
             perm_m, inv_m = sort_rays_device(o_mj, d_mj, bits=2)
-            r_m = Ray.create(o_mj[perm_m], d_mj[perm_m])
-            out_m = trace_closest_hit_chained(ch, r_m, packet=packet, sweep=True)
+            out_m = trace_closest_hit_chained(ch, r_mu, packet=packet,
+                                              sweep=True, perm=perm_m)
             t_m = out_m.t[inv_m]
             return float(jnp.sum(jnp.where(jnp.isfinite(t_m), t_m, 0.0)))
 
@@ -274,13 +280,14 @@ def main():
 
                 def run_q(sc=sc, chained_q=chained_q):
                     perm, inv = sort_rays_device(o_dev, d_dev, bits=2)
-                    rr = Ray.create(o_dev[perm], d_dev[perm])
                     if chained_q:
-                        out_q = trace_closest_hit_chained(sc, rr, packet=packet,
-                                                          sweep=True)
+                        out_q = trace_closest_hit_chained(sc, rays_u,
+                                                          packet=packet,
+                                                          sweep=True, perm=perm)
                     else:
-                        out_q = trace_closest_hit_tight(sc, rr, packet=packet,
-                                                        sweep=True)
+                        out_q = trace_closest_hit_tight(sc, rays_u,
+                                                        packet=packet,
+                                                        sweep=True, perm=perm)
                     tq = out_q.t[inv]
                     return float(jnp.sum(jnp.where(jnp.isfinite(tq), tq, 0.0)))
 
@@ -311,7 +318,8 @@ def main():
         # sweep), so time an ungated run for an apples-to-apples
         # decomposition (the headline above is sweep-gated and faster)
         def run_ungated():
-            out_u = trace_closest_hit_tight(scene, rays_s, packet=packet)
+            out_u = trace_closest_hit_tight(scene, rays_u, packet=packet,
+                                            perm=perm)
             tu = out_u.t[inv_r]
             return float(jnp.sum(jnp.where(jnp.isfinite(tu), tu, 0.0)))
 

@@ -1205,7 +1205,7 @@ def _trace_wide(gnodes, hints, gate, groups, slab, lmat, interpret=False,
     )(gnodes, hints, gate, start_g.astype(jnp.int32), groups, slab, lmat)
 
 
-def _pack_rays_tight(rays: Ray, packet: int, t_max=None, base=None):
+def _pack_rays_tight(rays: Ray, packet: int, t_max=None, base=None, perm=None):
     """Pad rays to a packet multiple; build the slab and lmat kernel inputs.
 
     Slab rows: o*inv(3) | inv(3) | t_max. Row 6 seeds the per-lane pruning
@@ -1216,6 +1216,15 @@ def _pack_rays_tight(rays: Ray, packet: int, t_max=None, base=None):
     is rebuilt (the chained tracer re-traces identical rays per part with a
     shrinking bound; rows 0-5 and the lmat transpose are the expensive
     part).
+
+    ``perm``: optional [r] i32 coherence-sort permutation over UNSORTED
+    ``rays``. When given, every slab/lmat row is built by one per-field
+    gather that lands directly in the kernel layout — removing both XLA
+    transposes ([rp,7]->[p,7,sub,128] and [p,packet,16]->[p,16,packet],
+    ~180MB of HBM round-trips at 2M rays) plus the separate [r,3] ray
+    gathers. Values are bit-identical to sorting first (elementwise ops
+    commute with the permutation). Packed lanes follow sorted order, so
+    kernel outputs come back in sorted order either way.
     """
     r = rays.origin.shape[0]
     pad = (-r) % packet
@@ -1230,6 +1239,46 @@ def _pack_rays_tight(rays: Ray, packet: int, t_max=None, base=None):
                 tm = jnp.concatenate([tm, jnp.full((pad, 1), _INF, jnp.float32)], axis=0)
         tm_r = tm.reshape(p, sub, 128)[:, None]  # [p, 1, sub, 128]
         return p, rp, jnp.concatenate([slab_prev[:, :6], tm_r], axis=1), lmat
+    if perm is not None:
+        rp = r + pad
+        p = rp // packet
+        sub = packet // 128
+        pp = perm.astype(jnp.int32)
+        if pad:
+            # pad lanes gather an appended sentinel row (index r) per field
+            pp = jnp.concatenate([pp, jnp.full((pad,), r, jnp.int32)])
+        o, d, inv = rays.origin, rays.direction, rays.inv_direction
+        inv_c = jnp.clip(inv, -1.0e30, 1.0e30)
+        oi = o * inv_c
+        m = jnp.cross(o, d)
+
+        def row(f, padval):
+            if pad:
+                f = jnp.concatenate([f, jnp.full((1,), padval, jnp.float32)])
+            return f[pp]
+
+        def srow(f, padval):
+            return row(f, padval).reshape(p, 1, sub, 128)
+
+        def lrow(f, padval):
+            return row(f, padval).reshape(p, 1, packet)
+
+        if t_max is None:
+            tm_r = jnp.full((p, 1, sub, 128), _INF, jnp.float32)
+        else:
+            tmf = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32).reshape(-1), (r,))
+            tm_r = srow(tmf, _INF)
+        slab = jnp.concatenate(
+            [srow(oi[:, 0], 2.0e30), srow(oi[:, 1], 2.0e30), srow(oi[:, 2], 2.0e30),
+             srow(inv_c[:, 0], 1.0), srow(inv_c[:, 1], 1.0), srow(inv_c[:, 2], 1.0),
+             tm_r], axis=1)  # [p, 7, sub, 128]
+        lmat = jnp.concatenate(
+            [lrow(d[:, 0], 1.0), lrow(d[:, 1], 1.0), lrow(d[:, 2], 1.0),
+             lrow(m[:, 0], 0.0), lrow(m[:, 1], 0.0), lrow(m[:, 2], 0.0),
+             lrow(o[:, 0], 2.0e30), lrow(o[:, 1], 2.0e30), lrow(o[:, 2], 2.0e30),
+             jnp.ones((p, 1, packet), jnp.float32),
+             jnp.zeros((p, 6, packet), jnp.float32)], axis=1)  # [p, 16, packet]
+        return p, rp, slab, lmat
     o = jnp.concatenate([rays.origin, jnp.full((pad, 3), 2.0e30, jnp.float32)], axis=0) if pad else rays.origin
     d = jnp.concatenate([rays.direction, jnp.ones((pad, 3), jnp.float32)], axis=0) if pad else rays.direction
     inv = jnp.concatenate([rays.inv_direction, jnp.ones((pad, 3), jnp.float32)], axis=0) if pad else rays.inv_direction
@@ -1271,6 +1320,7 @@ def trace_closest_hit_tight(scene, rays: Ray, tris=None, interpret: bool = False
                             wide: bool | None = None,
                             pre_gate=None,
                             start_g: jnp.ndarray | None = None,
+                            perm: jnp.ndarray | None = None,
                             _base=None) -> HitRecord:
     """Closest hit against a ``TightScene`` (the fast path for sparse scenes).
 
@@ -1291,6 +1341,13 @@ def trace_closest_hit_tight(scene, rays: Ray, tris=None, interpret: bool = False
     packets cost ~nothing), small overhead on hit-dense ones. Results are
     identical either way.
 
+    ``perm``: optional [n] i32 coherence-sort permutation (from
+    ``sort_rays_device``) over UNSORTED ``rays``. The sort is applied
+    during packing via per-field gathers that write the kernel layout
+    directly — cheaper than gathering the rays first (see
+    ``_pack_rays_tight``). Outputs come back in SORTED order, exactly as
+    if the caller had passed pre-sorted rays; un-permute with the inverse.
+
     Tolerance class: the kernel's packed min-reduce steals the low
     log2(width) mantissa bits of t for the winning lane, so the raw t (and
     the pruning/occlusion comparison against ``t_max``) can sit up to
@@ -1304,7 +1361,8 @@ def trace_closest_hit_tight(scene, rays: Ray, tris=None, interpret: bool = False
     if r == 0:
         z = jnp.zeros((0,), jnp.float32)
         return HitRecord(z, z, z, jnp.zeros((0,), jnp.int32))
-    p, rp, slab, lmat = _pack_rays_tight(rays, packet, t_max, base=_base)
+    p, rp, slab, lmat = _pack_rays_tight(rays, packet, t_max, base=_base,
+                                         perm=perm)
 
     if hints is None:
         hints_arr = jnp.zeros((p * 1,), jnp.int32)
@@ -1381,9 +1439,16 @@ def trace_closest_hit_tight(scene, rays: Ray, tris=None, interpret: bool = False
     sub = packet // 128
     t = out[:, :sub].reshape(rp)[:r]
     lane_id = out[:, sub:].reshape(rp)[:r].astype(jnp.int32)
+    # with perm, packed lanes (and hence outputs) follow SORTED order; the
+    # caller un-permutes with the inverse, exactly as when it sorted rays
+    # itself — but per-ray inputs consumed here must be gathered to match
+    rays_p = rays if perm is None else jax.tree_util.tree_map(
+        lambda x: x[perm], rays)
     if t_max is not None:
         # a miss leaves t parked at t_max; restore the t=inf miss contract
         tm = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32).reshape(-1), (r,))
+        if perm is not None and tm.shape[0] == r:
+            tm = tm[perm]
         t = jnp.where(t < tm, t, _INF)
     hit = jnp.isfinite(t)
     tri_map = jnp.asarray(scene.tri_map)
@@ -1393,7 +1458,7 @@ def trace_closest_hit_tight(scene, rays: Ray, tris=None, interpret: bool = False
 
         ta, tb, tc = tris
         safe = jnp.maximum(sid, 0)
-        inter = ray_intersects_triangle(rays, ta[safe], tb[safe], tc[safe])
+        inter = ray_intersects_triangle(rays_p, ta[safe], tb[safe], tc[safe])
         u = jnp.where(hit, inter.u, 0.0)
         v = jnp.where(hit, inter.v, 0.0)
         t = jnp.where(hit, jnp.where(jnp.isfinite(inter.distance), inter.distance, t), t)
@@ -1408,7 +1473,9 @@ def trace_any_hit_tight(scene, rays: Ray, t_max=None, interpret: bool = False,
                         precision=jax.lax.Precision.HIGHEST,
                         sweep: bool = False,
                         wide: bool | None = None,
-                        pre_gate=None) -> jnp.ndarray:
+                        pre_gate=None,
+                        perm: jnp.ndarray | None = None,
+                        _base=None) -> jnp.ndarray:
     """True per ray iff any triangle hit with t < t_max exists (occlusion).
 
     The shadow-ray / visibility query (the Pallas analog of
@@ -1430,7 +1497,8 @@ def trace_any_hit_tight(scene, rays: Ray, t_max=None, interpret: bool = False,
     r = rays.origin.shape[0]
     if r == 0:
         return jnp.zeros((0,), bool)
-    p, rp, slab, lmat = _pack_rays_tight(rays, packet, t_max)
+    p, rp, slab, lmat = _pack_rays_tight(rays, packet, t_max, base=_base,
+                                         perm=perm)
     bg = getattr(scene, "bgroups", None)
     pn = getattr(scene, "packed_nodes", None)
     gn = getattr(scene, "gnodes", None)
@@ -1495,6 +1563,8 @@ def trace_any_hit_tight(scene, rays: Ray, t_max=None, interpret: bool = False,
     if t_max is None:
         return jnp.isfinite(t)
     tm = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32).reshape(-1), (r,))
+    if perm is not None:
+        tm = tm[perm]
     return t < tm
 
 
@@ -1741,7 +1811,8 @@ def trace_closest_hit_chained(chained, rays: Ray, tris=None,
                               packet: int = 2048,
                               precision=jax.lax.Precision.HIGHEST,
                               interpret: bool = False,
-                              t_max=None, sweep: bool = True) -> HitRecord:
+                              t_max=None, sweep: bool = True,
+                              perm: jnp.ndarray | None = None) -> HitRecord:
     """Closest hit against a ``ChainedScene`` (scenes beyond one SMEM table).
 
     Parts trace sequentially; after each part the per-ray best t becomes the
@@ -1764,8 +1835,12 @@ def trace_closest_hit_chained(chained, rays: Ray, tris=None,
         best_t = jnp.full((r,), _INF, jnp.float32)
     else:
         best_t = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32).reshape(-1), (r,))
+        if perm is not None:
+            best_t = best_t[perm]  # whole chain runs in sorted order
     best_id = jnp.full((r,), -1, jnp.int32)
-    base = _pack_rays_tight(rays, packet, None)  # rows 0-5 + lmat built once
+    # rows 0-5 + lmat built once (perm folded into the pack; per-part t_max
+    # rows below are already sorted-order so the base path needs no gather)
+    base = _pack_rays_tight(rays, packet, None, perm=perm)
     for part, ids in zip(chained.parts, chained.orig_ids):
         # numpy slice is free; a device-built part's slice stays on device
         root = jnp.asarray(part.smem_nodes[:6, 0])
@@ -1783,6 +1858,8 @@ def trace_closest_hit_chained(chained, rays: Ray, tris=None,
             closer, gids[jnp.clip(hit.shape_id, 0, gids.shape[0] - 1)], best_id)
     if t_max is not None:
         tm = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32).reshape(-1), (r,))
+        if perm is not None:
+            tm = tm[perm]
         best_t = jnp.where(best_t < tm, best_t, _INF)
         best_id = jnp.where(jnp.isfinite(best_t), best_id, -1)
     t = best_t
@@ -1792,7 +1869,9 @@ def trace_closest_hit_chained(chained, rays: Ray, tris=None,
 
         ta, tb_, tc = tris
         safe = jnp.maximum(best_id, 0)
-        inter = ray_intersects_triangle(rays, ta[safe], tb_[safe], tc[safe])
+        rays_p = rays if perm is None else jax.tree_util.tree_map(
+            lambda x: x[perm], rays)
+        inter = ray_intersects_triangle(rays_p, ta[safe], tb_[safe], tc[safe])
         u = jnp.where(hitm, inter.u, 0.0)
         v = jnp.where(hitm, inter.v, 0.0)
         t = jnp.where(hitm, jnp.where(jnp.isfinite(inter.distance), inter.distance, t), t)
@@ -1805,7 +1884,8 @@ def trace_closest_hit_chained(chained, rays: Ray, tris=None,
 def trace_any_hit_chained(chained, rays: Ray, t_max=None, packet: int = 2048,
                           precision=jax.lax.Precision.HIGHEST,
                           interpret: bool = False,
-                          sweep: bool = True) -> jnp.ndarray:
+                          sweep: bool = True,
+                          perm: jnp.ndarray | None = None) -> jnp.ndarray:
     """Occlusion query over a ``ChainedScene``: parts short-circuit via a
     shrinking t_max (an occluded ray's bound drops to 0 => later parts prune
     it from the root)."""
@@ -1817,14 +1897,16 @@ def trace_any_hit_chained(chained, rays: Ray, t_max=None, packet: int = 2048,
         tm0 = jnp.full((r,), _INF, jnp.float32)
     else:
         tm0 = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32).reshape(-1), (r,))
-    base = _pack_rays_tight(rays, packet, None)
+        if perm is not None:
+            tm0 = tm0[perm]  # whole chain runs in sorted order
+    base = _pack_rays_tight(rays, packet, None, perm=perm)
     for part in chained.parts:
         tm = jnp.where(occ, 0.0, tm0)
         root = jnp.asarray(part.smem_nodes[:6, 0])
         gate = _part_root_gate(base[2], root, tm)
         got = trace_any_hit_tight(part, rays, t_max=tm, packet=packet,
                                   precision=precision, interpret=interpret,
-                                  sweep=sweep, pre_gate=gate)
+                                  sweep=sweep, pre_gate=gate, _base=base)
         occ = occ | got
     return occ
 
