@@ -161,5 +161,51 @@ def test_fuzz_kernels_on_tpu():
                                        atol=0.01,
                                        err_msg=str((rd, "nearest")))
 
+        if rng.random() < 0.5:
+            # perm-folded pack: bit-identical to tracing pre-sorted rays
+            from bvh_tpu.ops.trace import sort_rays_device
+
+            permf, invf = sort_rays_device(jnp.asarray(o), jnp.asarray(d),
+                                           bits=2)
+            rays_srt = Ray.create(jnp.asarray(o)[permf], jnp.asarray(d)[permf])
+            gs = trace_closest_hit_tight(scene, rays_srt, packet=packet,
+                                         sweep=sweep)
+            gp = trace_closest_hit_tight(scene, rays, packet=packet,
+                                         sweep=sweep, perm=permf)
+            assert (np.asarray(gs.t) == np.asarray(gp.t)).all(), (rd, "perm t")
+            assert (np.asarray(gs.shape_id)
+                    == np.asarray(gp.shape_id)).all(), (rd, "perm id")
+        if rng.random() < 0.3:
+            # k-closest depth peeling vs brute-force ordered hit list
+            from bvh_tpu.ops.ordered import trace_k_closest
+            from bvh_tpu.ray import ray_intersects_triangle
+
+            kk = int(rng.integers(2, 5))
+            tk, sidk, cntk = trace_k_closest(scene, rays, k=kk, packet=packet,
+                                             tris=(aj, bj, cj))
+            rr_all = Ray(rays.origin[:, None, :], rays.direction[:, None, :],
+                         rays.inv_direction[:, None, :])
+            inter_all = ray_intersects_triangle(rr_all, aj, bj, cj)
+            t_all = np.asarray(inter_all.distance)  # [n, n_tris]
+            t_sorted = np.sort(np.where(np.isfinite(t_all), t_all, np.inf),
+                               axis=1)[:, :kk]
+            tkn = np.asarray(tk)
+            # first hit must match exactly-ish; later peels within the
+            # documented eps_rel offset class
+            m0 = np.isfinite(t_sorted[:, 0])
+            assert (np.isfinite(tkn[:, 0]) == m0).mean() > 0.99, (rd, "k0 mask")
+            b0 = np.isfinite(tkn[:, 0]) & m0
+            if b0.any():
+                np.testing.assert_allclose(tkn[b0, 0], t_sorted[b0, 0],
+                                           rtol=3e-3, err_msg=str((rd, "k0")))
+            for ki in range(1, kk):
+                bk = np.isfinite(tkn[:, ki]) & np.isfinite(t_sorted[:, ki])
+                if bk.any():
+                    # peeling can skip a surface within the eps band of the
+                    # previous hit; compare only where both enumerate
+                    close = np.abs(tkn[bk, ki] - t_sorted[bk, ki]) \
+                        <= np.maximum(3e-3 * t_sorted[bk, ki], 1e-2)
+                    assert close.mean() > 0.95, (rd, f"k{ki}", close.mean())
+
         print(f"round {rd}: cubes={n_cubes} leaf={leaf} packet={packet} "
               f"builder={builder} sweep={sweep} agree={agree:.4f} OK")
