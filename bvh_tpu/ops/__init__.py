@@ -34,7 +34,8 @@ from .cluster import (
     collapse_upper,
     pack_node_table_bf16,
 )
-from .device_build import build_tight_scene_device, make_refitter
+from .device_build import (build_chained_scene_device,
+                           build_tight_scene_device, make_refitter)
 from .update import make_updater
 from .nearest import count_visits_nearest, nearest_tight
 from .ordered import trace_k_closest, trace_k_closest_chained
@@ -60,6 +61,7 @@ __all__ = [
     "build_chained_scene",
     "build_cluster_scene",
     "build_tight_scene",
+    "build_chained_scene_device",
     "build_tight_scene_device",
     "collapse_upper",
     "count_visits_nearest",

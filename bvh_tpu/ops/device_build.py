@@ -270,6 +270,62 @@ def build_tight_scene_device(a, b, c, width: int = TIGHT,
     return TightScene(smem_nodes, groups, tri_map, C, nn, width, bgroups)
 
 
+def build_chained_scene_device(a, b, c, max_part: int = 200_000,
+                               width: int = TIGHT, upper: str = "grid"):
+    """On-device chained build: rebuild-per-frame beyond one SMEM table.
+
+    The device analog of ``cluster.build_chained_scene`` (host SAH): one
+    global Morton sort partitions the triangles into equal contiguous
+    slices (spatially compact by construction); every part is built by the
+    jittable ``_build_core`` over a same-shape gathered slice, so ALL parts
+    share one compiled build program and one compiled trace kernel. Trace
+    with ``trace_closest_hit_chained`` / ``trace_any_hit_chained``.
+
+    Part quality matches ``build_tight_scene_device`` (Morton clusters +
+    fixed-fanout upper tree — the LBVH-vs-SAH tradeoff documented there);
+    use the host chained build for static scenes.
+    """
+    from ..bvh.lbvh import morton_codes as _morton
+    from .cluster import ChainedScene
+
+    a = jnp.asarray(a, jnp.float32)
+    b = jnp.asarray(b, jnp.float32)
+    c = jnp.asarray(c, jnp.float32)
+    n = a.shape[0]
+    if n == 0:
+        raise ValueError("empty scene")
+    P = -(-n // max_part)
+    if P <= 1:
+        scene = build_tight_scene_device(a, b, c, width=width, upper=upper)
+        return ChainedScene((scene,), (jnp.arange(n, dtype=jnp.int32),))
+    sz = -(-n // P)
+
+    centroid = (a + b + c) * jnp.float32(1.0 / 3.0)
+    lo = centroid.min(axis=0)
+    hi = centroid.max(axis=0)
+    order = jnp.argsort(_morton(centroid, lo, hi), stable=True).astype(jnp.int32)
+    pad = P * sz - n
+    if pad:
+        order = jnp.concatenate([order, jnp.full((pad,), -1, jnp.int32)])
+
+    C = -(-sz // width)
+    if upper == "grid":
+        nn = int(_grid_layout(C)[0].shape[0])
+    else:
+        nn = 2 * C - 1 if C > 1 else 1
+    parts, ids = [], []
+    for p in range(P):
+        sel = jax.lax.dynamic_slice_in_dim(order, p * sz, sz)
+        valid = sel >= 0
+        safe = jnp.maximum(sel, 0)
+        out = _build_core(a[safe], b[safe], c[safe], width, upper, False,
+                          valid_in=valid)
+        smem_nodes, groups, tri_map = out[:3]
+        parts.append(TightScene(smem_nodes, groups, tri_map, C, nn, width))
+        ids.append(sel)
+    return ChainedScene(tuple(parts), tuple(ids))
+
+
 def make_refitter(scene: TightScene):
     """Device refitter for a TightScene: same topology, new vertex positions.
 

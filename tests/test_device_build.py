@@ -179,3 +179,56 @@ def test_device_build_jittable_pipeline():
     assert np.isfinite(np.asarray(n1)[:6]).all()
     np.testing.assert_allclose(np.asarray(n1[0:3, 0]),
                                np.asarray(n0[0:3, 0]) + 5.0, rtol=1e-5)
+
+
+def test_device_chained_build_matches_brute_force():
+    from bvh_tpu.ops.device_build import build_chained_scene_device
+    from bvh_tpu.ops.trace import trace_closest_hit_chained
+
+    a, b, c = tb.create_n_cubes(120)  # 1440 tris
+    ch = build_chained_scene_device(jnp.asarray(a), jnp.asarray(b),
+                                    jnp.asarray(c), max_part=500)
+    assert len(ch.parts) == 3
+    # same compiled shapes across parts (one kernel serves all)
+    assert len({p.smem_nodes.shape for p in ch.parts}) == 1
+    assert len({p.groups.shape for p in ch.parts}) == 1
+    # every triangle lands in exactly one part
+    all_ids = np.concatenate([np.asarray(i) for i in ch.orig_ids])
+    all_ids = all_ids[all_ids >= 0]
+    assert sorted(all_ids.tolist()) == list(range(a.shape[0]))
+
+    centers = a.reshape(-1, 12, 3).mean(axis=1)
+    n = 512
+    rng = np.random.default_rng(11)
+    idx = rng.integers(0, len(centers), n)
+    offs = rng.normal(size=(n, 3)).astype(np.float32)
+    offs /= np.linalg.norm(offs, axis=1, keepdims=True)
+    o = (centers[idx] + offs * 35.0).astype(np.float32)
+    d = (centers[idx] + 0.21 - o).astype(np.float32)
+    flip = rng.random(n) < 0.25
+    d[flip] = offs[flip]  # some rays point away: misses
+    rays = Ray.create(jnp.asarray(o), jnp.asarray(d))
+    aj, bj, cj = jnp.asarray(a), jnp.asarray(b), jnp.asarray(c)
+
+    got = trace_closest_hit_chained(ch, rays, packet=1024, interpret=True)
+    want = brute_force_closest_hit(rays, aj, bj, cj)
+    tg, tw = np.asarray(got.t), np.asarray(want.t)
+    assert (np.isfinite(tg) == np.isfinite(tw)).mean() > 0.99
+    both = np.isfinite(tg) & np.isfinite(tw)
+    assert both.sum() > 0
+    np.testing.assert_allclose(tg[both], tw[both], rtol=1e-2)
+    # winner ids map back to GLOBAL triangle ids
+    sid = np.asarray(got.shape_id)
+    wid = np.asarray(want.shape_id)
+    assert (sid[both] == wid[both]).mean() > 0.9
+
+
+def test_device_chained_single_part_passthrough():
+    from bvh_tpu.ops.device_build import build_chained_scene_device
+
+    a, b, c = tb.create_n_cubes(10)
+    ch = build_chained_scene_device(jnp.asarray(a), jnp.asarray(b),
+                                    jnp.asarray(c), max_part=10_000)
+    assert len(ch.parts) == 1
+    ids = np.asarray(ch.orig_ids[0])
+    assert (ids == np.arange(120)).all()
