@@ -307,13 +307,26 @@ def main():
     # not the limiter; the limiter is the serial broadphase visit chain.
     roofline = None
     if os.environ.get("BENCH_ROOFLINE", "1") == "1":
-        from bvh_tpu.ops.trace import count_visits_tight
+        from bvh_tpu.ops.trace import (_pack_rays_tight, count_visits_tight,
+                                       count_visits_wide)
 
         perm, inv_r = sort_rays_device(o_dev, d_dev, bits=2)
         rays_s = Ray.create(o_dev[perm], d_dev[perm])
-        visits, fires = count_visits_tight(scene, rays_s, packet=packet)
-        n_packets = int(visits.shape[0])
-        v_tot, f_tot = int(visits.sum()), int(fires.sum())
+        wide_path = getattr(scene, "gnodes", None) is not None
+        if wide_path:
+            # the headline traces the K-ary group walk: its serial unit is
+            # the loop ITERATION (one chain per fired child / pop), its
+            # vector unit the 16-child group test
+            iters_c, fires_c, gtests_c = count_visits_wide(scene, rays_s,
+                                                           packet=packet)
+            n_packets = int(iters_c.shape[0])
+            v_tot, f_tot = int(iters_c.sum()), int(fires_c.sum())
+            g_tot = int(gtests_c.sum())
+        else:
+            visits, fires = count_visits_tight(scene, rays_s, packet=packet)
+            n_packets = int(visits.shape[0])
+            v_tot, f_tot = int(visits.sum()), int(fires.sum())
+            g_tot = None
         # the counters come from the UNGATED kernel (count mode has no
         # sweep), so time an ungated run for an apples-to-apples
         # decomposition (the headline above is sweep-gated and faster)
@@ -329,32 +342,48 @@ def main():
             t0 = time.perf_counter()
             run_ungated()
             best_u = min(best_u, time.perf_counter() - t0)
+
+        # measured prep decomposition: time sort+pack alone (the streaming
+        # sums that force materialization cost ~0.5ms of HBM reads, noise
+        # next to the gathers) — no assumed per-visit constant needed
+        def run_prep():
+            perm_p, inv_p = sort_rays_device(o_dev, d_dev, bits=2)
+            _, _, slab_p, lmat_p = _pack_rays_tight(rays_u, packet, None,
+                                                    perm=perm_p)
+            return float(jnp.sum(slab_p[:, :6]) + jnp.sum(lmat_p)
+                         + jnp.sum(inv_p))
+
+        run_prep()
+        best_p = float("inf")
+        for _ in range(2):
+            t0 = time.perf_counter()
+            run_prep()
+            best_p = min(best_p, time.perf_counter() - t0)
+        fence_s = 0.027
+        prep_s = max(best_p - fence_s, 0.0)
+        kernel_epi_s = best_u - best_p  # fences cancel; epilogue gathers small
         W = int(scene.width)
         # narrowphase MXU flops per fire: [16, 4W] x [16, packet] matmul
         mxu_flops = f_tot * 2 * 16 * 4 * W * packet
-        # VPU slab flops per visit: 12 fma + 10 min/max on [packet] lanes
-        vpu_flops = v_tot * 22 * packet
         peak_mxu = 197e12  # bf16 v5e; f32 ~ 1/4 of this
-        kernel_s = v_tot * 195e-9  # measured serial visit cost (CLAUDE.md)
-        # raw residual, UNCLAMPED: prep+epilogue if the model constants
-        # (195 ns/visit, 27 ms fence) hold on this host/chip; a negative
-        # value flags that they drifted rather than silently misattributing
-        resid = best_u - kernel_s - 0.027
         roofline = {
-            "config": "ungated (sweep=False; the counters' configuration)",
-            "visits_total": v_tot,
+            "config": ("ungated wide group-walk" if wide_path
+                       else "ungated entry/exit walk") +
+                      " (sweep=False; the counters' configuration)",
+            "serial_unit": "iterations" if wide_path else "visits",
+            "serial_total": v_tot,
             "fires_total": f_tot,
-            "visits_per_packet": round(v_tot / n_packets, 1),
+            "group_tests_total": g_tot,
+            "serial_per_packet": round(v_tot / n_packets, 1),
             "ungated_best_s": round(best_u, 4),
-            "ungated_ns_per_visit": round(best_u * 1e9 / v_tot, 2),
-            "kernel_model_s": round(kernel_s, 4),
-            "xla_prep_epilogue_s": round(resid, 4),
-            "decomposition_valid": bool(resid >= 0.0),
-            "fence_s": 0.027,
+            "xla_prep_s": round(prep_s, 4),
+            "kernel_epilogue_s": round(kernel_epi_s, 4),
+            "measured_ns_per_serial_unit": round(
+                kernel_epi_s * 1e9 / max(v_tot, 1), 2),
+            "fence_s": fence_s,
             "narrow_mxu_flops": mxu_flops,
-            "broad_vpu_flops": vpu_flops,
             "mxu_util_pct": round(100.0 * mxu_flops / (best_u * peak_mxu), 3),
-            "bound": "serial visit latency, ~195 ns/visit measured "
+            "bound": "serial chain latency per iteration "
                      "(SMEM/VMEM resident; not HBM- or FLOP-bound)",
         }
 
