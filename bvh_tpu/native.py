@@ -18,7 +18,22 @@ from .bvh.flat import FlatBvh
 
 _LIB = None
 _TRIED = False
-_SRC_DIR = os.path.join(os.path.dirname(os.path.dirname(os.path.abspath(__file__))), "csrc")
+
+
+def _find_src_dir() -> str:
+    """csrc/ location: env override, repo checkout, or installed package."""
+    env = os.environ.get("BVH_TPU_NATIVE_DIR")
+    if env:
+        return env
+    here = os.path.dirname(os.path.abspath(__file__))
+    for cand in (os.path.join(os.path.dirname(here), "csrc"),
+                 os.path.join(here, "csrc")):
+        if os.path.isdir(cand):
+            return cand
+    return os.path.join(os.path.dirname(here), "csrc")
+
+
+_SRC_DIR = _find_src_dir()
 
 
 def _load():
@@ -28,6 +43,8 @@ def _load():
     _TRIED = True
     path = os.path.join(_SRC_DIR, "libbvhbuild.so")
     if not os.path.exists(path):
+        if not os.path.isdir(_SRC_DIR):
+            return None  # wheel install without sources: numpy fallback
         try:  # best-effort build; fine to fail (falls back to numpy)
             subprocess.run(
                 ["make", "-C", _SRC_DIR], check=True, capture_output=True, timeout=120
