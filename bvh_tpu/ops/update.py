@@ -120,3 +120,63 @@ def make_updater(scene: TightScene, max_moved: int, delta_width: int = TIGHT):
 
     update.core = update_core  # jit-composable inner (arrays only)
     return update
+
+
+def make_chained_updater(chained: ChainedScene, max_moved: int,
+                         delta_width: int = TIGHT):
+    """Mask+delta update for a ChainedScene (scenes beyond one SMEM table).
+
+    Returns ``update(a, b, c, moved_idx) -> ChainedScene`` where ``a/b/c``
+    are the FULL new vertex arrays and ``moved_idx`` is the cumulative
+    moved set ([max_moved] i32, -1 padded, GLOBAL triangle ids). Each
+    static part gets its moved lanes masked (original SAH quality kept);
+    each part's moved triangles are rebuilt on device into a delta part
+    traced right after it (spatial coherence keeps the carried best-t
+    pruning effective). Every delta shares one fixed capacity, so all
+    deltas — and all (same-bucket) statics — reuse one compiled kernel.
+    """
+    parts = chained.parts
+    ids_np = [np.asarray(i) for i in chained.orig_ids]
+    n = int(max(i[i >= 0].max() for i in ids_np if (i >= 0).any())) + 1
+    part_of = np.full(n, -1, np.int32)
+    local_of = np.zeros(n, np.int32)
+    for p, ids in enumerate(ids_np):
+        v = ids >= 0
+        part_of[ids[v]] = p
+        local_of[ids[v]] = np.nonzero(v)[0].astype(np.int32)
+    part_of_j = jnp.asarray(part_of)
+    local_of_j = jnp.asarray(local_of)
+    ids_j = [jnp.asarray(i, jnp.int32) for i in chained.orig_ids]
+    upds = [make_updater(part, max_moved, delta_width) for part in parts]
+    W = delta_width
+    cap = -(-max_moved // W) * W
+    Cd = cap // W
+    nn_d = int(_grid_layout(Cd)[0].shape[0])
+
+    def update(a, b, c, moved_idx) -> ChainedScene:
+        a = jnp.asarray(a, jnp.float32)
+        b = jnp.asarray(b, jnp.float32)
+        c = jnp.asarray(c, jnp.float32)
+        moved_idx = jnp.asarray(moved_idx, jnp.int32).reshape(-1)
+        if moved_idx.shape[0] > cap:
+            raise ValueError(
+                f"{moved_idx.shape[0]} moved ids > max_moved capacity {cap}")
+        mvalid = moved_idx >= 0
+        safe_g = jnp.maximum(moved_idx, 0)
+        out_parts, out_ids = [], []
+        for p, (part, upd) in enumerate(zip(parts, upds)):
+            sel = ids_j[p]
+            safe_sel = jnp.maximum(sel, 0)
+            a_p, b_p, c_p = a[safe_sel], b[safe_sel], c[safe_sel]
+            moved_l = jnp.where(mvalid & (part_of_j[safe_g] == p),
+                                local_of_j[safe_g], -1)
+            masked_groups, smem_d, groups_d, tmap_d, safe_b = upd.core(
+                a_p, b_p, c_p, moved_l)
+            out_parts.append(part._replace(groups=masked_groups,
+                                           bgroups=None))
+            out_ids.append(sel)
+            out_parts.append(TightScene(smem_d, groups_d, tmap_d, Cd, nn_d, W))
+            out_ids.append(safe_sel[safe_b])  # part-local -> global
+        return ChainedScene(parts=tuple(out_parts), orig_ids=tuple(out_ids))
+
+    return update

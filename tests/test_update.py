@@ -188,3 +188,47 @@ def test_update_quality_static_visits(moved_setup):
     moved_lane = np.isin(tri_map, moved)
     assert (g1[moved_lane] == 0).all()
     assert (g1[~moved_lane] == g0[~moved_lane]).all()
+
+
+def test_chained_updater_matches_oracle():
+    """make_chained_updater: mask+delta across a multi-part scene."""
+    from bvh_tpu.ops import make_chained_updater
+    from bvh_tpu.ops.cluster import build_chained_scene
+
+    rng = np.random.default_rng(31)
+    a, b, c = tb.create_n_cubes(150)  # 1800 tris
+    a, b, c = np.asarray(a), np.asarray(b), np.asarray(c)
+    chained = build_chained_scene(a, b, c, max_part=700, use_native=False)
+    assert len(chained.parts) >= 2
+    # move 4 cubes (48 tris) spread across the scene
+    moved_cubes = rng.choice(150, size=4, replace=False)
+    moved = np.concatenate([np.arange(12) + 12 * k for k in moved_cubes])
+    a2, b2, c2 = a.copy(), b.copy(), c.copy()
+    for arr in (a2, b2, c2):
+        arr[moved] += rng.uniform(15, 45, size=(3,)).astype(np.float32)
+
+    upd = make_chained_updater(chained, max_moved=64)
+    pad = np.full(64, -1, np.int32)
+    pad[: len(moved)] = moved.astype(np.int32)
+    ch2 = upd(a2, b2, c2, pad)
+    assert len(ch2.parts) == 2 * len(chained.parts)
+
+    rays = _aimed_rays(a2, b2, c2, 400, rng)
+    hit = trace_closest_hit_chained(ch2, rays, interpret=True)
+    bt, bs = _oracle_closest(rays, a2, b2, c2)
+    m = np.isfinite(bt)
+    tg = np.asarray(hit.t)
+    assert (np.isfinite(tg) == m).mean() > 0.99
+    both = np.isfinite(tg) & m
+    np.testing.assert_allclose(tg[both], bt[both], rtol=1e-2)
+    # hits on MOVED geometry resolve to correct global ids
+    sid = np.asarray(hit.shape_id)
+    on_moved = both & np.isin(bs, moved)
+    assert on_moved.any()
+    assert (np.isin(sid[on_moved], moved)).mean() > 0.9
+    # statics keep their original box tables
+    for p in range(len(chained.parts)):
+        assert ch2.parts[2 * p].smem_nodes is chained.parts[p].smem_nodes
+    # capacity guard
+    with pytest.raises(ValueError):
+        upd(a2, b2, c2, np.zeros(100, np.int32))
