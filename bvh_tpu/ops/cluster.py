@@ -806,7 +806,11 @@ def _repad_tight(s: TightScene, nn_t: int, G_t: int, Gn_t: int = 0) -> TightScen
             [g, np.zeros((G_t - g.shape[0], 16, 128), np.float32)], axis=0)
         tm = np.concatenate(
             [tm, np.full((G_t - s.groups.shape[0]) * 128, -1, np.int32)])
-    pn = pack_node_table_bf16(sn) if s.packed_nodes is not None else None
+    # re-derive the bf16 table only when the node table actually grew
+    if s.packed_nodes is not None and sn is not s.smem_nodes:
+        pn = pack_node_table_bf16(sn)
+    else:
+        pn = s.packed_nodes
     bg = s.bgroups
     if bg is not None:
         # (host numpy pack path only) equalize the bilinear-form rows too
@@ -902,16 +906,27 @@ def build_chained_scene(a, b, c, max_part: int | None = None,
     # equalize padded table shapes across parts: per-part SAH results can
     # land in different 1/8-granularity buckets, and each distinct shape
     # is a separate (10s-3min) remote kernel compile
-    if len({int(p.width) for p in parts}) == 1:
-        nn_t = max(int(p.smem_nodes.shape[1]) for p in parts)
-        G_t = max(int(p.groups.shape[0]) for p in parts)
-        if all(p.gnodes is not None for p in parts):
-            Gn_t = max(int(p.gnodes.shape[1]) for p in parts)
-        else:
-            Gn_t = 0
-            parts = [p._replace(gnodes=None, gslot=None, gdepth=0)
-                     for p in parts]
-        parts = [_repad_tight(p, nn_t, G_t, Gn_t) for p in parts]
+    widths = {int(p.width) for p in parts}
+    if len(widths) > 1:
+        # auto leaf widening diverged between parts (budget is per-part
+        # tree shape); pin every part to the widest so the group-row and
+        # narrowphase shapes — and therefore the compiled kernel — match
+        w_max = max(widths)
+        parts = [p if int(p.width) == w_max else
+                 build_tight_scene(a[ids[i]], b[ids[i]], c[ids[i]],
+                                   leaf_size=w_max, config=config,
+                                   use_native=use_native, collapse=collapse,
+                                   bmat=bmat, packed=packed)
+                 for i, p in enumerate(parts)]
+    nn_t = max(int(p.smem_nodes.shape[1]) for p in parts)
+    G_t = max(int(p.groups.shape[0]) for p in parts)
+    if all(p.gnodes is not None for p in parts):
+        Gn_t = max(int(p.gnodes.shape[1]) for p in parts)
+    else:
+        Gn_t = 0
+        parts = [p._replace(gnodes=None, gslot=None, gdepth=0)
+                 for p in parts]
+    parts = [_repad_tight(p, nn_t, G_t, Gn_t) for p in parts]
     return ChainedScene(tuple(parts), tuple(ids))
 
 

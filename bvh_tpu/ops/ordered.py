@@ -104,9 +104,14 @@ def trace_k_closest_chained(chained, rays: Ray, k: int = 4,
     ts, ids = [], []
     for i in range(k):
         ray_i = Ray(o + t_off[:, None] * d, d, inv)
+        # dead lanes carry t_max=0 from pass 2 on: the chained tracer's
+        # per-part root gate then skips whole part dispatches for packets
+        # with no live lane (the chained analog of trace_k_closest's
+        # pre-gate), and live packets prune dead lanes from the root
+        tm_i = None if i == 0 else jnp.where(alive, _INF, 0.0)
         hit = trace_closest_hit_chained(chained, ray_i, packet=packet,
                                         sweep=sweep, interpret=interpret,
-                                        tris=tris)
+                                        tris=tris, t_max=tm_i)
         fin = jnp.isfinite(hit.t) & alive
         ts.append(jnp.where(fin, t_off + hit.t, _INF))
         ids.append(jnp.where(fin, hit.shape_id, -1))

@@ -1168,10 +1168,29 @@ def _trace_wide(gnodes, hints, gate, groups, slab, lmat, interpret=False,
                 width=16, n_hints=0, mode="closest", bounded=False,
                 count_visits=False, gated=False, k_ary=16, start_g=None):
     p = slab.shape[0]
-    sub = packet // 128
     subtree = start_g is not None
     if start_g is None:
         start_g = jnp.zeros((p,), jnp.int32)
+    return _trace_wide_jit(gnodes, hints, gate, start_g.astype(jnp.int32),
+                           groups, slab, lmat, interpret=interpret,
+                           packet=packet, precision=precision, width=width,
+                           n_hints=n_hints, mode=mode, bounded=bounded,
+                           count_visits=count_visits, gated=gated,
+                           k_ary=k_ary, subtree=subtree)
+
+
+@partial(jax.jit, static_argnames=("interpret", "packet", "precision",
+                                   "width", "n_hints", "mode", "bounded",
+                                   "count_visits", "gated", "k_ary",
+                                   "subtree"))
+def _trace_wide_jit(gnodes, hints, gate, start_g, groups, slab, lmat,
+                    interpret=False, packet=2048,
+                    precision=jax.lax.Precision.HIGHEST,
+                    width=16, n_hints=0, mode="closest", bounded=False,
+                    count_visits=False, gated=False, k_ary=16,
+                    subtree=False):
+    p = slab.shape[0]
+    sub = packet // 128
     scratch = [
         pltpu.VMEM((sub, 128), jnp.int32),
         pltpu.VMEM((sub, 128), jnp.int32),
@@ -1202,7 +1221,7 @@ def _trace_wide(gnodes, hints, gate, groups, slab, lmat, interpret=False,
         compiler_params=pltpu.CompilerParams(
             vmem_limit_bytes=120 * 1024 * 1024,
         ),
-    )(gnodes, hints, gate, start_g.astype(jnp.int32), groups, slab, lmat)
+    )(gnodes, hints, gate, start_g, groups, slab, lmat)
 
 
 def _pack_rays_tight(rays: Ray, packet: int, t_max=None, base=None, perm=None):
@@ -1374,12 +1393,19 @@ def trace_closest_hit_tight(scene, rays: Ray, tris=None, interpret: bool = False
     bg = getattr(scene, "bgroups", None)
     pn = getattr(scene, "packed_nodes", None)
     gn = getattr(scene, "gnodes", None)
+    auto_wide = gn is not None and bg is None and pn is None and not skip_narrow
     if wide is None:
-        wide = gn is not None and bg is None and pn is None and not skip_narrow
+        wide = auto_wide
     if wide:
         assert gn is not None, "scene built without wide tables (wide=False?)"
         assert bg is None and pn is None and not skip_narrow, \
             "wide walk composes with the default narrowphase only"
+    if hints is not None and n_hints:
+        # hint FORMAT is tied to the walk (wide: leaf slot ids g*K+k;
+        # entry/exit: node-table ids) — the seeder emits the scene's
+        # default format, so an explicit wide= override would misread them
+        assert wide == auto_wide, \
+            "hints follow the scene's default walk; do not override wide="
     sn = jnp.asarray(pn if pn is not None else scene.smem_nodes)
     pg = None if pre_gate is None else pre_gate.astype(jnp.int32)
     if sweep and not skip_narrow:
@@ -1661,7 +1687,7 @@ def compute_seed_hints(scene, rays: Ray, packet: int = 2048,
     lane_of_tri = np_.zeros(n_tris, np_.int64)
     valid = tri_map >= 0
     lane_of_tri[tri_map[valid]] = np_.nonzero(valid)[0]
-    if getattr(scene, "gnodes", None) is not None:
+    if _traces_wide(scene):
         # wide-walk scenes: hints are leaf SLOT ids g*K+k (see _wide_body)
         node_of_cluster = np_.asarray(scene.gslot, np_.int64)
     else:
@@ -1694,6 +1720,21 @@ def compute_seed_hints(scene, rays: Ray, packet: int = 2048,
     fill = hints[:, 0:1]
     hints = np_.where(hints < 0, fill, hints)
     return jnp.asarray(hints, jnp.int32)
+
+
+def _traces_wide(scene) -> bool:
+    """True iff the DEFAULT trace path for this scene is the wide group walk.
+
+    Must mirror ``trace_closest_hit_tight``'s wide auto-selection exactly:
+    hint FORMATS differ between the kernels (wide: leaf slot ids g*K+k;
+    entry/exit: node-table ids), so a seeder/planner keying only on
+    ``gnodes`` would feed wide slot ids to the entry/exit kernel on
+    bmat/packed scenes — out-of-range cursors at best, garbage narrowphase
+    records at worst.
+    """
+    return (getattr(scene, "gnodes", None) is not None
+            and getattr(scene, "bgroups", None) is None
+            and getattr(scene, "packed_nodes", None) is None)
 
 
 def count_visits_tight(scene, rays: Ray, packet: int = 2048,
@@ -1932,7 +1973,7 @@ def make_seeder(scene, packet: int = 2048, sample_stride: int = 32,
     lane_of_tri = np.zeros(n_tris, np.int32)
     valid = tri_map >= 0
     lane_of_tri[tri_map[valid]] = np.nonzero(valid)[0].astype(np.int32)
-    if getattr(scene, "gnodes", None) is not None:
+    if _traces_wide(scene):
         # wide-walk scenes: hints are leaf SLOT ids g*K+k (see _wide_body)
         node_of_cluster = np.asarray(scene.gslot, np.int32)
     else:
@@ -2008,8 +2049,9 @@ def make_planner(scene, packet: int = 2048, sample_stride: int = 32,
     """
     from .cluster import wide_group_meta
 
-    assert getattr(scene, "gnodes", None) is not None, \
-        "subtree entry requires a wide-walk scene (gnodes)"
+    assert _traces_wide(scene), \
+        "subtree entry requires a scene whose default path is the wide " \
+        "group walk (gnodes present, bmat/packed off)"
     K = (np.asarray(scene.gnodes).shape[0] - 1) // 7
     KSHIFT = K.bit_length() - 1
     _, _, anc = wide_group_meta(scene.gnodes)

@@ -29,9 +29,16 @@ def init_distributed(coordinator_address: str | None = None,
         jax.distributed.initialize(coordinator_address=coordinator_address,
                                    num_processes=num_processes,
                                    process_id=process_id, **kw)
+    except ValueError as e:
+        # no cluster environment to auto-detect (single host, no
+        # coordinator): the documented safe no-op case
+        if coordinator_address is None and "coordinator_address" in str(e):
+            return jax.process_count()
+        raise
     except RuntimeError as e:
-        # already initialized, or single-process auto-detect: both fine
-        if "already" not in str(e).lower() and num_processes not in (None, 1):
+        # tolerate ONLY the benign double-init; a real init failure on a
+        # pod must not silently degrade the job to 1/N of its hosts
+        if "already" not in str(e).lower():
             raise
     return jax.process_count()
 

@@ -38,11 +38,17 @@ struct V3 {
   float x, y, z;
 };
 
+// Ties (including -0.0 vs +0.0) must return the SECOND operand to stay
+// bit-identical with np.minimum/np.maximum and _mm_min_ps/_mm_max_ps —
+// std::min/std::max return the FIRST on ties, which flips the zero sign
+// for mixed-sign-zero geometry. (No NaNs reach the builder.)
+inline float fmin2(float a, float b) { return a < b ? a : b; }
+inline float fmax2(float a, float b) { return a > b ? a : b; }
 inline V3 vmin(const V3& a, const V3& b) {
-  return {std::min(a.x, b.x), std::min(a.y, b.y), std::min(a.z, b.z)};
+  return {fmin2(a.x, b.x), fmin2(a.y, b.y), fmin2(a.z, b.z)};
 }
 inline V3 vmax(const V3& a, const V3& b) {
-  return {std::max(a.x, b.x), std::max(a.y, b.y), std::max(a.z, b.z)};
+  return {fmax2(a.x, b.x), fmax2(a.y, b.y), fmax2(a.z, b.z)};
 }
 
 inline float surface_area(const V3& mn, const V3& mx) {
