@@ -343,3 +343,39 @@ def test_packed_node_table_traces_correctly():
     assert same.mean() > 0.9
     np.testing.assert_allclose(tg[both & same], np.asarray(ref.t)[both & same],
                                rtol=2e-4)
+
+
+def test_seeded_bmat_scene_hint_format():
+    """Regression: bmat scenes trace through the entry/exit kernel, so the
+    seeder must emit node-table ids there, NOT wide slot ids (the scene
+    still carries gnodes). Wrong-format hints read out-of-range cursors."""
+    from bvh_tpu.ops.trace import (make_seeder, trace_closest_hit_seeded,
+                                   trace_closest_hit_tight)
+
+    a, b, c = tb.create_n_cubes(60)
+    scene = build_tight_scene(a, b, c, bmat=True, use_native=False)
+    assert scene.gnodes is not None and scene.bgroups is not None
+    centers = a.reshape(-1, 12, 3).mean(axis=1)
+    n = 1024
+    rng = np.random.default_rng(4)
+    idx = rng.integers(0, len(centers), n)
+    offs = rng.normal(size=(n, 3)).astype(np.float32)
+    offs /= np.linalg.norm(offs, axis=1, keepdims=True)
+    o = (centers[idx] + offs * 40).astype(np.float32)
+    d = (centers[idx] + 0.15 - o).astype(np.float32)
+    rays = Ray.create(jnp.asarray(o), jnp.asarray(d))
+
+    plain = trace_closest_hit_tight(scene, rays, packet=1024, interpret=True)
+    seeded = trace_closest_hit_seeded(scene, rays, packet=1024,
+                                      interpret=True)
+    np.testing.assert_array_equal(np.asarray(plain.t), np.asarray(seeded.t))
+    np.testing.assert_array_equal(np.asarray(plain.shape_id),
+                                  np.asarray(seeded.shape_id))
+    hints = make_seeder(scene, packet=1024, interpret=True)(rays)
+    assert int(np.asarray(hints).max()) < scene.smem_nodes.shape[1]
+    # explicit wide= override with hints is rejected (format mismatch)
+    wide_scene = build_tight_scene(a, b, c, use_native=False)
+    h2 = make_seeder(wide_scene, packet=1024, interpret=True)(rays)
+    with pytest.raises(AssertionError):
+        trace_closest_hit_tight(wide_scene, rays, packet=1024, interpret=True,
+                                hints=h2, wide=False)
