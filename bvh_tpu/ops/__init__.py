@@ -37,6 +37,7 @@ from .cluster import (
 from .device_build import (build_chained_scene_device,
                            build_tight_scene_device, make_refitter)
 from .update import make_chained_updater, make_updater
+from .validate_scene import assert_tight_scene, check_tight_scene
 from .nearest import count_visits_nearest, nearest_tight
 from .ordered import trace_k_closest, trace_k_closest_chained
 from .trace import (
@@ -69,6 +70,8 @@ __all__ = [
     "count_visits_wide",
     "make_planner",
     "make_refitter",
+    "assert_tight_scene",
+    "check_tight_scene",
     "make_chained_updater",
     "make_updater",
     "nearest_tight",
