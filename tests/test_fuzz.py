@@ -68,6 +68,11 @@ def test_fuzz_workload(seed):
         lb, _ = build_lbvh(mnj, mxj)
         assert check_consistent(lb.to_host(), mn, mx) == []
         assert check_tight(lb.to_host()) == []
+        # kernel-path tables get the same treatment (ops/validate_scene.py)
+        from bvh_tpu.ops import build_tight_scene, check_tight_scene
+
+        assert check_tight_scene(
+            build_tight_scene(a, b, c, use_native=False), a, b, c) == []
 
         dev = flat.to_device()
 
