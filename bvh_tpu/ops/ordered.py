@@ -29,12 +29,41 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
-import numpy as np
 
 from ..ray import Ray
 from .trace import trace_closest_hit_tight
 
 _INF = jnp.float32(jnp.inf)
+
+
+def _peel(rays: Ray, k: int, eps_rel: float, eps_abs: float, trace_pass):
+    """Shared depth-peel loop: ``trace_pass(ray_i, alive, i) -> HitRecord``
+    runs one closest-hit pass (gating its dead packets however the scene
+    type allows); this accumulates the K ascending hits."""
+    o, d, inv = rays.origin, rays.direction, rays.inv_direction
+    r = o.shape[0]
+    t_off = jnp.zeros((r,), jnp.float32)
+    alive = jnp.ones((r,), bool)
+    ts, ids = [], []
+    for i in range(k):
+        ray_i = Ray(o + t_off[:, None] * d, d, inv)
+        hit = trace_pass(ray_i, alive, i)
+        fin = jnp.isfinite(hit.t) & alive
+        ts.append(jnp.where(fin, t_off + hit.t, _INF))
+        ids.append(jnp.where(fin, hit.shape_id, -1))
+        if i + 1 < k:
+            step = hit.t * (1.0 + eps_rel) + eps_abs
+            t_off = t_off + jnp.where(fin, step, 0.0)
+            alive = fin
+    t = jnp.stack(ts, axis=1)
+    sid = jnp.stack(ids, axis=1)
+    count = jnp.sum(jnp.isfinite(t), axis=1).astype(jnp.int32)
+    return t, sid, count
+
+
+def _empty(k):
+    return (jnp.zeros((0, k), jnp.float32), jnp.zeros((0, k), jnp.int32),
+            jnp.zeros((0,), jnp.int32))
 
 
 def trace_k_closest(scene, rays: Ray, k: int = 4, packet: int = 2048,
@@ -53,38 +82,23 @@ def trace_k_closest(scene, rays: Ray, k: int = 4, packet: int = 2048,
     """
     r = rays.origin.shape[0]
     if r == 0:
-        return (jnp.zeros((0, k), jnp.float32), jnp.zeros((0, k), jnp.int32),
-                jnp.zeros((0,), jnp.int32))
-    o = rays.origin
-    d = rays.direction
-    inv = rays.inv_direction
+        return _empty(k)
     pad = (-r) % packet
     p = (r + pad) // packet
 
-    t_off = jnp.zeros((r,), jnp.float32)
-    alive = jnp.ones((r,), bool)
-    ts, ids = [], []
-    for i in range(k):
+    def trace_pass(ray_i, alive, i):
         if i == 0:
             gate = None
         else:
-            al = jnp.concatenate([alive, jnp.zeros((pad,), bool)]) if pad else alive
+            al = (jnp.concatenate([alive, jnp.zeros((pad,), bool)])
+                  if pad else alive)
             gate = jnp.any(al.reshape(p, packet), axis=1).astype(jnp.int32)
-        ray_i = Ray(o + t_off[:, None] * d, d, inv)
-        hit = trace_closest_hit_tight(scene, ray_i, packet=packet, sweep=sweep,
-                                      interpret=interpret, tris=tris,
-                                      precision=precision, pre_gate=gate)
-        fin = jnp.isfinite(hit.t) & alive
-        ts.append(jnp.where(fin, t_off + hit.t, _INF))
-        ids.append(jnp.where(fin, hit.shape_id, -1))
-        if i + 1 < k:
-            step = hit.t * (1.0 + eps_rel) + eps_abs
-            t_off = t_off + jnp.where(fin, step, 0.0)
-            alive = fin
-    t = jnp.stack(ts, axis=1)
-    sid = jnp.stack(ids, axis=1)
-    count = jnp.sum(jnp.isfinite(t), axis=1).astype(jnp.int32)
-    return t, sid, count
+        return trace_closest_hit_tight(scene, ray_i, packet=packet,
+                                       sweep=sweep, interpret=interpret,
+                                       tris=tris, precision=precision,
+                                       pre_gate=gate)
+
+    return _peel(rays, k, eps_rel, eps_abs, trace_pass)
 
 
 def trace_k_closest_chained(chained, rays: Ray, k: int = 4,
@@ -94,32 +108,17 @@ def trace_k_closest_chained(chained, rays: Ray, k: int = 4,
     """``trace_k_closest`` over a ``ChainedScene`` (beyond one SMEM table)."""
     from .trace import trace_closest_hit_chained
 
-    r = rays.origin.shape[0]
-    if r == 0:
-        return (jnp.zeros((0, k), jnp.float32), jnp.zeros((0, k), jnp.int32),
-                jnp.zeros((0,), jnp.int32))
-    o, d, inv = rays.origin, rays.direction, rays.inv_direction
-    t_off = jnp.zeros((r,), jnp.float32)
-    alive = jnp.ones((r,), bool)
-    ts, ids = [], []
-    for i in range(k):
-        ray_i = Ray(o + t_off[:, None] * d, d, inv)
+    if rays.origin.shape[0] == 0:
+        return _empty(k)
+
+    def trace_pass(ray_i, alive, i):
         # dead lanes carry t_max=0 from pass 2 on: the chained tracer's
         # per-part root gate then skips whole part dispatches for packets
         # with no live lane (the chained analog of trace_k_closest's
         # pre-gate), and live packets prune dead lanes from the root
         tm_i = None if i == 0 else jnp.where(alive, _INF, 0.0)
-        hit = trace_closest_hit_chained(chained, ray_i, packet=packet,
-                                        sweep=sweep, interpret=interpret,
-                                        tris=tris, t_max=tm_i)
-        fin = jnp.isfinite(hit.t) & alive
-        ts.append(jnp.where(fin, t_off + hit.t, _INF))
-        ids.append(jnp.where(fin, hit.shape_id, -1))
-        if i + 1 < k:
-            step = hit.t * (1.0 + eps_rel) + eps_abs
-            t_off = t_off + jnp.where(fin, step, 0.0)
-            alive = fin
-    t = jnp.stack(ts, axis=1)
-    sid = jnp.stack(ids, axis=1)
-    count = jnp.sum(jnp.isfinite(t), axis=1).astype(jnp.int32)
-    return t, sid, count
+        return trace_closest_hit_chained(chained, ray_i, packet=packet,
+                                         sweep=sweep, interpret=interpret,
+                                         tris=tris, t_max=tm_i)
+
+    return _peel(rays, k, eps_rel, eps_abs, trace_pass)

@@ -119,6 +119,8 @@ def make_updater(scene: TightScene, max_moved: int, delta_width: int = TIGHT):
                             orig_ids=(static_ids, safe_b))
 
     update.core = update_core  # jit-composable inner (arrays only)
+    update.cap = cap  # delta-buffer geometry, reused by the chained wrapper
+    update.delta_shape = (Cd, nn_d, W)
     return update
 
 
@@ -148,10 +150,8 @@ def make_chained_updater(chained: ChainedScene, max_moved: int,
     local_of_j = jnp.asarray(local_of)
     ids_j = [jnp.asarray(i, jnp.int32) for i in chained.orig_ids]
     upds = [make_updater(part, max_moved, delta_width) for part in parts]
-    W = delta_width
-    cap = -(-max_moved // W) * W
-    Cd = cap // W
-    nn_d = int(_grid_layout(Cd)[0].shape[0])
+    cap = upds[0].cap
+    Cd, nn_d, W = upds[0].delta_shape
 
     def update(a, b, c, moved_idx) -> ChainedScene:
         a = jnp.asarray(a, jnp.float32)
