@@ -39,6 +39,26 @@ import numpy as np
 from .cluster import ChainedScene, TIGHT, TightScene
 from .device_build import _build_core, _grid_layout
 
+_SMEM_BUDGET = 660_000  # bytes; see cluster.py (measured-safe prefetch cap)
+_NODE_BYTES = 32  # [8, nn] f32 grid table
+
+
+def _delta_layout(max_moved: int, W: int):
+    """(slice_cap, D, Cd, nn_d): split the delta-buffer capacity into the
+    fewest equal lane-aligned slices whose grid SMEM table each fits the
+    scalar-prefetch budget. D == 1 (single delta part) for any max_moved
+    up to ~300k at W=16; giant churn sets auto-route to a chained delta
+    (the device analog of build_chained_scene_device's equal slicing)."""
+    cap = -(-max_moved // W) * W
+    D = 1
+    while True:
+        slice_cap = -(-(cap // D) // W) * W
+        Cd = slice_cap // W
+        nn_d = int(_grid_layout(Cd)[0].shape[0])
+        if nn_d * _NODE_BYTES <= _SMEM_BUDGET or slice_cap == W:
+            return slice_cap, D, Cd, nn_d
+        D += 1
+
 
 def make_updater(scene: TightScene, max_moved: int, delta_width: int = TIGHT):
     """Build ``update(a, b, c, moved_idx) -> ChainedScene`` for a TightScene.
@@ -55,6 +75,11 @@ def make_updater(scene: TightScene, max_moved: int, delta_width: int = TIGHT):
     plugs straight into ``trace_closest_hit_chained`` /
     ``trace_any_hit_chained``. Fully jittable; one compile per
     (scene shape-bucket, max_moved) pair.
+
+    Giant churn sets route automatically: when ``max_moved`` exceeds one
+    SMEM table (~300k tris at W=16), the delta is Morton-partitioned into
+    the fewest equal budget-fitting slices — D same-shape delta parts
+    sharing one compiled build/trace program (``_delta_layout``).
 
     For scenes beyond one SMEM table (ChainedScene), make one updater per
     part and split ``moved_idx`` by part membership.
@@ -73,9 +98,8 @@ def make_updater(scene: TightScene, max_moved: int, delta_width: int = TIGHT):
     G = int(np.asarray(scene.groups).shape[0])
     groups_j = jnp.asarray(scene.groups)
     W = delta_width
-    cap = -(-max_moved // W) * W  # lane-align the delta buffer
-    Cd = cap // W
-    nn_d = int(_grid_layout(Cd)[0].shape[0])
+    slice_cap, D, Cd, nn_d = _delta_layout(max_moved, W)
+    cap = slice_cap * D  # lane-aligned total delta capacity
 
     @jax.jit
     def update_core(a, b, c, moved_idx):
@@ -92,7 +116,7 @@ def make_updater(scene: TightScene, max_moved: int, delta_width: int = TIGHT):
         rows = rows.at[lanes].set(0.0, mode="drop")
         masked_groups = rows.reshape(G, 128, 16).transpose(0, 2, 1)
 
-        # 2) delta part over the moved triangles (fixed-capacity buffer)
+        # 2) delta part(s) over the moved triangles (fixed-capacity buffer)
         pad = cap - moved_idx.shape[0]
         if pad:
             z = jnp.zeros((pad,), jnp.int32)
@@ -100,27 +124,45 @@ def make_updater(scene: TightScene, max_moved: int, delta_width: int = TIGHT):
             valid_b = jnp.concatenate([mvalid, z.astype(bool)])
         else:
             safe_b, valid_b = safe_m, mvalid
-        am, bm, cm = a[safe_b], b[safe_b], c[safe_b]
-        smem_d, groups_d, tmap_d = _build_core(
-            am, bm, cm, W, "grid", False, valid_in=valid_b)
-        return masked_groups, smem_d, groups_d, tmap_d, safe_b
+        if D > 1:
+            # giant churn: Morton-partition the moved set into D spatially
+            # compact equal slices (the chained-build slicing, update-sized)
+            from ..bvh.lbvh import morton_codes as _morton
+            cm_ = (a[safe_b] + b[safe_b] + c[safe_b]) * jnp.float32(1 / 3)
+            cfin = jnp.where(valid_b[:, None], cm_, jnp.nan)
+            lo = jnp.nan_to_num(jnp.nanmin(cfin, axis=0), nan=0.0)
+            hi = jnp.nan_to_num(jnp.nanmax(cfin, axis=0), nan=0.0)
+            codes = jnp.where(valid_b, _morton(cm_, lo, hi),
+                              jnp.int32(0x7FFFFFFF))
+            ordm = jnp.argsort(codes, stable=True).astype(jnp.int32)
+            safe_b = safe_b[ordm]
+            valid_b = valid_b[ordm]
+        sl_s, sl_v = (safe_b.reshape(D, slice_cap),
+                      valid_b.reshape(D, slice_cap))
+        outs = [_build_core(a[sl_s[p]], b[sl_s[p]], c[sl_s[p]], W, "grid",
+                            False, valid_in=sl_v[p]) for p in range(D)]
+        smem_d, groups_d, tmap_d = (jnp.stack([o[i] for o in outs])
+                                    for i in range(3))
+        return masked_groups, smem_d, groups_d, tmap_d, sl_s
 
     def update(a, b, c, moved_idx) -> ChainedScene:
         if np.shape(moved_idx)[0] > cap:
             raise ValueError(
                 f"{np.shape(moved_idx)[0]} moved ids > max_moved capacity "
                 f"{cap}; rebuild the scene (or raise max_moved)")
-        masked_groups, smem_d, groups_d, tmap_d, safe_b = update_core(
+        masked_groups, smem_d, groups_d, tmap_d, sl_s = update_core(
             a, b, c, moved_idx)
         static = scene._replace(groups=masked_groups, bgroups=None)
-        delta = TightScene(smem_d, groups_d, tmap_d, Cd, nn_d, W)
+        parts = [static] + [TightScene(smem_d[p], groups_d[p], tmap_d[p],
+                                       Cd, nn_d, W) for p in range(D)]
         static_ids = jnp.arange(n, dtype=jnp.int32)
-        return ChainedScene(parts=(static, delta),
-                            orig_ids=(static_ids, safe_b))
+        ids = [static_ids] + [sl_s[p] for p in range(D)]
+        return ChainedScene(parts=tuple(parts), orig_ids=tuple(ids))
 
     update.core = update_core  # jit-composable inner (arrays only)
     update.cap = cap  # delta-buffer geometry, reused by the chained wrapper
     update.delta_shape = (Cd, nn_d, W)
+    update.delta_parts = D
     return update
 
 
@@ -152,6 +194,7 @@ def make_chained_updater(chained: ChainedScene, max_moved: int,
     upds = [make_updater(part, max_moved, delta_width) for part in parts]
     cap = upds[0].cap
     Cd, nn_d, W = upds[0].delta_shape
+    D = upds[0].delta_parts
 
     def update(a, b, c, moved_idx) -> ChainedScene:
         a = jnp.asarray(a, jnp.float32)
@@ -170,13 +213,15 @@ def make_chained_updater(chained: ChainedScene, max_moved: int,
             a_p, b_p, c_p = a[safe_sel], b[safe_sel], c[safe_sel]
             moved_l = jnp.where(mvalid & (part_of_j[safe_g] == p),
                                 local_of_j[safe_g], -1)
-            masked_groups, smem_d, groups_d, tmap_d, safe_b = upd.core(
+            masked_groups, smem_d, groups_d, tmap_d, sl_s = upd.core(
                 a_p, b_p, c_p, moved_l)
             out_parts.append(part._replace(groups=masked_groups,
                                            bgroups=None))
             out_ids.append(sel)
-            out_parts.append(TightScene(smem_d, groups_d, tmap_d, Cd, nn_d, W))
-            out_ids.append(safe_sel[safe_b])  # part-local -> global
+            for d in range(D):
+                out_parts.append(TightScene(smem_d[d], groups_d[d],
+                                            tmap_d[d], Cd, nn_d, W))
+                out_ids.append(safe_sel[sl_s[d]])  # part-local -> global
         return ChainedScene(parts=tuple(out_parts), orig_ids=tuple(out_ids))
 
     return update

@@ -232,3 +232,37 @@ def test_chained_updater_matches_oracle():
     # capacity guard
     with pytest.raises(ValueError):
         upd(a2, b2, c2, np.zeros(100, np.int32))
+
+
+def test_update_giant_churn_splits_delta(moved_setup, monkeypatch):
+    """Churn sets beyond one SMEM table auto-route to a chained delta:
+    D same-shape Morton-partitioned delta parts (``_delta_layout``).
+    Forced here by shrinking the budget; hits must still match the oracle
+    and every delta slice must share one table shape (one compile)."""
+    from bvh_tpu.ops import update as upd_mod
+
+    a, b, c, scene, moved, a2, b2, c2 = moved_setup
+    monkeypatch.setattr(upd_mod, "_SMEM_BUDGET", 100)  # force a split
+    upd = upd_mod.make_updater(scene, max_moved=64)
+    assert upd.delta_parts > 1
+    D = upd.delta_parts
+    pad = np.full(upd.cap, -1, np.int32)
+    pad[: len(moved)] = moved
+    chained = upd(a2, b2, c2, pad)
+    assert len(chained.parts) == 1 + D
+    shapes = {p.smem_nodes.shape for p in chained.parts[1:]}
+    assert len(shapes) == 1  # one compiled kernel for every delta slice
+    rng = np.random.default_rng(41)
+    rays = _aimed_rays(a2, b2, c2, 256, rng)
+    hit = trace_closest_hit_chained(chained, rays, interpret=True)
+    bt, _ = _oracle_closest(rays, a2, b2, c2)
+    t = np.asarray(hit.t)
+    m = np.isfinite(bt)
+    assert (np.isfinite(t) == m).all()
+    np.testing.assert_allclose(t[m], bt[m], rtol=1e-2)
+    # rays aimed at moved geometry resolve through the split deltas
+    centers = np.asarray((a2 + b2 + c2) / 3.0)[moved]
+    o = np.full((len(moved), 3), -80.0, np.float32)
+    rays2 = Ray.create(o, centers - o)
+    hit2 = trace_closest_hit_chained(chained, rays2, interpret=True)
+    assert np.isfinite(np.asarray(hit2.t)).all()
