@@ -95,7 +95,12 @@ def main():
     offs /= np.linalg.norm(offs, axis=1, keepdims=True)
     aim_orig = (centers[idx] + offs * 50.0).astype(np.float32)
     aim_dirs = (centers[idx] + 0.1 - aim_orig).astype(np.float32)
-    aimed = Ray.create(jnp.asarray(aim_orig), jnp.asarray(aim_dirs))
+    ao_j, ad_j2 = jnp.asarray(aim_orig), jnp.asarray(aim_dirs)
+    # Morton-cell sort: convergent bundles need spatially compact packets
+    # (lex/octant keys pack thin slabs -> LCA root, planner never engages;
+    # measured interpret-mode: fires/pkt 1489 -> 315, iters 631 -> 283)
+    perm_a, inv_a = sort_rays_device(ao_j, ad_j2, mode="morton")
+    aimed = Ray.create(ao_j[perm_a], ad_j2[perm_a])
 
     from bvh_tpu.ops.trace import make_planner
 

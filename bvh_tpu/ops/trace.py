@@ -1594,13 +1594,26 @@ def trace_any_hit_tight(scene, rays: Ray, t_max=None, interpret: bool = False,
     return t < tm
 
 
-@partial(jax.jit, static_argnames=("bits",))
-def sort_rays_device(origins: jnp.ndarray, directions: jnp.ndarray, bits: int = 6):
-    """Device-side coherence sort: direction octant, then origin Morton cell.
+@partial(jax.jit, static_argnames=("bits", "mode"))
+def sort_rays_device(origins: jnp.ndarray, directions: jnp.ndarray,
+                     bits: int = 6, mode: str = "octant"):
+    """Device-side coherence sort. Returns (perm, inv) int32 permutations.
 
     The jnp analog of ``sort_rays`` — keeps the whole pipeline on-chip (the
     host round trip costs more than the sort on a remote-attached TPU).
-    Returns (perm, inv) int32 permutations.
+
+    ``mode="octant"``: direction octant, then origin cell (x-major
+    lexicographic at ``bits``/axis). Groups rays by heading first — best
+    for sparse random-ray batches where direction coherence dominates.
+
+    ``mode="morton"``: origin Morton cell (interleaved bits — compact 3-D
+    cells, not slabs), then direction octant. Best for convergent /
+    aimed / secondary-bounce bundles: a lexicographic key packs thin
+    x-slabs whose tree-footprint LCA is the root, while Morton packets
+    are spatially tight, so the subtree-entry planner
+    (``make_planner``) actually engages (measured: root-frac 1.0 -> <0.3
+    on the aimed workload; ``bits`` is ignored — the cell grid is the
+    Morton 512^3).
     """
     o = origins
     d = directions
@@ -1611,9 +1624,15 @@ def sort_rays_device(origins: jnp.ndarray, directions: jnp.ndarray, bits: int = 
     )
     lo = o.min(axis=0)
     hi = o.max(axis=0)
-    scale = (2.0**bits - 1.0) / jnp.maximum(hi - lo, 1e-30)
-    q = ((o - lo) * scale).astype(jnp.int32)
-    key = (((octant << (3 * bits)) | (q[:, 0] << (2 * bits)) | (q[:, 1] << bits)) | q[:, 2])
+    if mode == "morton":
+        from ..bvh.lbvh import morton_codes
+        m = morton_codes(o, lo, hi)  # 30-bit interleave, 1024^3
+        key = ((m >> 3) << 3) | octant  # 512^3 cells + octant low bits
+    else:
+        scale = (2.0**bits - 1.0) / jnp.maximum(hi - lo, 1e-30)
+        q = ((o - lo) * scale).astype(jnp.int32)
+        key = (((octant << (3 * bits)) | (q[:, 0] << (2 * bits))
+                | (q[:, 1] << bits)) | q[:, 2])
     perm = jnp.argsort(key, stable=True).astype(jnp.int32)
     inv = jnp.zeros_like(perm).at[perm].set(jnp.arange(perm.shape[0], dtype=jnp.int32))
     return perm, inv

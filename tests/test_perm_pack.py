@@ -114,3 +114,28 @@ def test_chained_perm_matches_presorted():
     occ_g = trace_any_hit_chained(chained, rays, t_max=200.0, packet=1024,
                                   interpret=True, perm=perm)
     np.testing.assert_array_equal(np.asarray(occ_w), np.asarray(occ_g))
+
+
+def test_morton_sort_mode(scene_and_rays):
+    """mode="morton": valid permutation, spatially interleaved key (cells,
+    not x-slabs), and identical trace results through the perm path."""
+    a, b, c, scene, rays, _, _, _ = scene_and_rays
+    o, d = rays.origin, rays.direction
+    perm, inv = sort_rays_device(o, d, mode="morton")
+    pn, invn = np.asarray(perm), np.asarray(inv)
+    n = len(pn)
+    assert sorted(pn) == list(range(n))
+    assert (pn[invn] == np.arange(n)).all()
+    want = trace_closest_hit_tight(scene, rays, packet=1024, interpret=True)
+    got = trace_closest_hit_tight(scene, rays, packet=1024, interpret=True,
+                                  perm=perm)
+    np.testing.assert_array_equal(np.asarray(want.t),
+                                  np.asarray(got.t[inv]))
+    np.testing.assert_array_equal(np.asarray(want.shape_id),
+                                  np.asarray(got.shape_id[inv]))
+    # morton cells: consecutive sorted origins are near each other far more
+    # often than under an x-major lexicographic slab key
+    os_ = np.asarray(o)[pn]
+    step = np.linalg.norm(np.diff(os_, axis=0), axis=1)
+    ext = np.linalg.norm(np.asarray(o).max(0) - np.asarray(o).min(0))
+    assert np.median(step) < 0.25 * ext
