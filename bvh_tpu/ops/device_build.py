@@ -30,7 +30,8 @@ import numpy as np
 from ..bvh.lbvh import build_lbvh, morton_codes
 from .cluster import TIGHT, TightScene, bilinear_blocks, pack_bgroups
 
-_INF = jnp.float32(jnp.inf)
+_INF = np.float32(np.inf)  # plain scalar: a jnp array here would initialize
+# the XLA backend at import, breaking jax.distributed.initialize-first
 
 _LAYOUT_CACHE: dict = {}
 

@@ -29,11 +29,13 @@ from __future__ import annotations
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..ray import Ray
 from .trace import trace_closest_hit_tight
 
-_INF = jnp.float32(jnp.inf)
+_INF = np.float32(np.inf)  # plain scalar: a jnp array here would initialize
+# the XLA backend at import, breaking jax.distributed.initialize-first
 
 
 def _peel(rays: Ray, k: int, eps_rel: float, eps_abs: float, trace_pass):

@@ -18,7 +18,8 @@ from .shard import (
     sharded_render_depth,
     sharded_train_step,
 )
-from .tight import sharded_trace_any_hit, sharded_trace_closest_hit
+from .tight import (multihost_trace_closest_hit, sharded_trace_any_hit,
+                    sharded_trace_closest_hit)
 
 __all__ = [
     "make_mesh",
@@ -29,6 +30,7 @@ __all__ = [
     "sharded_render_depth",
     "sharded_loss_and_grads",
     "sharded_train_step",
+    "multihost_trace_closest_hit",
     "sharded_trace_closest_hit",
     "sharded_trace_any_hit",
 ]

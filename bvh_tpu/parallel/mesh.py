@@ -72,9 +72,19 @@ def make_multihost_mesh(scene_shards: int = 1):
     rays = n // scene_shards
     procs = jax.process_count()
     if procs > 1 and rays % procs == 0:
-        from jax.experimental import mesh_utils
+        try:
+            from jax.experimental import mesh_utils
 
-        devices = mesh_utils.create_hybrid_device_mesh(
-            (rays // procs, scene_shards), (procs, 1))
+            devices = mesh_utils.create_hybrid_device_mesh(
+                (rays // procs, scene_shards), (procs, 1))
+        except ValueError:
+            # single-slice backends (CPU fleets, multi-process tests) have
+            # no slice topology for the hybrid layout to read; order
+            # process-major by hand, scene axis within a process's devices
+            import numpy as np
+
+            devs = sorted(jax.devices(),
+                          key=lambda d: (d.process_index, d.id))
+            devices = np.array(devs).reshape(rays, scene_shards)
         return jax.sharding.Mesh(devices, ("rays", "scene"))
     return make_mesh(n, scene_shards=scene_shards)

@@ -177,3 +177,83 @@ def sharded_trace_any_hit(mesh, scene, rays: Ray, t_max=None,
         return occ[:r]
 
     return fn(*args)
+
+
+def multihost_trace_closest_hit(mesh, scene, local_rays: Ray,
+                                packet: int = 2048,
+                                interpret: bool = False) -> HitRecord:
+    """Closest hit on a MULTI-PROCESS mesh: each host passes only its own
+    shard of the global ray batch; each gets back the hits for that shard.
+
+    The multi-controller calling convention for ``sharded_trace_closest_hit``
+    (whose global-array padding runs eagerly and is therefore
+    single-controller only): every process calls this with the same
+    ``mesh`` (``make_multihost_mesh``) and ``scene`` (replicated), plus its
+    process-local rays — ``local_ray_count`` must be identical on every
+    process and a multiple of ``packet`` x (local devices on the rays
+    axis). Globally the batch is the concatenation of the processes' shards
+    in process order along the mesh's ``rays`` axis.
+
+    Single-process meshes work too (then it is just
+    ``sharded_trace_closest_hit`` with pre-validated shapes).
+    """
+    from jax.sharding import NamedSharding
+    from ..ops.trace import trace_closest_hit_tight
+
+    procs = jax.process_count()
+    n_rays_axis = mesh.shape["rays"]
+    local_dev = max(n_rays_axis // procs, 1)
+    r_local = local_rays.origin.shape[0]
+    if r_local % (packet * local_dev):
+        raise ValueError(
+            f"local ray count {r_local} must be a multiple of packet x "
+            f"local rays-axis devices = {packet} x {local_dev} (pad with "
+            "parked rays: origin 2e30, direction 1)")
+
+    spec = P("rays")
+    sharding = NamedSharding(mesh, spec)
+
+    def to_global(x):
+        if procs == 1:
+            return jax.device_put(x, sharding)
+        return jax.make_array_from_process_local_data(sharding, x)
+
+    o = to_global(local_rays.origin)
+    d = to_global(local_rays.direction)
+    inv = to_global(local_rays.inv_direction)
+
+    rep = NamedSharding(mesh, P())
+
+    def to_rep(x):
+        x = jnp.asarray(x)
+        if procs == 1:
+            return jax.device_put(x, rep)
+        import numpy as _np
+        return jax.make_array_from_process_local_data(rep, _np.asarray(x))
+
+    sn = to_rep(scene.smem_nodes)
+    gr = to_rep(scene.groups)
+    tmap = to_rep(scene.tri_map)
+
+    def body(sn_l, gr_l, tmap_l, o_l, d_l, inv_l):
+        local_scene = scene._replace(smem_nodes=sn_l, groups=gr_l,
+                                     tri_map=tmap_l, bgroups=None,
+                                     packed_nodes=None, sweep_nodes=None)
+        hit = trace_closest_hit_tight(local_scene, Ray(o_l, d_l, inv_l),
+                                      packet=packet, interpret=interpret)
+        return hit.t, hit.u, hit.v, hit.shape_id
+
+    inner = jax.jit(jax.shard_map(
+        body, mesh=mesh,
+        in_specs=(P(), P(), P(), spec, spec, spec),
+        out_specs=(spec, spec, spec, spec),
+        check_vma=False,
+    ))
+    t, u, v, sid = inner(sn, gr, tmap, o, d, inv)
+
+    def local(x):
+        import numpy as _np
+        shards = sorted(x.addressable_shards, key=lambda s: s.index[0].start)
+        return _np.concatenate([_np.asarray(s.data) for s in shards], axis=0)
+
+    return HitRecord(local(t), local(u), local(v), local(sid))
