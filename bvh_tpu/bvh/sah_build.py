@@ -176,6 +176,16 @@ def build_sah(
                 l_cnt.astype(dtype) * _surface_area(l_amin, l_amax)
                 + r_cnt.astype(dtype) * _surface_area(r_amin, r_amax)
             ) / _surface_area(s_amin, s_amax)[:, None]
+        if config.overlap_penalty:
+            # packet-aware term (see BvhConfig.overlap_penalty): overlap box
+            # of the candidate children, empty => zero area
+            ov_mn = np.maximum(l_amin, r_amin)
+            ov_mx = np.minimum(l_amax, r_amax)
+            ov_sz = np.maximum(ov_mx - ov_mn, dtype(0.0))
+            ov_sa = dtype(2.0) * np.sum(ov_sz * ov_sz, axis=-1, dtype=dtype)
+            cost = cost + (dtype(config.overlap_penalty)
+                           * s_len[:, None].astype(dtype) * ov_sa
+                           / _surface_area(s_amin, s_amax)[:, None])
         # A plane with an empty side costs 0*inf = NaN in the reference too and
         # is never selected (NaN < min is false); make that explicit for argmin.
         cost = np.where((l_cnt == 0) | (r_cnt == 0), np.inf, cost)

@@ -17,6 +17,18 @@ class BvhConfig:
     # SAH build
     num_buckets: int = 6  # reference: src/bvh/bucket.rs:5
     bucket_scale_margin: float = 0.01  # bucket = rel_pos * (num_buckets - 0.01)
+    # Packet-traversal-aware split tuning: penalize sibling overlap in the
+    # SAH sweep by `overlap_penalty * n * SA(L intersect R) / SA(parent)`.
+    # A shared-cursor packet must descend BOTH children whenever any ray
+    # lands in their overlap, so overlap costs packet traversal visits that
+    # per-ray SAH does not see. 0.0 (default) = the reference's exact cost
+    # (bit-identical trees, native-builder parity); nonzero is numpy-path
+    # only (build with use_native=False). MEASURED NEGATIVE on the cube
+    # benchmark class (disjoint boxes have little overlap to penalize):
+    # random wide iters/pkt 746 -> 760/772/816 at lam 0.25/0.5/1.0, aimed
+    # flat, lam=2 degrades the tree past the wide-table budget
+    # (scratch/overlap_penalty_cpu.py). Kept for overlap-heavy meshes.
+    overlap_penalty: float = 0.0
     # LBVH build
     morton_bits: int = 21  # bits per axis (63-bit codes)
     # Traversal
