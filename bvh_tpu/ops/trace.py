@@ -1066,8 +1066,9 @@ def _wide_body(gnodes_ref, hints_ref, gate_ref, startg_ref, groups_ref,
     def walk(g0, m0, skip=None):
         """Mask-stack walk from group ``g0`` with fired-interior mask ``m0``.
 
-        ``skip``: optional traced group id — that child is never entered
-        (its subtree was already fully processed by a phase-1 walk)."""
+        ``skip``: optional PAIR of traced group ids — those children are
+        never entered (their subtrees were already fully processed by the
+        phase-1 walks). Ids <= 0 are inert (no child has id 0)."""
 
         def body(carry):
             # Every set bit is an INTERIOR child (leaves were consumed by
@@ -1087,7 +1088,8 @@ def _wide_body(gnodes_ref, hints_ref, gate_ref, startg_ref, groups_ref,
                 # the skipped child must read back m2 == 0 (consume the bit
                 # without pushing), so clear the stale value first
                 m2_ref[0] = 0
-                do_enter = has & (child != skip)
+                s1, s2 = skip
+                do_enter = has & (child != s1) & (child != s2)
 
             @pl.when(do_enter)
             def _():
@@ -1127,20 +1129,29 @@ def _wide_body(gnodes_ref, hints_ref, gate_ref, startg_ref, groups_ref,
                 jax.lax.fori_loop(0, N_HINTS, seed, 0)
 
         if SUBTREE:
-            # Phase 1: walk the packet's predicted subtree first — its true
-            # best hits land in vb, so the phase-2 root walk is gated down
-            # to the ancestor chain (VERDICT round-2 item 2; packet-ized
+            # Phase 1: walk the packet's predicted subtree(s) first — their
+            # true best hits land in vb, so the phase-2 root walk is gated
+            # down to the ancestor chain (VERDICT round-2 item 2; packet-ized
             # pruned descent, /root/reference/src/bvh/bvh_node.rs:327-374).
-            sg = startg_ref[pid]
+            # Two entry slots: packets whose samples span root children (the
+            # planner's root-LCA tail) enter BOTH dominant subtrees. Any
+            # pair is exact — even nested/equal entries — because each
+            # skipped id's subtree is unconditionally fully walked here.
+            sg = startg_ref[2 * pid]
+            sg2 = startg_ref[2 * pid + 1]
 
             @pl.when(sg > 0)
             def _():
                 walk(sg, enter(sg))
 
+            @pl.when(sg2 > 0)
+            def _():
+                walk(sg2, enter(sg2))
+
             # Phase 2 (exactness): full walk from the root, skipping the
-            # already-processed subtree. sg <= 0 never matches a child id
-            # (the root group 0 is nobody's child), so the skip is inert.
-            walk(jnp.int32(0), enter(jnp.int32(0)), skip=sg)
+            # already-processed subtrees. Ids <= 0 never match a child id
+            # (the root group 0 is nobody's child), so those skips are inert.
+            walk(jnp.int32(0), enter(jnp.int32(0)), skip=(sg, sg2))
         else:
             walk(jnp.int32(0), enter(jnp.int32(0)))
 
@@ -1170,7 +1181,15 @@ def _trace_wide(gnodes, hints, gate, groups, slab, lmat, interpret=False,
     p = slab.shape[0]
     subtree = start_g is not None
     if start_g is None:
-        start_g = jnp.zeros((p,), jnp.int32)
+        start_g = jnp.zeros((2 * p,), jnp.int32)
+    else:
+        # accept [p] (single entry) or [p, 2]; the kernel reads a flat
+        # [2p] prefetch array (slots 2*pid, 2*pid+1)
+        start_g = jnp.asarray(start_g, jnp.int32)
+        if start_g.ndim == 1:
+            start_g = jnp.stack(
+                [start_g, jnp.full_like(start_g, -1)], axis=1)
+        start_g = start_g.reshape(-1)
     return _trace_wide_jit(gnodes, hints, gate, start_g.astype(jnp.int32),
                            groups, slab, lmat, interpret=interpret,
                            packet=packet, precision=precision, width=width,
@@ -1424,7 +1443,8 @@ def trace_closest_hit_tight(scene, rays: Ray, tris=None, interpret: bool = False
         gate = jnp.zeros((p,), jnp.int32)
     if start_g is not None:
         assert wide, "start_g (subtree entry) requires the wide walk"
-        assert start_g.shape[0] == p, (start_g.shape, p)
+        assert start_g.shape[0] == p and start_g.ndim in (1, 2), \
+            (start_g.shape, p)
     if wide:
         out = _trace_wide(
             jnp.asarray(gn),
@@ -2047,16 +2067,20 @@ def make_planner(scene, packet: int = 2048, sample_stride: int = 32,
                  interpret: bool = False):
     """Per-packet traversal planner: ``plan(rays) -> (hints, start_g)``.
 
-    Builds on ``make_seeder``: the sampled hits give seeding hints AND a
-    per-packet subtree-entry group — the LCA (in the wide group tree) of
-    every group the samples landed in. The kernel walks that subtree
-    FIRST (phase 1 finds the true closest hit for almost every lane),
-    then the exactness pass from the root is gated down to the ancestor
-    chain by the warm pruning bounds (``_wide_body`` SUBTREE mode). A
-    packet whose samples all missed, or whose LCA is the root, gets
-    start_g = -1 (plain single-phase walk). Results are identical to the
-    unplanned trace for ANY start_g (phase 2 re-checks everything outside
-    the subtree), so the planner is a pure performance hint.
+    Builds on ``make_seeder``: the sampled hits give seeding hints AND
+    per-packet subtree-entry groups (``start_g`` is [p, 2]) — slot 0 is
+    the LCA (in the wide group tree) of every group the samples landed
+    in. The kernel walks that subtree FIRST (phase 1 finds the true
+    closest hit for almost every lane), then the exactness pass from the
+    root is gated down to the ancestor chain by the warm pruning bounds
+    (``_wide_body`` SUBTREE mode). When the samples span root children
+    (LCA == root — the tail where a single entry cannot engage), the
+    packet instead enters the TWO dominant depth-1 subtrees (partition by
+    depth-1 ancestor, per-subset LCAs in both slots). A packet whose
+    samples all missed gets (-1, -1) (plain single-phase walk). Results
+    are identical to the unplanned trace for ANY start_g — even nested or
+    equal pairs — because phase 2 re-checks everything outside the
+    phase-1 subtrees; the planner is a pure performance hint.
 
     TPU re-design of the reference's pruned descent
     (/root/reference/src/bvh/bvh_node.rs:327-374): instead of per-ray
@@ -2073,7 +2097,15 @@ def make_planner(scene, packet: int = 2048, sample_stride: int = 32,
         "group walk (gnodes present, bmat/packed off)"
     K = (np.asarray(scene.gnodes).shape[0] - 1) // 7
     KSHIFT = K.bit_length() - 1
-    _, _, anc = wide_group_meta(scene.gnodes)
+    parent, gdepth, anc = wide_group_meta(scene.gnodes)
+    # two-entry plans only pay when (a) the root has interior children
+    # left to skip-gate AFTER the two entered ones (with <= 2, phase 1
+    # covers the whole interior and the second walk is pure duplicate
+    # work), and (b) depth-1 subtrees have interior structure of their own
+    # (on a depth-1 tree each entry is a single group test — phase 1 just
+    # prepays what phase 2 would have paid)
+    n_root_int = int((np.asarray(parent) == 0).sum())
+    deep_enough = int(np.asarray(gdepth).max()) >= 2
     anc_j = jnp.asarray(anc, jnp.int32)  # [Gn, D]
     seeder = make_seeder(scene, packet=packet, sample_stride=sample_stride,
                          k_hints=k_hints, precision=precision,
@@ -2083,6 +2115,8 @@ def make_planner(scene, packet: int = 2048, sample_stride: int = 32,
         hints = seeder(rays)
         if hints is None:
             return None, None
+        p = hints.shape[0]
+        ar = jnp.arange(p)
         has = hints[:, 0] >= 0  # packets whose samples all missed get -1
         g = jax.lax.shift_right_logical(jnp.maximum(hints, 0), KSHIFT)
         A = anc_j[g]  # [p, k_hints, D]
@@ -2093,8 +2127,37 @@ def make_planner(scene, packet: int = 2048, sample_stride: int = 32,
         same = jnp.cumprod(same.astype(jnp.int32), axis=1)
         lca_d = jnp.sum(same, axis=1) - 1  # [p] (>= 0 when has)
         safe_d = jnp.clip(lca_d, 0, anc_j.shape[1] - 1)
-        start = A[jnp.arange(A.shape[0]), 0, safe_d]
-        start_g = jnp.where(has & (lca_d > 0), start, -1).astype(jnp.int32)
+        start = A[ar, 0, safe_d]
+        e1 = jnp.where(has & (lca_d > 0), start, -1)
+        e2 = jnp.full((p,), -1, jnp.int32)
+        if anc_j.shape[1] > 1 and n_root_int > 2 and deep_enough:
+            # Root-LCA tail (the measured ~28% of morton-sorted aimed
+            # packets): samples span root children, so no single subtree
+            # covers them. Partition by depth-1 ancestor and enter the two
+            # dominant subtrees; the kernel's phase 2 skips both.
+            def subset_lca(ref_chain, member):
+                # deepest chain-prefix shared by every member sample
+                s = jnp.all(((A == ref_chain) & (ref_chain >= 0))
+                            | ~member[:, :, None], axis=1)
+                s = jnp.cumprod(s.astype(jnp.int32), axis=1)
+                d = jnp.sum(s, axis=1) - 1
+                dsafe = jnp.clip(d, 0, anc_j.shape[1] - 1)
+                return d, ref_chain[:, 0, :][ar, dsafe]
+
+            c1 = A[:, :, 1]  # depth-1 ancestor per sample (-1: root-group)
+            r1 = c1[:, 0:1]
+            in1 = c1 == r1
+            other = (~in1) & (c1 >= 0)
+            idx2 = jnp.argmax(other, axis=1)
+            exists2 = other[ar, idx2]
+            refB = jnp.take_along_axis(A, idx2[:, None, None], axis=1)
+            in2 = c1 == refB[:, :, 1]
+            d1, g1 = subset_lca(ref, in1)
+            d2, g2 = subset_lca(refB, in2)
+            two = has & (lca_d == 0) & (r1[:, 0] >= 0) & (d1 > 0)
+            e1 = jnp.where(two, g1, e1)
+            e2 = jnp.where(two & exists2 & (d2 > 0), g2, e2)
+        start_g = jnp.stack([e1, e2], axis=1).astype(jnp.int32)
         return hints, start_g
 
     return plan

@@ -43,7 +43,9 @@ for wname, oj, dj in (("random", o_r, d_r), ("aimed", o_a, d_a)):
         itn, fwn, _ = count_visits_wide(scene, rays, packet=packet,
                                         interpret=True)
         npk = len(itp)
-        print(f"{wname:6s} {mode:6s}: root-frac {(sa < 0).mean():.3f} "
+        noent = (sa[:, 0] < 0).mean() if sa.ndim == 2 else (sa < 0).mean()
+        two = (sa[:, 1] > 0).mean() if sa.ndim == 2 else 0.0
+        print(f"{wname:6s} {mode:6s}: no-entry {noent:.3f} two {two:.3f} "
               f"planned iters/pkt {itp.sum()/npk:6.0f} "
               f"| plain iters/pkt {itn.sum()/npk:6.0f} "
               f"fires/pkt {fwn.sum()/npk:6.1f}", flush=True)

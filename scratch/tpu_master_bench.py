@@ -147,9 +147,19 @@ def run_aimed_unsorted():
     return float(jnp.sum(jnp.where(jnp.isfinite(out.t), out.t, 0.0)))
 
 
+def run_aimed_planned_slot0():
+    hints_a, start_a = planner(aimed)
+    s0 = start_a.at[:, 1].set(-1)  # disable the two-entry tail fix
+    out = trace_closest_hit_tight(scene, aimed, packet=PACKET,
+                                  hints=hints_a, start_g=s0,
+                                  interpret=INTERP)
+    return float(jnp.sum(jnp.where(jnp.isfinite(out.t), out.t, 0.0)))
+
+
 saved, NR = N_RAYS, n_aimed
 N_RAYS = NR
-bench("aimed planned (morton+hints+start)", run_aimed_planned)
+bench("aimed planned (morton+hints+start2)", run_aimed_planned)
+bench("aimed planned slot0-only", run_aimed_planned_slot0)
 bench("aimed hints only (morton)", run_aimed_hints_only)
 bench("aimed plain (morton)", run_aimed_plain)
 bench("aimed plain (cube-order)", run_aimed_unsorted)

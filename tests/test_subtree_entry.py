@@ -70,6 +70,30 @@ def test_arbitrary_start_groups_exact(scene_rays):
                 == np.asarray(base.shape_id)).all(), trial
 
 
+def test_arbitrary_start_group_pairs_exact(scene_rays):
+    """ANY [p, 2] pair — disjoint, nested, equal, or inert — is exact."""
+    a, b, c, scene, rays = scene_rays
+    base = trace_closest_hit_tight(scene, rays, interpret=True, wide=True)
+    parent, depth, anc = wide_group_meta(scene.gnodes)
+    real = np.nonzero((np.arange(len(parent)) == 0) | (parent >= 0))[0]
+    rng = np.random.default_rng(11)
+    p = -(-rays.origin.shape[0] // 2048)
+    for trial in range(4):
+        sg = rng.choice(real, size=(p, 2)).astype(np.int32)
+        if trial == 1:
+            sg[:, 1] = sg[:, 0]  # equal pair
+        if trial == 2:
+            # nested: slot 1 = parent chain of slot 0 (root -> inert)
+            sg[:, 1] = parent[sg[:, 0]]
+        if trial == 3:
+            sg[:, 0] = -1  # only the second slot set
+        got = trace_closest_hit_tight(scene, rays, interpret=True, wide=True,
+                                      start_g=np.asarray(sg))
+        assert (np.asarray(got.t) == np.asarray(base.t)).all(), trial
+        assert (np.asarray(got.shape_id)
+                == np.asarray(base.shape_id)).all(), trial
+
+
 def test_planner_exact_and_hits(scene_rays):
     a, b, c, scene, rays = scene_rays
     base = trace_closest_hit_tight(scene, rays, interpret=True, wide=True)
@@ -88,16 +112,23 @@ def test_planner_assigns_subtrees(scene_rays):
     a, b, c, scene, rays = scene_rays
     plan = make_planner(scene, packet=1024, interpret=True)
     hints, start_g = plan(rays)
-    sg = np.asarray(start_g)
+    sg = np.asarray(start_g)  # [p, 2]
+    assert sg.ndim == 2 and sg.shape[1] == 2
     parent, depth, anc = wide_group_meta(scene.gnodes)
     # the first packet (single-cube aims) should enter a deep subtree,
     # unless the tree is so small everything hangs off the root
     if depth.max() >= 1:
-        assert sg[0] >= 0
-        assert depth[sg[0]] >= 1
+        assert sg[0, 0] >= 0
+        assert depth[sg[0, 0]] >= 1
     # any assigned group must be a real group
     for g in sg[sg >= 0]:
         assert g == 0 or parent[g] >= 0
+    # two-entry packets: the entries must sit in distinct root subtrees
+    both = (sg[:, 0] > 0) & (sg[:, 1] > 0)
+    if both.any():
+        r0 = anc[sg[both, 0], 1]
+        r1 = anc[sg[both, 1], 1]
+        assert (r0 != r1).all()
 
 
 def test_subtree_entry_cuts_visits(scene_rays):
@@ -110,5 +141,5 @@ def test_subtree_entry_cuts_visits(scene_rays):
                                     start_g=start_g)
     # packet 0 is the coherent one; its group tests must drop when a
     # subtree was assigned (phase 2 gets gated off by the warm bounds)
-    if np.asarray(start_g)[0] > 0:
+    if np.asarray(start_g)[0, 0] > 0:
         assert g1[0] < g0[0]
