@@ -1144,9 +1144,12 @@ def _wide_body(gnodes_ref, hints_ref, gate_ref, startg_ref, groups_ref,
             def _():
                 walk(sg, enter(sg))
 
+            # the second entry may be an ANCESTOR of the first (planner's
+            # nested deep-first+LCA pair): skip the already-walked subtree
+            # (inert when the pair is disjoint)
             @pl.when(sg2 > 0)
             def _():
-                walk(sg2, enter(sg2))
+                walk(sg2, enter(sg2), skip=(sg, sg))
 
             # Phase 2 (exactness): full walk from the root, skipping the
             # already-processed subtrees. Ids <= 0 never match a child id
@@ -2144,16 +2147,28 @@ def make_planner(scene, packet: int = 2048, sample_stride: int = 32,
                 dsafe = jnp.clip(d, 0, anc_j.shape[1] - 1)
                 return d, ref_chain[:, 0, :][ar, dsafe]
 
-            c1 = A[:, :, 1]  # depth-1 ancestor per sample (-1: root-group)
+            # ancestor at the split depth lca_d+1 per sample (-1: the
+            # sample's chain ends at/above the LCA — its leaves are warmed
+            # by the hint seeding either way)
+            sdep = jnp.clip(lca_d + 1, 1, anc_j.shape[1] - 1)
+            c1 = jnp.take_along_axis(A, sdep[:, None, None],
+                                     axis=2)[:, :, 0]
             r1 = c1[:, 0:1]
             in1 = c1 == r1
             other = (~in1) & (c1 >= 0)
             idx2 = jnp.argmax(other, axis=1)
             exists2 = other[ar, idx2]
             refB = jnp.take_along_axis(A, idx2[:, None, None], axis=1)
-            in2 = c1 == refB[:, :, 1]
+            in2 = c1 == jnp.take_along_axis(refB[:, 0, :], sdep[:, None],
+                                            axis=1)
             d1, g1 = subset_lca(ref, in1)
             d2, g2 = subset_lca(refB, in2)
+            # Engage ONLY on root-LCA packets. Measured alternatives (120k
+            # aimed morton, 64k rays, iters/pkt): split at lca_d+1 for ALL
+            # packets 355; nested deep-first+full-LCA pair 168 but +1 iter
+            # on camera tiles (7 -> 8); this root-only form 168 with no
+            # camera overhead — deeper entries never beat entering the
+            # full LCA when one exists.
             two = has & (lca_d == 0) & (r1[:, 0] >= 0) & (d1 > 0)
             e1 = jnp.where(two, g1, e1)
             e2 = jnp.where(two & exists2 & (d2 > 0), g2, e2)

@@ -123,12 +123,12 @@ def test_planner_assigns_subtrees(scene_rays):
     # any assigned group must be a real group
     for g in sg[sg >= 0]:
         assert g == 0 or parent[g] >= 0
-    # two-entry packets: the entries must sit in distinct root subtrees
+    # two-entry packets: the entries must sit in DISJOINT subtrees
+    # (neither is an ancestor of the other)
     both = (sg[:, 0] > 0) & (sg[:, 1] > 0)
-    if both.any():
-        r0 = anc[sg[both, 0], 1]
-        r1 = anc[sg[both, 1], 1]
-        assert (r0 != r1).all()
+    for g0, g1 in zip(sg[both, 0], sg[both, 1]):
+        assert anc[g1, depth[g0]] != g0, (g0, g1)
+        assert anc[g0, depth[g1]] != g1, (g0, g1)
 
 
 def test_subtree_entry_cuts_visits(scene_rays):
