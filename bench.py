@@ -571,6 +571,31 @@ def main():
     print(json.dumps(result))
 
 
+def _device_reachable(timeout_s: float = 120.0) -> bool:
+    """Probe TPU availability in a subprocess (a dead axon tunnel hangs
+    device init indefinitely — fail fast with an honest error line
+    instead of hanging the driver)."""
+    import subprocess
+
+    code = ("import jax, jax.numpy as jnp; "
+            "assert jax.devices()[0].platform != 'cpu'; "
+            "print(float(jnp.sum(jnp.ones((8, 8)))))")
+    try:
+        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
+                           capture_output=True)
+        return r.returncode == 0
+    except subprocess.TimeoutExpired:
+        return False
+
+
 if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
+    if os.environ.get("BENCH_SKIP_PROBE", "0") != "1" and not _device_reachable():
+        print(json.dumps({
+            "metric": "closest_hit_rays_per_s_120k_tris", "value": 0,
+            "unit": "rays/s", "vs_baseline": 0.0,
+            "error": "TPU device unreachable (axon tunnel down); "
+                     "see BENCH_r02.json for the last hardware numbers",
+        }))
+        sys.exit(0)
     main()
