@@ -178,7 +178,9 @@ def build_sah(
             ) / _surface_area(s_amin, s_amax)[:, None]
         if config.overlap_penalty:
             # packet-aware term (see BvhConfig.overlap_penalty): overlap box
-            # of the candidate children, empty => zero area
+            # of the candidate children, empty => zero area; measured with
+            # the SAME 2*size.dot(size) proxy as _surface_area (the
+            # reference's own area measure), not the true 2(xy+yz+zx)
             ov_mn = np.maximum(l_amin, r_amin)
             ov_mx = np.minimum(l_amax, r_amax)
             ov_sz = np.maximum(ov_mx - ov_mn, dtype(0.0))

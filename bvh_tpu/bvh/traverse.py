@@ -113,7 +113,10 @@ def traverse_all(flat: FlatBvh, query, max_hits: int = 64,
         overflow = int(jnp.max(count)) if count.size else 0
         if overflow <= k:
             return hits, count
-        if k >= grow_limit:
+        # counts are exact even when slots saturate, so the retry below
+        # always fits: the limit must be enforced on the OBSERVED need
+        # (checking k would never fire — one doubling jump ends the loop)
+        if overflow > grow_limit:
             raise ValueError(
                 f"traverse_all: a lane collected {overflow} hits "
                 f"(> grow_limit={grow_limit}); use brute_force_collect")

@@ -319,8 +319,13 @@ def _pack_points(points, packet, d_max=None):
                              (r,)).reshape(-1, 1)
         bound = d * d
         if pad:
+            # pad lanes get a ZERO bound: d2min < 0 never fires, so the
+            # padding really adds no traversal work (an inf bound would
+            # make the pad lanes traverse unbounded and drag their whole
+            # packet through the full tree despite every real lane's
+            # radius pruning)
             bound = jnp.concatenate(
-                [bound, jnp.full((pad, 1), _INF, jnp.float32)], axis=0)
+                [bound, jnp.zeros((pad, 1), jnp.float32)], axis=0)
     slab = jnp.concatenate([pts, bound], axis=1)
     slab = slab.reshape(p, sub, 128, 4).transpose(0, 3, 1, 2)
     ones = jnp.ones((rp, 1), jnp.float32)

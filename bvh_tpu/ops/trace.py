@@ -1722,22 +1722,8 @@ def compute_seed_hints(scene, rays: Ray, packet: int = 2048,
     )
     pre = trace_closest_hit_tight(scene, sample, packet=min(packet, 1024),
                                   precision=precision, interpret=interpret)
-    # sampled hit triangle -> cluster -> leaf node id (host, small arrays)
-    tri_map = np_.asarray(scene.tri_map)
-    n_tris = int(tri_map.max()) + 1
-    W = int(getattr(scene, "width", 16))
-    lane_of_tri = np_.zeros(n_tris, np_.int64)
-    valid = tri_map >= 0
-    lane_of_tri[tri_map[valid]] = np_.nonzero(valid)[0]
-    if _traces_wide(scene):
-        # wide-walk scenes: hints are leaf SLOT ids g*K+k (see _wide_body)
-        node_of_cluster = np_.asarray(scene.gslot, np_.int64)
-    else:
-        nodes_entry = np_.asarray(scene.smem_nodes[6])
-        leaf_nodes = np_.nonzero(nodes_entry < 0)[0]
-        leaf_cluster = (-nodes_entry[leaf_nodes] - 1.0).astype(np_.int64)
-        node_of_cluster = np_.zeros(int(scene.num_clusters), np_.int64)
-        node_of_cluster[leaf_cluster] = leaf_nodes
+    # sampled hit triangle -> cluster -> hint id (host, small arrays)
+    lane_of_tri, node_of_cluster, n_tris, W = _hint_tables(scene)
 
     sid = np_.asarray(pre.shape_id)
     pad = (-r) % packet
@@ -1777,6 +1763,34 @@ def _traces_wide(scene) -> bool:
     return (getattr(scene, "gnodes", None) is not None
             and getattr(scene, "bgroups", None) is None
             and getattr(scene, "packed_nodes", None) is None)
+
+
+def _hint_tables(scene):
+    """Shared triangle->lane and cluster->hint-id tables for the seeding
+    pipeline: ``(lane_of_tri, node_of_cluster, n_tris, W)``, int64 numpy.
+
+    The hint-id FORMAT is tied to the scene's default walk
+    (``_traces_wide``): wide scenes use leaf SLOT ids g*K+k, entry/exit
+    scenes use node-table ids. Every consumer (``compute_seed_hints``,
+    ``make_seeder``) must derive both tables HERE so the format cannot
+    drift between them (the round-3 hint-format bug was exactly such a
+    drift)."""
+    tri_map = np.asarray(scene.tri_map)
+    n_tris = int(tri_map.max()) + 1
+    W = int(getattr(scene, "width", 16))
+    lane_of_tri = np.zeros(n_tris, np.int64)
+    valid = tri_map >= 0
+    lane_of_tri[tri_map[valid]] = np.nonzero(valid)[0]
+    if _traces_wide(scene):
+        # wide-walk scenes: hints are leaf SLOT ids g*K+k (see _wide_body)
+        node_of_cluster = np.asarray(scene.gslot, np.int64)
+    else:
+        nodes_entry = np.asarray(scene.smem_nodes[6])
+        leaf_nodes = np.nonzero(nodes_entry < 0)[0]
+        leaf_cluster = (-nodes_entry[leaf_nodes] - 1.0).astype(np.int64)
+        node_of_cluster = np.zeros(int(scene.num_clusters), np.int64)
+        node_of_cluster[leaf_cluster] = leaf_nodes
+    return lane_of_tri, node_of_cluster, n_tris, W
 
 
 def count_visits_tight(scene, rays: Ray, packet: int = 2048,
@@ -2009,23 +2023,9 @@ def make_seeder(scene, packet: int = 2048, sample_stride: int = 32,
         hints = seeder(rays)                        # stays on device
         trace_closest_hit_tight(scene, rays, hints=hints)
     """
-    tri_map = np.asarray(scene.tri_map)
-    n_tris = int(tri_map.max()) + 1
-    W = int(getattr(scene, "width", 16))
-    lane_of_tri = np.zeros(n_tris, np.int32)
-    valid = tri_map >= 0
-    lane_of_tri[tri_map[valid]] = np.nonzero(valid)[0].astype(np.int32)
-    if _traces_wide(scene):
-        # wide-walk scenes: hints are leaf SLOT ids g*K+k (see _wide_body)
-        node_of_cluster = np.asarray(scene.gslot, np.int32)
-    else:
-        nodes_entry = np.asarray(scene.smem_nodes[6])
-        leaf_nodes = np.nonzero(nodes_entry < 0)[0]
-        leaf_cluster = (-nodes_entry[leaf_nodes] - 1.0).astype(np.int64)
-        node_of_cluster = np.zeros(int(scene.num_clusters), np.int32)
-        node_of_cluster[leaf_cluster] = leaf_nodes.astype(np.int32)
-    lane_j = jnp.asarray(lane_of_tri)
-    node_j = jnp.asarray(node_of_cluster)
+    lane_of_tri, node_of_cluster, n_tris, W = _hint_tables(scene)
+    lane_j = jnp.asarray(lane_of_tri.astype(np.int32))
+    node_j = jnp.asarray(node_of_cluster.astype(np.int32))
     BIG = jnp.int32(0x7FFFFFF0)
 
     def seeder(rays: Ray):

@@ -70,8 +70,10 @@ def sharded_trace_closest_hit(mesh, scene, rays: Ray, tris=None,
     bg_args = (jnp.asarray(bg),) if bg is not None else ()
     pn = getattr(scene, "packed_nodes", None)
     pn_args = (jnp.asarray(pn),) if pn is not None else ()
+    gn = getattr(scene, "gnodes", None)
+    gn_args = (jnp.asarray(gn),) if gn is not None else ()
     tri_args = tuple(jnp.asarray(x) for x in tris) if tris is not None else ()
-    k = 3 + len(bg_args) + len(pn_args) + len(tri_args)
+    k = 3 + len(bg_args) + len(pn_args) + len(gn_args) + len(tri_args)
 
     def body(*a):
         sn_l, gr_l, tmap_l = a[:3]
@@ -80,19 +82,27 @@ def sharded_trace_closest_hit(mesh, scene, rays: Ray, tris=None,
         off += len(bg_args)
         pn_l = a[off] if pn_args else None
         off += len(pn_args)
+        gn_l = a[off] if gn_args else None
+        off += len(gn_args)
         tris_l = a[off:k] if tri_args else None
         o_l, d_l, inv_l = a[k:k + 3]
         tm_l = a[k + 3:]
+        # gnodes rides as a replicated operand like the other tables (its
+        # bucketed column count commonly divides the rays axis — a closure
+        # capture could get auto-sharded); gslot is only read by the
+        # seeder, never by the un-hinted trace — null it for safety
         local_scene = scene._replace(smem_nodes=sn_l, groups=gr_l,
                                      tri_map=tmap_l, bgroups=bg_l,
-                                     packed_nodes=pn_l, sweep_nodes=None)
+                                     packed_nodes=pn_l, sweep_nodes=None,
+                                     gnodes=gn_l, gslot=None)
         local = Ray(o_l, d_l, inv_l)
         hit = trace_closest_hit_tight(
             local_scene, local, tris=tris_l, packet=packet, interpret=interpret,
             t_max=tm_l[0] if tm_l else None)
         return hit.t, hit.u, hit.v, hit.shape_id
 
-    args = (sn, gr, tmap) + bg_args + pn_args + tri_args + (o, d, inv) + ((tm,) if tm is not None else ())
+    args = (sn, gr, tmap) + bg_args + pn_args + gn_args + tri_args \
+        + (o, d, inv) + ((tm,) if tm is not None else ())
     inner = jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(),) * k + tuple(P("rays") for _ in args[k:]),
@@ -145,7 +155,9 @@ def sharded_trace_any_hit(mesh, scene, rays: Ray, t_max=None,
     bg_args = (jnp.asarray(bg),) if bg is not None else ()
     pn = getattr(scene, "packed_nodes", None)
     pn_args = (jnp.asarray(pn),) if pn is not None else ()
-    k = 3 + len(bg_args) + len(pn_args)
+    gn = getattr(scene, "gnodes", None)
+    gn_args = (jnp.asarray(gn),) if gn is not None else ()
+    k = 3 + len(bg_args) + len(pn_args) + len(gn_args)
 
     def body(*a):
         sn_l, gr_l, tmap_l = a[:3]
@@ -153,17 +165,21 @@ def sharded_trace_any_hit(mesh, scene, rays: Ray, t_max=None,
         bg_l = a[off] if bg_args else None
         off += len(bg_args)
         pn_l = a[off] if pn_args else None
+        off += len(pn_args)
+        gn_l = a[off] if gn_args else None
         o_l, d_l, inv_l = a[k:k + 3]
         tm_l = a[k + 3:]
         local_scene = scene._replace(smem_nodes=sn_l, groups=gr_l,
                                      tri_map=tmap_l, bgroups=bg_l,
-                                     packed_nodes=pn_l, sweep_nodes=None)
+                                     packed_nodes=pn_l, sweep_nodes=None,
+                                     gnodes=gn_l, gslot=None)
         occ = trace_any_hit_tight(
             local_scene, Ray(o_l, d_l, inv_l), packet=packet, interpret=interpret,
             t_max=tm_l[0] if tm_l else None)
         return (occ,)
 
-    args = (sn, gr, tmap) + bg_args + pn_args + (o, d, inv) + ((tm,) if tm is not None else ())
+    args = (sn, gr, tmap) + bg_args + pn_args + gn_args + (o, d, inv) \
+        + ((tm,) if tm is not None else ())
     inner = jax.shard_map(
         body, mesh=mesh,
         in_specs=(P(),) * k + tuple(P("rays") for _ in args[k:]),
@@ -234,22 +250,29 @@ def multihost_trace_closest_hit(mesh, scene, local_rays: Ray,
     sn = to_rep(scene.smem_nodes)
     gr = to_rep(scene.groups)
     tmap = to_rep(scene.tri_map)
+    gn = getattr(scene, "gnodes", None)
+    gn_args = (to_rep(gn),) if gn is not None else ()
 
-    def body(sn_l, gr_l, tmap_l, o_l, d_l, inv_l):
+    def body(sn_l, gr_l, tmap_l, *rest):
+        gn_l = rest[0] if gn_args else None
+        o_l, d_l, inv_l = rest[len(gn_args):]
+        # wide table as a replicated operand, not a closure capture (its
+        # bucketed width can divide the rays axis and get auto-sharded)
         local_scene = scene._replace(smem_nodes=sn_l, groups=gr_l,
                                      tri_map=tmap_l, bgroups=None,
-                                     packed_nodes=None, sweep_nodes=None)
+                                     packed_nodes=None, sweep_nodes=None,
+                                     gnodes=gn_l, gslot=None)
         hit = trace_closest_hit_tight(local_scene, Ray(o_l, d_l, inv_l),
                                       packet=packet, interpret=interpret)
         return hit.t, hit.u, hit.v, hit.shape_id
 
     inner = jax.jit(jax.shard_map(
         body, mesh=mesh,
-        in_specs=(P(), P(), P(), spec, spec, spec),
+        in_specs=(P(),) * (3 + len(gn_args)) + (spec, spec, spec),
         out_specs=(spec, spec, spec, spec),
         check_vma=False,
     ))
-    t, u, v, sid = inner(sn, gr, tmap, o, d, inv)
+    t, u, v, sid = inner(sn, gr, tmap, *gn_args, o, d, inv)
 
     def local(x):
         import numpy as _np
