@@ -16,12 +16,26 @@ measured time.
 Prints ONE JSON line on stdout.
 """
 
+import contextlib
 import json
 import os
 import sys
 import time
 
 import numpy as np
+
+
+@contextlib.contextmanager
+def _leg(name):
+    """Optional-leg guard: a hardware/compile failure in one bench leg
+    degrades that metric to its default instead of killing the whole
+    bench line (several kernels ship hardware-untested when the tunnel
+    was down during development)."""
+    try:
+        yield
+    except Exception as e:
+        print(f"bench: {name} leg failed ({type(e).__name__}: "
+              f"{str(e)[:200]})", file=sys.stderr)
 
 
 def main():
@@ -57,6 +71,14 @@ def main():
 
     rays_u = Ray.create(o_dev, d_dev)  # unsorted; perm folds into the pack
 
+    def _strip_wide(s):
+        """Drop the wide-walk tables so every trace falls back to the
+        round-2-hardware-proven entry/exit kernel (results identical;
+        pure perf fallback)."""
+        if hasattr(s, "parts"):
+            return s._replace(parts=tuple(_strip_wide(p) for p in s.parts))
+        return s._replace(gnodes=None, gslot=None, gdepth=0)
+
     def run(o, d):
         perm, inv = sort_rays_device(o, d, bits=2)
         # sweep: region-free pre-pass gates the full kernel per packet —
@@ -72,7 +94,22 @@ def main():
         fence = float(jnp.sum(jnp.where(jnp.isfinite(t), t, 0.0)))
         return t, sid, fence
 
-    t, sid, _ = run(o_dev, d_dev)  # compile + warmup
+    # The K-ary group walk is the default broadphase but is round-3 code
+    # that has only ever compiled in interpret mode (the tunnel was down);
+    # if Mosaic rejects it on this hardware, fall back to the entry/exit
+    # kernel rather than losing the whole bench.
+    wide_ok = getattr(scene, "gnodes", None) is not None
+    try:
+        t, sid, _ = run(o_dev, d_dev)  # compile + warmup
+    except Exception as e:
+        if not wide_ok:
+            raise
+        print(f"bench: wide group-walk failed on hardware "
+              f"({type(e).__name__}: {str(e)[:200]}); falling back to the "
+              "entry/exit kernel", file=sys.stderr)
+        wide_ok = False
+        scene = _strip_wide(scene)
+        t, sid, _ = run(o_dev, d_dev)
 
     best = float("inf")
     for _ in range(iters):
@@ -102,12 +139,20 @@ def main():
     perm_a, inv_a = sort_rays_device(ao_j, ad_j2, mode="morton")
     aimed = Ray.create(ao_j[perm_a], ad_j2[perm_a])
 
-    from bvh_tpu.ops.trace import make_planner
+    from bvh_tpu.ops.trace import make_planner, make_seeder
+
+    def _make_plan(s, pkt):
+        """Planner (hints + subtree entries) on wide scenes; seeding hints
+        alone on the entry/exit fallback path."""
+        if getattr(s, "gnodes", None) is not None:
+            return make_planner(s, packet=pkt)
+        seeder = make_seeder(s, packet=pkt)
+        return lambda r: (seeder(r), None)
 
     # device-side planning: sampled pre-trace -> seeding hints + per-packet
     # subtree-entry groups, composing with the main trace into one device
     # program (the host-mapping path pays a ~27ms tunnel fence per batch)
-    planner = make_planner(scene, packet=packet)
+    planner = _make_plan(scene, packet)
 
     def run_aimed():
         hints_a, start_a = planner(aimed)
@@ -115,7 +160,15 @@ def main():
                                       hints=hints_a, start_g=start_a)
         return out, float(jnp.sum(jnp.where(jnp.isfinite(out.t), out.t, 0.0)))
 
-    out_a, _ = run_aimed()
+    try:
+        out_a, _ = run_aimed()
+    except Exception as e:
+        # seeding/planning kernels are hardware-untested round-3 code; the
+        # plain trace is the exact same result, just colder
+        print(f"bench: planner failed ({type(e).__name__}: {str(e)[:200]}); "
+              "aimed legs run unplanned", file=sys.stderr)
+        planner = lambda r: (None, None)  # noqa: E731
+        out_a, _ = run_aimed()
     best_a = float("inf")
     for _ in range(max(iters - 2, 1)):
         t0 = time.perf_counter()
@@ -138,84 +191,90 @@ def main():
                                          start_g=start_a)
         return jnp.sum(jnp.where(hit_m, (depth - tgt) ** 2, 0.0)) * 1e-9
 
-    gfn = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2)))
-    val, grads = gfn(aj, bj, cj)
-    _ = float(val)
-    best_g = float("inf")
-    for _ in range(max(iters - 3, 1)):
-        t0 = time.perf_counter()
+    fwd_bwd_rays_per_s = None
+    with _leg("diff_fwd_bwd"):
+        gfn = jax.jit(jax.value_and_grad(loss, argnums=(0, 1, 2)))
         val, grads = gfn(aj, bj, cj)
         _ = float(val)
-        best_g = min(best_g, time.perf_counter() - t0)
-    fwd_bwd_rays_per_s = n_aimed / best_g
+        best_g = float("inf")
+        for _ in range(max(iters - 3, 1)):
+            t0 = time.perf_counter()
+            val, grads = gfn(aj, bj, cj)
+            _ = float(val)
+            best_g = min(best_g, time.perf_counter() - t0)
+        fwd_bwd_rays_per_s = n_aimed / best_g
 
     # Scale sweep: the reference benches 1,200 / 12,000 / 120,000 triangles
     # (README.md:176-178: 146 / 367 / 853 ns per ray on one core); same
     # random-ray distribution at each scale.
     scales = {}
     if os.environ.get("BENCH_SCALES", "1") == "1":
-        for nc, ref_ns in ((100, 146), (1000, 367)):
-            a_s, b_s, c_s = tb.create_n_cubes(nc)
-            scene_s = build_tight_scene(a_s, b_s, c_s)
-            seed_s = tb.seed_state_after(nc)
-            o_s, d_s = tb.create_rays(n_rays, seed=seed_s)
-            o_sj, d_sj = jnp.asarray(o_s), jnp.asarray(d_s)
+        with _leg("scales"):
+            for nc, ref_ns in ((100, 146), (1000, 367)):
+                a_s, b_s, c_s = tb.create_n_cubes(nc)
+                scene_s = build_tight_scene(a_s, b_s, c_s, wide=wide_ok)
+                seed_s = tb.seed_state_after(nc)
+                o_s, d_s = tb.create_rays(n_rays, seed=seed_s)
+                o_sj, d_sj = jnp.asarray(o_s), jnp.asarray(d_s)
 
-            rays_su = Ray.create(o_sj, d_sj)
+                rays_su = Ray.create(o_sj, d_sj)
 
-            def run_s():
-                # tiny tables: coherence matters less, finer origin bits
-                # keep packets tight (bits=2 measured -18% at 1.2k tris)
-                perm_s, inv_s = sort_rays_device(o_sj, d_sj,
-                                                 bits=4 if nc < 1000 else 2)
-                # tiny scenes: the sweep's extra dispatch outweighs the
-                # traversal it saves (measured -24% at 1.2k tris)
-                out_s = trace_closest_hit_tight(scene_s, rays_su, packet=packet,
-                                                sweep=nc >= 1000, perm=perm_s)
-                ts = out_s.t[inv_s]
-                return float(jnp.sum(jnp.where(jnp.isfinite(ts), ts, 0.0)))
+                def run_s():
+                    # tiny tables: coherence matters less, finer origin bits
+                    # keep packets tight (bits=2 measured -18% at 1.2k tris)
+                    perm_s, inv_s = sort_rays_device(o_sj, d_sj,
+                                                     bits=4 if nc < 1000 else 2)
+                    # tiny scenes: the sweep's extra dispatch outweighs the
+                    # traversal it saves (measured -24% at 1.2k tris)
+                    out_s = trace_closest_hit_tight(scene_s, rays_su, packet=packet,
+                                                    sweep=nc >= 1000, perm=perm_s)
+                    ts = out_s.t[inv_s]
+                    return float(jnp.sum(jnp.where(jnp.isfinite(ts), ts, 0.0)))
 
-            run_s()
-            best_s2 = float("inf")
-            for _ in range(max(iters - 3, 1)):
-                t0 = time.perf_counter()
                 run_s()
-                best_s2 = min(best_s2, time.perf_counter() - t0)
-            scales[f"{nc * 12}_tris_rays_per_s"] = round(n_rays / best_s2)
-            scales[f"{nc * 12}_tris_vs_ref"] = round(
-                (n_rays / best_s2) / (1e9 / ref_ns), 2)
+                best_s2 = float("inf")
+                for _ in range(max(iters - 3, 1)):
+                    t0 = time.perf_counter()
+                    run_s()
+                    best_s2 = min(best_s2, time.perf_counter() - t0)
+                scales[f"{nc * 12}_tris_rays_per_s"] = round(n_rays / best_s2)
+                scales[f"{nc * 12}_tris_vs_ref"] = round(
+                    (n_rays / best_s2) / (1e9 / ref_ns), 2)
 
     # 1M-triangle sparse scene through the chained (Morton-partitioned)
     # tracer — the beyond-one-SMEM-table scale class (round-1 envelope:
     # auto-widened W=128 collapsed to 0.09 M rays/s here).
     sparse_1m_rays_per_s = None
     if os.environ.get("BENCH_SPARSE_1M", "1") == "1":
-        from bvh_tpu.ops.cluster import build_chained_scene
-        from bvh_tpu.ops.trace import trace_closest_hit_chained
+        with _leg("sparse_1m"):
+            from bvh_tpu.ops.cluster import build_chained_scene
+            from bvh_tpu.ops.trace import trace_closest_hit_chained
 
-        a_m, b_m, c_m = tb.create_n_cubes(84000)  # 1.008M triangles
-        ch = build_chained_scene(a_m, b_m, c_m)  # default 200k parts keep W=16
-        seed_m = tb.seed_state_after(84000)
-        o_m, d_m = tb.create_rays(n_rays, seed=seed_m)
-        o_mj, d_mj = jnp.asarray(o_m), jnp.asarray(d_m)
+            a_m, b_m, c_m = tb.create_n_cubes(84000)  # 1.008M triangles
+            ch = build_chained_scene(a_m, b_m, c_m)  # default 200k parts keep W=16
+            if not wide_ok:
+                ch = _strip_wide(ch)
+            seed_m = tb.seed_state_after(84000)
+            o_m, d_m = tb.create_rays(n_rays, seed=seed_m)
+            o_mj, d_mj = jnp.asarray(o_m), jnp.asarray(d_m)
 
-        r_mu = Ray.create(o_mj, d_mj)
+            r_mu = Ray.create(o_mj, d_mj)
 
-        def run_m():
-            perm_m, inv_m = sort_rays_device(o_mj, d_mj, bits=2)
-            out_m = trace_closest_hit_chained(ch, r_mu, packet=packet,
-                                              sweep=True, perm=perm_m)
-            t_m = out_m.t[inv_m]
-            return float(jnp.sum(jnp.where(jnp.isfinite(t_m), t_m, 0.0)))
+            def run_m():
+                perm_m, inv_m = sort_rays_device(o_mj, d_mj, bits=2)
+                out_m = trace_closest_hit_chained(ch, r_mu, packet=packet,
+                                                  sweep=True, perm=perm_m)
+                t_m = out_m.t[inv_m]
+                return float(jnp.sum(jnp.where(jnp.isfinite(t_m), t_m, 0.0)))
 
-        run_m()
-        best_m = float("inf")
-        for _ in range(max(iters - 3, 1)):
-            t0 = time.perf_counter()
             run_m()
-            best_m = min(best_m, time.perf_counter() - t0)
-        sparse_1m_rays_per_s = n_rays / best_m
-        del ch
+            best_m = float("inf")
+            for _ in range(max(iters - 3, 1)):
+                t0 = time.perf_counter()
+                run_m()
+                best_m = min(best_m, time.perf_counter() - t0)
+            sparse_1m_rays_per_s = n_rays / best_m
+            del ch
 
     # Dynamic-scene maintenance: the reference's update_shapes bench moves a
     # fraction of shapes then refits (README.md:197-200; 76ms at 50% churn on
@@ -223,34 +282,38 @@ def main():
     from bvh_tpu.bvh import build_sah, update_shapes
 
     mn, mx = tb.tri_aabbs(a, b, c)
-    flat = build_sah(mn, mx)[0].to_device()
     a2, b2, c2, _ = tb.randomly_transform_scene(a, b, c, amount=len(a) // 2, seed=9)
-    mn2, mx2 = tb.tri_aabbs(a2, b2, c2)
-    mn2j, mx2j = jnp.asarray(mn2), jnp.asarray(mx2)
-    refit_fn = jax.jit(update_shapes)
-    out_f = refit_fn(flat, mn2j, mx2j)
-    _ = float(jnp.sum(out_f.aabb_min))
-    best_r = float("inf")
-    for _ in range(max(iters - 2, 1)):
-        t0 = time.perf_counter()
+    best_r = None
+    with _leg("update_shapes_flat"):
+        flat = build_sah(mn, mx)[0].to_device()
+        mn2, mx2 = tb.tri_aabbs(a2, b2, c2)
+        mn2j, mx2j = jnp.asarray(mn2), jnp.asarray(mx2)
+        refit_fn = jax.jit(update_shapes)
         out_f = refit_fn(flat, mn2j, mx2j)
         _ = float(jnp.sum(out_f.aabb_min))
-        best_r = min(best_r, time.perf_counter() - t0)
+        best_r = float("inf")
+        for _ in range(max(iters - 2, 1)):
+            t0 = time.perf_counter()
+            out_f = refit_fn(flat, mn2j, mx2j)
+            _ = float(jnp.sum(out_f.aabb_min))
+            best_r = min(best_r, time.perf_counter() - t0)
 
     # Per-frame path: device refit of the trace kernel's TightScene itself
     # (topology + SAH cluster quality kept; boxes + packed rows recomputed).
     from bvh_tpu.ops.device_build import make_refitter
 
-    tre = make_refitter(scene)
-    a2j, b2j, c2j = jnp.asarray(a2), jnp.asarray(b2), jnp.asarray(c2)
-    out_t = tre.core(a2j, b2j, c2j)
-    _ = float(jnp.sum(out_t[0][0]))
-    best_tr = float("inf")
-    for _ in range(max(iters - 2, 1)):
-        t0 = time.perf_counter()
+    best_tr = None
+    with _leg("tight_refit"):
+        tre = make_refitter(scene)
+        a2j, b2j, c2j = jnp.asarray(a2), jnp.asarray(b2), jnp.asarray(c2)
         out_t = tre.core(a2j, b2j, c2j)
         _ = float(jnp.sum(out_t[0][0]))
-        best_tr = min(best_tr, time.perf_counter() - t0)
+        best_tr = float("inf")
+        for _ in range(max(iters - 2, 1)):
+            t0 = time.perf_counter()
+            out_t = tre.core(a2j, b2j, c2j)
+            _ = float(jnp.sum(out_t[0][0]))
+            best_tr = min(best_tr, time.perf_counter() - t0)
 
     # Refit QUALITY (not just speed): the reference's README publishes the
     # traversal cost after update_shapes vs a rebuild at 1/10/50% churn
@@ -260,49 +323,50 @@ def main():
     # already-compiled kernel.
     refit_quality = {}
     if os.environ.get("BENCH_REFIT_QUALITY", "1") == "1":
-        from bvh_tpu.ops.device_build import make_refitter as _mk_refit
+        with _leg("refit_quality"):
+            from bvh_tpu.ops.device_build import make_refitter as _mk_refit
 
-        from bvh_tpu.ops import make_updater
-        from bvh_tpu.ops.trace import trace_closest_hit_chained
+            from bvh_tpu.ops import make_updater
+            from bvh_tpu.ops.trace import trace_closest_hit_chained
 
-        refitter = _mk_refit(scene)
-        for frac, label in ((0.01, "1pct"), (0.1, "10pct"), (0.5, "50pct")):
-            amount = int(len(a) * frac)
-            am, bm, cm, moved = tb.randomly_transform_scene(
-                a, b, c, amount=amount, seed=13)
-            amj, bmj, cmj = jnp.asarray(am), jnp.asarray(bm), jnp.asarray(cm)
-            updater = make_updater(scene, max_moved=amount)
-            cells = {
-                "refit": refitter(amj, bmj, cmj),
-                "host_rebuild": build_tight_scene(am, bm, cm),
-                # mask+delta update: static part keeps original SAH quality,
-                # moved tris live in a device-built delta part (ops/update.py)
-                "update": updater(amj, bmj, cmj,
-                                  jnp.asarray(moved, jnp.int32)[:amount]),
-            }
-            for name, sc in cells.items():
-                chained_q = hasattr(sc, "parts")
+            refitter = _mk_refit(scene)
+            for frac, label in ((0.01, "1pct"), (0.1, "10pct"), (0.5, "50pct")):
+                amount = int(len(a) * frac)
+                am, bm, cm, moved = tb.randomly_transform_scene(
+                    a, b, c, amount=amount, seed=13)
+                amj, bmj, cmj = jnp.asarray(am), jnp.asarray(bm), jnp.asarray(cm)
+                updater = make_updater(scene, max_moved=amount)
+                cells = {
+                    "refit": refitter(amj, bmj, cmj),
+                    "host_rebuild": build_tight_scene(am, bm, cm, wide=wide_ok),
+                    # mask+delta update: static part keeps original SAH quality,
+                    # moved tris live in a device-built delta part (ops/update.py)
+                    "update": updater(amj, bmj, cmj,
+                                      jnp.asarray(moved, jnp.int32)[:amount]),
+                }
+                for name, sc in cells.items():
+                    chained_q = hasattr(sc, "parts")
 
-                def run_q(sc=sc, chained_q=chained_q):
-                    perm, inv = sort_rays_device(o_dev, d_dev, bits=2)
-                    if chained_q:
-                        out_q = trace_closest_hit_chained(sc, rays_u,
-                                                          packet=packet,
-                                                          sweep=True, perm=perm)
-                    else:
-                        out_q = trace_closest_hit_tight(sc, rays_u,
-                                                        packet=packet,
-                                                        sweep=True, perm=perm)
-                    tq = out_q.t[inv]
-                    return float(jnp.sum(jnp.where(jnp.isfinite(tq), tq, 0.0)))
+                    def run_q(sc=sc, chained_q=chained_q):
+                        perm, inv = sort_rays_device(o_dev, d_dev, bits=2)
+                        if chained_q:
+                            out_q = trace_closest_hit_chained(sc, rays_u,
+                                                              packet=packet,
+                                                              sweep=True, perm=perm)
+                        else:
+                            out_q = trace_closest_hit_tight(sc, rays_u,
+                                                            packet=packet,
+                                                            sweep=True, perm=perm)
+                        tq = out_q.t[inv]
+                        return float(jnp.sum(jnp.where(jnp.isfinite(tq), tq, 0.0)))
 
-                run_q()
-                best_q = float("inf")
-                for _ in range(max(iters - 3, 1)):
-                    t0 = time.perf_counter()
                     run_q()
-                    best_q = min(best_q, time.perf_counter() - t0)
-                refit_quality[f"{label}_{name}_rays_per_s"] = round(n_rays / best_q)
+                    best_q = float("inf")
+                    for _ in range(max(iters - 3, 1)):
+                        t0 = time.perf_counter()
+                        run_q()
+                        best_q = min(best_q, time.perf_counter() - t0)
+                    refit_quality[f"{label}_{name}_rays_per_s"] = round(n_rays / best_q)
 
     # Roofline accounting for the headline kernel: visit/fire counts from the
     # instrumented kernel (one un-timed pass) + the measured best time give
@@ -312,85 +376,86 @@ def main():
     # not the limiter; the limiter is the serial broadphase visit chain.
     roofline = None
     if os.environ.get("BENCH_ROOFLINE", "1") == "1":
-        from bvh_tpu.ops.trace import (_pack_rays_tight, count_visits_tight,
-                                       count_visits_wide)
+        with _leg("roofline"):
+            from bvh_tpu.ops.trace import (_pack_rays_tight, count_visits_tight,
+                                           count_visits_wide)
 
-        perm, inv_r = sort_rays_device(o_dev, d_dev, bits=2)
-        rays_s = Ray.create(o_dev[perm], d_dev[perm])
-        wide_path = getattr(scene, "gnodes", None) is not None
-        if wide_path:
-            # the headline traces the K-ary group walk: its serial unit is
-            # the loop ITERATION (one chain per fired child / pop), its
-            # vector unit the 16-child group test
-            iters_c, fires_c, gtests_c = count_visits_wide(scene, rays_s,
-                                                           packet=packet)
-            n_packets = int(iters_c.shape[0])
-            v_tot, f_tot = int(iters_c.sum()), int(fires_c.sum())
-            g_tot = int(gtests_c.sum())
-        else:
-            visits, fires = count_visits_tight(scene, rays_s, packet=packet)
-            n_packets = int(visits.shape[0])
-            v_tot, f_tot = int(visits.sum()), int(fires.sum())
-            g_tot = None
-        # the counters come from the UNGATED kernel (count mode has no
-        # sweep), so time an ungated run for an apples-to-apples
-        # decomposition (the headline above is sweep-gated and faster)
-        def run_ungated():
-            out_u = trace_closest_hit_tight(scene, rays_u, packet=packet,
-                                            perm=perm)
-            tu = out_u.t[inv_r]
-            return float(jnp.sum(jnp.where(jnp.isfinite(tu), tu, 0.0)))
+            perm, inv_r = sort_rays_device(o_dev, d_dev, bits=2)
+            rays_s = Ray.create(o_dev[perm], d_dev[perm])
+            wide_path = getattr(scene, "gnodes", None) is not None
+            if wide_path:
+                # the headline traces the K-ary group walk: its serial unit is
+                # the loop ITERATION (one chain per fired child / pop), its
+                # vector unit the 16-child group test
+                iters_c, fires_c, gtests_c = count_visits_wide(scene, rays_s,
+                                                               packet=packet)
+                n_packets = int(iters_c.shape[0])
+                v_tot, f_tot = int(iters_c.sum()), int(fires_c.sum())
+                g_tot = int(gtests_c.sum())
+            else:
+                visits, fires = count_visits_tight(scene, rays_s, packet=packet)
+                n_packets = int(visits.shape[0])
+                v_tot, f_tot = int(visits.sum()), int(fires.sum())
+                g_tot = None
+            # the counters come from the UNGATED kernel (count mode has no
+            # sweep), so time an ungated run for an apples-to-apples
+            # decomposition (the headline above is sweep-gated and faster)
+            def run_ungated():
+                out_u = trace_closest_hit_tight(scene, rays_u, packet=packet,
+                                                perm=perm)
+                tu = out_u.t[inv_r]
+                return float(jnp.sum(jnp.where(jnp.isfinite(tu), tu, 0.0)))
 
-        run_ungated()
-        best_u = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
             run_ungated()
-            best_u = min(best_u, time.perf_counter() - t0)
+            best_u = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                run_ungated()
+                best_u = min(best_u, time.perf_counter() - t0)
 
-        # measured prep decomposition: time sort+pack alone (the streaming
-        # sums that force materialization cost ~0.5ms of HBM reads, noise
-        # next to the gathers) — no assumed per-visit constant needed
-        def run_prep():
-            perm_p, inv_p = sort_rays_device(o_dev, d_dev, bits=2)
-            _, _, slab_p, lmat_p = _pack_rays_tight(rays_u, packet, None,
-                                                    perm=perm_p)
-            return float(jnp.sum(slab_p[:, :6]) + jnp.sum(lmat_p)
-                         + jnp.sum(inv_p))
+            # measured prep decomposition: time sort+pack alone (the streaming
+            # sums that force materialization cost ~0.5ms of HBM reads, noise
+            # next to the gathers) — no assumed per-visit constant needed
+            def run_prep():
+                perm_p, inv_p = sort_rays_device(o_dev, d_dev, bits=2)
+                _, _, slab_p, lmat_p = _pack_rays_tight(rays_u, packet, None,
+                                                        perm=perm_p)
+                return float(jnp.sum(slab_p[:, :6]) + jnp.sum(lmat_p)
+                             + jnp.sum(inv_p))
 
-        run_prep()
-        best_p = float("inf")
-        for _ in range(2):
-            t0 = time.perf_counter()
             run_prep()
-            best_p = min(best_p, time.perf_counter() - t0)
-        fence_s = 0.027
-        prep_s = max(best_p - fence_s, 0.0)
-        kernel_epi_s = best_u - best_p  # fences cancel; epilogue gathers small
-        W = int(scene.width)
-        # narrowphase MXU flops per fire: [16, 4W] x [16, packet] matmul
-        mxu_flops = f_tot * 2 * 16 * 4 * W * packet
-        peak_mxu = 197e12  # bf16 v5e; f32 ~ 1/4 of this
-        roofline = {
-            "config": ("ungated wide group-walk" if wide_path
-                       else "ungated entry/exit walk") +
-                      " (sweep=False; the counters' configuration)",
-            "serial_unit": "iterations" if wide_path else "visits",
-            "serial_total": v_tot,
-            "fires_total": f_tot,
-            "group_tests_total": g_tot,
-            "serial_per_packet": round(v_tot / n_packets, 1),
-            "ungated_best_s": round(best_u, 4),
-            "xla_prep_s": round(prep_s, 4),
-            "kernel_epilogue_s": round(kernel_epi_s, 4),
-            "measured_ns_per_serial_unit": round(
-                kernel_epi_s * 1e9 / max(v_tot, 1), 2),
-            "fence_s": fence_s,
-            "narrow_mxu_flops": mxu_flops,
-            "mxu_util_pct": round(100.0 * mxu_flops / (best_u * peak_mxu), 3),
-            "bound": "serial chain latency per iteration "
-                     "(SMEM/VMEM resident; not HBM- or FLOP-bound)",
-        }
+            best_p = float("inf")
+            for _ in range(2):
+                t0 = time.perf_counter()
+                run_prep()
+                best_p = min(best_p, time.perf_counter() - t0)
+            fence_s = 0.027
+            prep_s = max(best_p - fence_s, 0.0)
+            kernel_epi_s = best_u - best_p  # fences cancel; epilogue gathers small
+            W = int(scene.width)
+            # narrowphase MXU flops per fire: [16, 4W] x [16, packet] matmul
+            mxu_flops = f_tot * 2 * 16 * 4 * W * packet
+            peak_mxu = 197e12  # bf16 v5e; f32 ~ 1/4 of this
+            roofline = {
+                "config": ("ungated wide group-walk" if wide_path
+                           else "ungated entry/exit walk") +
+                          " (sweep=False; the counters' configuration)",
+                "serial_unit": "iterations" if wide_path else "visits",
+                "serial_total": v_tot,
+                "fires_total": f_tot,
+                "group_tests_total": g_tot,
+                "serial_per_packet": round(v_tot / n_packets, 1),
+                "ungated_best_s": round(best_u, 4),
+                "xla_prep_s": round(prep_s, 4),
+                "kernel_epilogue_s": round(kernel_epi_s, 4),
+                "measured_ns_per_serial_unit": round(
+                    kernel_epi_s * 1e9 / max(v_tot, 1), 2),
+                "fence_s": fence_s,
+                "narrow_mxu_flops": mxu_flops,
+                "mxu_util_pct": round(100.0 * mxu_flops / (best_u * peak_mxu), 3),
+                "bound": "serial chain latency per iteration "
+                         "(SMEM/VMEM resident; not HBM- or FLOP-bound)",
+            }
 
     # Ray-vs-1000-AABBs microbench — the reference's isolated slab-test
     # bench (`bench_intersects_aabb`, src/ray/ray_impl.rs:432-478: one ray
@@ -402,78 +467,81 @@ def main():
     # kernel's ~195 ns/visit: one packet-visit is `packet` of these tests.
     ray_aabb = None
     if os.environ.get("BENCH_RAY_AABB", "1") == "1":
-        n_boxes = 1000
-        n_r = 1 << 17  # 131072 rays x 1000 boxes = 131M tests/iter
-        a_bx, b_bx, c_bx = tb.create_n_cubes(84)  # ~1000 tris -> 1000 boxes
-        bmn, bmx = tb.tri_aabbs(a_bx[:n_boxes], b_bx[:n_boxes], c_bx[:n_boxes])
-        o_r, d_r = tb.create_rays(n_r, seed=tb.seed_state_after(84))
-        rays_r = Ray.create(jnp.asarray(o_r), jnp.asarray(d_r))
-        bmn_j, bmx_j = jnp.asarray(bmn), jnp.asarray(bmx)
+        with _leg("ray_aabb_1000"):
+            n_boxes = 1000
+            n_r = 1 << 17  # 131072 rays x 1000 boxes = 131M tests/iter
+            a_bx, b_bx, c_bx = tb.create_n_cubes(84)  # ~1000 tris -> 1000 boxes
+            bmn, bmx = tb.tri_aabbs(a_bx[:n_boxes], b_bx[:n_boxes], c_bx[:n_boxes])
+            o_r, d_r = tb.create_rays(n_r, seed=tb.seed_state_after(84))
+            rays_r = Ray.create(jnp.asarray(o_r), jnp.asarray(d_r))
+            bmn_j, bmx_j = jnp.asarray(bmn), jnp.asarray(bmx)
 
-        @jax.jit
-        def slab_all(o, inv, mn_, mx_):
-            # [R, 1, 3] vs [1, B, 3] — reference slab semantics (FMA form)
-            t1 = (mn_[None] - o[:, None]) * inv[:, None]
-            t2 = (mx_[None] - o[:, None]) * inv[:, None]
-            tmin = jnp.minimum(t1, t2).max(axis=-1)
-            tmax = jnp.maximum(t1, t2).min(axis=-1)
-            hit = tmax >= jnp.maximum(tmin, 0.0)
-            return jnp.sum(hit.astype(jnp.int32))
+            @jax.jit
+            def slab_all(o, inv, mn_, mx_):
+                # [R, 1, 3] vs [1, B, 3] — reference slab semantics (FMA form)
+                t1 = (mn_[None] - o[:, None]) * inv[:, None]
+                t2 = (mx_[None] - o[:, None]) * inv[:, None]
+                tmin = jnp.minimum(t1, t2).max(axis=-1)
+                tmax = jnp.maximum(t1, t2).min(axis=-1)
+                hit = tmax >= jnp.maximum(tmin, 0.0)
+                return jnp.sum(hit.astype(jnp.int32))
 
-        def run_ab():
-            return int(slab_all(rays_r.origin, rays_r.inv_direction,
-                                bmn_j, bmx_j))
+            def run_ab():
+                return int(slab_all(rays_r.origin, rays_r.inv_direction,
+                                    bmn_j, bmx_j))
 
-        hits_ab = run_ab()
-        best_ab = float("inf")
-        for _ in range(max(iters - 2, 1)):
-            t0 = time.perf_counter()
-            run_ab()
-            best_ab = min(best_ab, time.perf_counter() - t0)
-        tests = n_r * n_boxes
-        ns_per_test = best_ab * 1e9 / tests
-        ray_aabb = {
-            "tests_per_s": round(tests / best_ab),
-            "ns_per_test": round(ns_per_test, 4),
-            "vs_ref_scalar_4p40ns": round(4.40 / ns_per_test, 1),
-            "vs_ref_simd_2p45ns": round(2.45 / ns_per_test, 1),
-            "hit_fraction": round(hits_ab / tests, 5),
-        }
+            hits_ab = run_ab()
+            best_ab = float("inf")
+            for _ in range(max(iters - 2, 1)):
+                t0 = time.perf_counter()
+                run_ab()
+                best_ab = min(best_ab, time.perf_counter() - t0)
+            tests = n_r * n_boxes
+            ns_per_test = best_ab * 1e9 / tests
+            ray_aabb = {
+                "tests_per_s": round(tests / best_ab),
+                "ns_per_test": round(ns_per_test, 4),
+                "vs_ref_scalar_4p40ns": round(4.40 / ns_per_test, 1),
+                "vs_ref_simd_2p45ns": round(2.45 / ns_per_test, 1),
+                "hit_fraction": round(hits_ab / tests, 5),
+            }
 
     # Fused wavefront path tracing (render.py): primary + NEE shadow +
     # bounce waves in ONE jitted program — the multi-bounce headline config.
     pathtrace_rays_per_s = None
     if os.environ.get("BENCH_PATHTRACE", "1") == "1":
-        from bvh_tpu.render import make_pathtracer
+        with _leg("pathtrace"):
+            from bvh_tpu.render import make_pathtracer
 
-        bounces = 2
-        side = 1024
-        ad_p, bd_p, cd_p = tb.create_dense_mesh()
-        scene_p = build_tight_scene(ad_p, bd_p, cd_p, leaf_size=128)
-        from bvh_tpu.diff.camera import camera_rays as _cam
+            bounces = 2
+            side = 1024
+            ad_p, bd_p, cd_p = tb.create_dense_mesh()
+            scene_p = build_tight_scene(ad_p, bd_p, cd_p, leaf_size=128,
+                                        wide=wide_ok)
+            from bvh_tpu.diff.camera import camera_rays as _cam
 
-        camp = _cam(np.array([0.0, 60.0, -120.0], np.float32),
-                    np.array([0.0, 0.0, 0.0]), np.array([0.0, 1.0, 0.0]),
-                    55.0, side, side)
-        op = np.asarray(camp.origin).reshape(side // 32, 32, side // 32, 32, 3)
-        op = op.transpose(0, 2, 1, 3, 4).reshape(-1, 3)
-        dp = np.asarray(camp.direction).reshape(side // 32, 32, side // 32, 32, 3)
-        dp = dp.transpose(0, 2, 1, 3, 4).reshape(-1, 3)
-        tracer = make_pathtracer(
-            scene_p, (jnp.asarray(ad_p), jnp.asarray(bd_p), jnp.asarray(cd_p)),
-            bounces=bounces, packet=1024,
-            light_pos=(40.0, 80.0, -40.0), light_power=20000.0)
-        opj, dpj = jnp.asarray(op), jnp.asarray(dp)
-        key = jax.random.key(0)
-        col = tracer(opj, dpj, key)
-        _ = float(jnp.sum(col))
-        best_p = float("inf")
-        for _ in range(max(iters - 2, 1)):
-            t0 = time.perf_counter()
+            camp = _cam(np.array([0.0, 60.0, -120.0], np.float32),
+                        np.array([0.0, 0.0, 0.0]), np.array([0.0, 1.0, 0.0]),
+                        55.0, side, side)
+            op = np.asarray(camp.origin).reshape(side // 32, 32, side // 32, 32, 3)
+            op = op.transpose(0, 2, 1, 3, 4).reshape(-1, 3)
+            dp = np.asarray(camp.direction).reshape(side // 32, 32, side // 32, 32, 3)
+            dp = dp.transpose(0, 2, 1, 3, 4).reshape(-1, 3)
+            tracer = make_pathtracer(
+                scene_p, (jnp.asarray(ad_p), jnp.asarray(bd_p), jnp.asarray(cd_p)),
+                bounces=bounces, packet=1024,
+                light_pos=(40.0, 80.0, -40.0), light_power=20000.0)
+            opj, dpj = jnp.asarray(op), jnp.asarray(dp)
+            key = jax.random.key(0)
             col = tracer(opj, dpj, key)
             _ = float(jnp.sum(col))
-            best_p = min(best_p, time.perf_counter() - t0)
-        pathtrace_rays_per_s = side * side * 2 * (bounces + 1) / best_p
+            best_p = float("inf")
+            for _ in range(max(iters - 2, 1)):
+                t0 = time.perf_counter()
+                col = tracer(opj, dpj, key)
+                _ = float(jnp.sum(col))
+                best_p = min(best_p, time.perf_counter() - t0)
+            pathtrace_rays_per_s = side * side * 2 * (bounces + 1) / best_p
 
     # Camera-dense fwd+bwd: gradients of a camera depth render against the
     # 260k dense mesh — the north-star multi-bounce training configuration's
@@ -486,57 +554,58 @@ def main():
     # in with the same density class). 1024x1024 primary rays in 32x32 tiles.
     cam_rays_per_s = None
     if os.environ.get("BENCH_DENSE", "1") == "1":
-        from bvh_tpu.diff.camera import camera_rays
+        with _leg("camera_dense"):
+            from bvh_tpu.diff.camera import camera_rays
 
-        ad, bd, cd = tb.create_dense_mesh()
-        scene_d = build_tight_scene(ad, bd, cd, leaf_size=128)
-        Wd = Hd = 1024
-        cam = camera_rays(
-            np.array([0.0, 60.0, -120.0], np.float32),
-            np.array([0.0, 0.0, 0.0]), np.array([0.0, 1.0, 0.0]), 55.0, Wd, Hd,
-        )
-        oc = np.asarray(cam.origin).reshape(Hd // 32, 32, Wd // 32, 32, 3)
-        oc = oc.transpose(0, 2, 1, 3, 4).reshape(-1, 3)
-        dc = np.asarray(cam.direction).reshape(Hd // 32, 32, Wd // 32, 32, 3)
-        dc = dc.transpose(0, 2, 1, 3, 4).reshape(-1, 3)
-        cam_tiled = Ray.create(jnp.asarray(oc), jnp.asarray(dc))
+            ad, bd, cd = tb.create_dense_mesh()
+            scene_d = build_tight_scene(ad, bd, cd, leaf_size=128, wide=wide_ok)
+            Wd = Hd = 1024
+            cam = camera_rays(
+                np.array([0.0, 60.0, -120.0], np.float32),
+                np.array([0.0, 0.0, 0.0]), np.array([0.0, 1.0, 0.0]), 55.0, Wd, Hd,
+            )
+            oc = np.asarray(cam.origin).reshape(Hd // 32, 32, Wd // 32, 32, 3)
+            oc = oc.transpose(0, 2, 1, 3, 4).reshape(-1, 3)
+            dc = np.asarray(cam.direction).reshape(Hd // 32, 32, Wd // 32, 32, 3)
+            dc = dc.transpose(0, 2, 1, 3, 4).reshape(-1, 3)
+            cam_tiled = Ray.create(jnp.asarray(oc), jnp.asarray(dc))
 
-        planner_d = make_planner(scene_d, packet=1024)
+            planner_d = _make_plan(scene_d, 1024)
 
-        def run_cam():
-            hints_c, start_c = planner_d(cam_tiled)
-            out = trace_closest_hit_tight(scene_d, cam_tiled, packet=1024,
-                                          hints=hints_c, start_g=start_c)
-            return float(jnp.sum(jnp.where(jnp.isfinite(out.t), out.t, 0.0)))
+            def run_cam():
+                hints_c, start_c = planner_d(cam_tiled)
+                out = trace_closest_hit_tight(scene_d, cam_tiled, packet=1024,
+                                              hints=hints_c, start_g=start_c)
+                return float(jnp.sum(jnp.where(jnp.isfinite(out.t), out.t, 0.0)))
 
-        run_cam()
-        best_c = float("inf")
-        for _ in range(iters):  # best-of-5: this metric is run-to-run noisy
-            t0 = time.perf_counter()
             run_cam()
-            best_c = min(best_c, time.perf_counter() - t0)
-        cam_rays_per_s = Wd * Hd / best_c
+            best_c = float("inf")
+            for _ in range(iters):  # best-of-5: this metric is run-to-run noisy
+                t0 = time.perf_counter()
+                run_cam()
+                best_c = min(best_c, time.perf_counter() - t0)
+            cam_rays_per_s = Wd * Hd / best_c
 
-        ad_j, bd_j, cd_j = jnp.asarray(ad), jnp.asarray(bd), jnp.asarray(cd)
-        tgt_c = jnp.zeros((Wd * Hd,), jnp.float32)
-        hints_cd, start_cd = planner_d(cam_tiled)
+            ad_j, bd_j, cd_j = jnp.asarray(ad), jnp.asarray(bd), jnp.asarray(cd)
+            tgt_c = jnp.zeros((Wd * Hd,), jnp.float32)
+            hints_cd, start_cd = planner_d(cam_tiled)
 
-        def loss_cam(av, bv, cv):
-            depth, hit_m = render_depth_fast(scene_d, cam_tiled, av, bv, cv,
-                                             packet=1024, hints=hints_cd,
-                                             start_g=start_cd)
-            return jnp.sum(jnp.where(hit_m, (depth - tgt_c) ** 2, 0.0)) * 1e-9
+            def loss_cam(av, bv, cv):
+                depth, hit_m = render_depth_fast(scene_d, cam_tiled, av, bv, cv,
+                                                 packet=1024, hints=hints_cd,
+                                                 start_g=start_cd)
+                return jnp.sum(jnp.where(hit_m, (depth - tgt_c) ** 2, 0.0)) * 1e-9
 
-        gcam = jax.jit(jax.value_and_grad(loss_cam, argnums=(0, 1, 2)))
-        vc, _g = gcam(ad_j, bd_j, cd_j)
-        _ = float(vc)
-        best_cg = float("inf")
-        for _ in range(max(iters - 3, 1)):
-            t0 = time.perf_counter()
+            gcam = jax.jit(jax.value_and_grad(loss_cam, argnums=(0, 1, 2)))
             vc, _g = gcam(ad_j, bd_j, cd_j)
             _ = float(vc)
-            best_cg = min(best_cg, time.perf_counter() - t0)
-        cam_fwd_bwd_rays_per_s = Wd * Hd / best_cg
+            best_cg = float("inf")
+            for _ in range(max(iters - 3, 1)):
+                t0 = time.perf_counter()
+                vc, _g = gcam(ad_j, bd_j, cd_j)
+                _ = float(vc)
+                best_cg = min(best_cg, time.perf_counter() - t0)
+            cam_fwd_bwd_rays_per_s = Wd * Hd / best_cg
 
     baseline = 1.0 / 853e-9  # reference: 853 ns/ray, README.md:178
     hit_frac = float(np.isfinite(np.asarray(t)).mean())
@@ -554,9 +623,9 @@ def main():
             "hit_fraction": round(hit_frac, 4),
             "aimed_all_hit_rays_per_s": round(aimed_rays_per_s),
             "aimed_hit_fraction": round(float(jnp.isfinite(out_a.t).mean()), 4),
-            "diff_fwd_bwd_rays_per_s": round(fwd_bwd_rays_per_s),
-            "update_shapes_50pct_device_ms": round(best_r * 1e3, 2),
-            "tight_refit_device_ms": round(best_tr * 1e3, 2),
+            "diff_fwd_bwd_rays_per_s": round(fwd_bwd_rays_per_s) if fwd_bwd_rays_per_s else None,
+            "update_shapes_50pct_device_ms": round(best_r * 1e3, 2) if best_r else None,
+            "tight_refit_device_ms": round(best_tr * 1e3, 2) if best_tr else None,
             "scales": scales,
             "camera_260k_dense_rays_per_s": round(cam_rays_per_s) if cam_rays_per_s else None,
             "camera_260k_fwd_bwd_rays_per_s": round(cam_fwd_bwd_rays_per_s) if cam_fwd_bwd_rays_per_s else None,
@@ -598,4 +667,15 @@ if __name__ == "__main__":
                      "see BENCH_r02.json for the last hardware numbers",
         }))
         sys.exit(0)
-    main()
+    try:
+        main()
+    except Exception as e:  # still emit ONE parseable JSON line
+        import traceback
+
+        traceback.print_exc()
+        print(json.dumps({
+            "metric": "closest_hit_rays_per_s_120k_tris", "value": 0,
+            "unit": "rays/s", "vs_baseline": 0.0,
+            "error": f"bench failed: {type(e).__name__}: {str(e)[:300]}",
+        }))
+        sys.exit(0)

@@ -348,7 +348,20 @@ def make_refitter(scene: TightScene):
     conservative gate over MOVED geometry must come from the new boxes;
     the sweep then falls back to the main table, still exact) and
     ``packed_nodes`` (device-side directed bf16 rounding is not
-    implemented; the refit scene traces through the f32 table).
+    implemented; the refit scene traces through the f32 table). The wide
+    group-walk table (``gnodes``) IS refit — fixed topology, boxes
+    recomputed by a segment reduce over the refitted cluster boxes — so
+    refitted scenes keep the group-walk fast path.
+
+    Precision class (documented tolerance): the group rows are re-encoded
+    against the REFIT cluster-box centers. When churn drags a stale
+    cluster's box (members moved apart), the frame shift ``a - cc`` grows
+    and with it the narrowphase rounding — a small fraction (~1% at 30%
+    churn on the ±100k random scenes) of grazing-incidence hits can flip
+    vs a fresh build. Integer-coordinate (grid-mode) scenes stay exact
+    (the frame arithmetic is exact in f32), which is what the fuzzer
+    asserts. ``make_updater`` is the precision- AND quality-preserving
+    update path (static rows are never re-encoded).
     """
     entry = np.asarray(scene.smem_nodes[6])
     exit_ = np.asarray(scene.smem_nodes[7]).astype(np.int64)
@@ -376,6 +389,59 @@ def make_refitter(scene: TightScene):
     valid_lane = np.asarray(scene.tri_map) >= 0
     safe_lane = np.maximum(np.asarray(scene.tri_map), 0)
     has_bmat = getattr(scene, "bgroups", None) is not None
+
+    # Wide-walk (group) table refit. Topology is fixed under refit, so each
+    # occupied slot's box is a min/max reduce of the refitted cluster boxes
+    # over the slot's subtree — a CONTIGUOUS range of upper-tree leaf
+    # positions (children keep DFS order, build_wide_table docstring). Host
+    # walk recovers leaf order + per-slot ranges once; the device pass is a
+    # doubling-table segment reduce plus one scatter into the table. Without
+    # this, refitted scenes silently demoted to the entry/exit kernel
+    # (gnodes dropped), skewing refit-vs-rebuild comparisons by kernel path.
+    gn_host = getattr(scene, "gnodes", None)
+    has_wide = gn_host is not None
+    if has_wide:
+        gn_np = np.asarray(gn_host)
+        Kw = (gn_np.shape[0] - 1) // 7
+        Gn = gn_np.shape[1]
+        pay = gn_np[6:7 * Kw:7, :]  # [K, Gn]
+        gmask = gn_np[7 * Kw].astype(np.int64)
+        leaf_slot = ((gmask[None, :] >> np.arange(Kw)[:, None]) & 1) > 0
+        interior_slot = pay >= 0  # empty slots: payload -1, leaf bit unset
+        cl_of = np.where(leaf_slot, (-pay).astype(np.int64) - 1, 0)
+        slot_lo = np.zeros((Kw, Gn), np.int64)
+        slot_hi = np.zeros((Kw, Gn), np.int64)
+        leaf_order: list[int] = []
+
+        def _walk(g: int) -> None:  # DFS over the group tree (depth <= gdepth)
+            for k in range(Kw):
+                if leaf_slot[k, g]:
+                    slot_lo[k, g] = len(leaf_order)
+                    leaf_order.append(int(cl_of[k, g]))
+                    slot_hi[k, g] = len(leaf_order)
+                elif interior_slot[k, g]:
+                    slot_lo[k, g] = len(leaf_order)
+                    _walk(int(pay[k, g]))
+                    slot_hi[k, g] = len(leaf_order)
+
+        _walk(0)
+        assert len(leaf_order) == len(set(leaf_order)), \
+            "group tree visits a cluster twice"
+        occ = leaf_slot | interior_slot
+        s_lo = slot_lo[occ]
+        s_hi = slot_hi[occ]
+        kseg = np.floor(np.log2(s_hi - s_lo)).astype(np.int64)
+        kseg_max = int(kseg.max())
+        n_leaf_ord = len(leaf_order)
+        gseg_lo_j = jnp.asarray(kseg * n_leaf_ord + s_lo, jnp.int32)
+        gseg_hi_j = jnp.asarray(kseg * n_leaf_ord + s_hi - (1 << kseg),
+                                jnp.int32)
+        kk, gg = np.nonzero(occ)
+        rows6 = (7 * kk)[:, None] + np.arange(6)[None, :]
+        scat_idx_j = jnp.asarray((rows6 * Gn + gg[:, None]).reshape(-1),
+                                 jnp.int32)
+        leaf_order_j = jnp.asarray(np.asarray(leaf_order), jnp.int32)
+        gn_flat_j = jnp.asarray(gn_np.reshape(-1))
 
     leaf_cluster_j = jnp.asarray(leaf_cluster, jnp.int32)
     is_leaf_j = jnp.asarray(is_leaf)
@@ -440,19 +506,46 @@ def make_refitter(scene: TightScene):
         smem_nodes = jnp.concatenate([
             tmin.T, tmax.T, entry_j[None, :], exit_j[None, :],
         ], axis=0)
-        if not has_bmat:
-            return smem_nodes, groups
-        # keep the precomputed narrowphase forms in sync with the new
-        # vertices (same shape as the host-built bgroups: C_pad clusters)
-        blocks = bilinear_blocks(av, e1, e2, jnp)
-        bgroups = pack_bgroups(blocks, C_pad, W, jnp)
-        return smem_nodes, groups, bgroups
+        out = [smem_nodes, groups]
+        if has_bmat:
+            # keep the precomputed narrowphase forms in sync with the new
+            # vertices (same shape as the host-built bgroups: C_pad clusters)
+            blocks = bilinear_blocks(av, e1, e2, jnp)
+            out.append(pack_bgroups(blocks, C_pad, W, jnp))
+        if has_wide:
+            # segment min/max of refitted cluster boxes over each slot's
+            # leaf-order range (doubling tables; overlap is exact for
+            # min/max), scattered into the constant-topology group table
+            lmn = [cl_min[leaf_order_j]]
+            lmx = [cl_max[leaf_order_j]]
+            for k in range(1, kseg_max + 1):
+                step = 1 << (k - 1)
+                pm, px = lmn[-1], lmx[-1]
+                shm = jnp.concatenate(
+                    [pm[step:], jnp.full((step, 3), _INF)], axis=0)
+                shx = jnp.concatenate(
+                    [px[step:], jnp.full((step, 3), -_INF)], axis=0)
+                lmn.append(jnp.minimum(pm, shm))
+                lmx.append(jnp.maximum(px, shx))
+            am = jnp.concatenate(lmn, axis=0)
+            ax = jnp.concatenate(lmx, axis=0)
+            smin_s = jnp.minimum(am[gseg_lo_j], am[gseg_hi_j])  # [n_occ, 3]
+            smax_s = jnp.maximum(ax[gseg_lo_j], ax[gseg_hi_j])
+            vals = jnp.concatenate([smin_s, smax_s], axis=1).reshape(-1)
+            out.append(gn_flat_j.at[scat_idx_j].set(vals)
+                       .reshape(gn_np.shape))
+        return tuple(out)
 
     def refit(a, b, c) -> TightScene:
         out = refit_core(a, b, c)
         smem_nodes, groups = out[:2]
         bgroups = out[2] if has_bmat else None
-        return TightScene(smem_nodes, groups, tri_map, C, nn_logical, W, bgroups)
+        gnodes_new = out[-1] if has_wide else None
+        return TightScene(smem_nodes, groups, tri_map, C, nn_logical, W,
+                          bgroups, gnodes=gnodes_new,
+                          gslot=scene.gslot if has_wide else None,
+                          gdepth=int(getattr(scene, "gdepth", 0))
+                          if has_wide else 0)
 
     refit.core = refit_core  # jit-composable inner (arrays only)
     return refit

@@ -149,6 +149,53 @@ def check_tight_scene(scene, a=None, b=None, c=None,
             errs.append("gslot shorter than cluster count")
         elif ((gslot[:C] < 0) | (gslot[:C] >= K * Gn)).any():
             errs.append("gslot out of range")
+        else:
+            pay = gn[6:7 * K:7, :]  # [K, Gn]
+            lmask = gn[7 * K].astype(np.int64)
+            leaf_sl = ((lmask[None, :] >> np.arange(K)[:, None]) & 1) > 0
+            inter_sl = pay >= 0
+            gmin = np.stack([gn[7 * k + 0:7 * k + 3] for k in range(K)])
+            gmax = np.stack([gn[7 * k + 3:7 * k + 6] for k in range(K)])
+            # leaf-slot boxes must EQUAL their cluster's leaf box — the
+            # sharp staleness check (a refit that forgot the wide table
+            # fails here the moment geometry moves)
+            col_of_cl = np.full(C, -1, np.int64)
+            col_of_cl[leaf_cluster] = np.nonzero(is_leaf)[0]
+            ks, gs = np.nonzero(leaf_sl)
+            cl_ids = (-pay[ks, gs]).astype(np.int64) - 1
+            if (cl_ids < 0).any() or (cl_ids >= C).any():
+                errs.append("wide leaf payload out of cluster range")
+            else:
+                cols = col_of_cl[cl_ids]
+                okc = cols >= 0
+                want_mn = sn[0:3, :nn][:, cols[okc]]
+                want_mx = sn[3:6, :nn][:, cols[okc]]
+                got_mn = gmin[ks[okc], :, gs[okc]].T
+                got_mx = gmax[ks[okc], :, gs[okc]].T
+                if (got_mn != want_mn).any() or (got_mx != want_mx).any():
+                    bad = ((got_mn != want_mn).any(axis=0)
+                           | (got_mx != want_mx).any(axis=0)).sum()
+                    errs.append(f"{bad} wide leaf-slot boxes != their "
+                                "cluster leaf box (stale wide table?)")
+            # interior slots must CONTAIN every occupied slot of the child
+            # group (the traversal's pruning invariant)
+            ki, gi = np.nonzero(inter_sl & ~leaf_sl)
+            cg = pay[ki, gi].astype(np.int64)
+            if (cg >= Gn).any():
+                errs.append("wide interior payload out of group range")
+            else:
+                occ_child = (leaf_sl | inter_sl)[:, cg]  # [K, n_int]
+                cmn = np.where(occ_child[:, None], gmin[:, :, cg], np.inf)
+                cmx = np.where(occ_child[:, None], gmax[:, :, cg], -np.inf)
+                u_mn = cmn.min(axis=0)  # [3, n_int]
+                u_mx = cmx.max(axis=0)
+                p_mn = gmin[ki, :, gi].T
+                p_mx = gmax[ki, :, gi].T
+                if (u_mn < p_mn).any() or (u_mx > p_mx).any():
+                    bad = ((u_mn < p_mn).any(axis=0)
+                           | (u_mx > p_mx).any(axis=0)).sum()
+                    errs.append(f"{bad} wide interior slots do not contain "
+                                "their child group")
 
     return errs
 

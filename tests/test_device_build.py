@@ -102,6 +102,48 @@ def test_refitter_identity():
     np.testing.assert_allclose(new[0:6], orig[0:6], atol=1e-5)
     np.testing.assert_array_equal(new[6:8], orig[6:8])
     np.testing.assert_allclose(np.asarray(re.groups), np.asarray(scene.groups), atol=1e-5)
+    # the wide group-walk table is refit too (fixed topology, recomputed
+    # boxes): identity refit must reproduce it bit-for-bit, keeping the
+    # refitted scene on the group-walk fast path
+    assert scene.gnodes is not None and re.gnodes is not None
+    np.testing.assert_array_equal(np.asarray(re.gnodes),
+                                  np.asarray(scene.gnodes))
+    np.testing.assert_array_equal(np.asarray(re.gslot),
+                                  np.asarray(scene.gslot))
+    assert re.gdepth == scene.gdepth
+
+
+def test_refit_wide_walk_matches_entry_exit():
+    """The refit gnodes table is a pure perf hint: tracing the refit scene
+    through the wide group walk must be bit-identical to the entry/exit
+    walk on the same tables."""
+    from bvh_tpu.ops.cluster import build_tight_scene
+    from bvh_tpu.ops.device_build import make_refitter
+    from bvh_tpu.ops.trace import trace_closest_hit_tight
+
+    a, b, c = tb.create_n_cubes(40)
+    scene = build_tight_scene(a, b, c, use_native=False)
+    a2, b2, c2, _ = tb.randomly_transform_scene(a, b, c, amount=len(a) // 3,
+                                                seed=11)
+    re = make_refitter(scene)(jnp.asarray(a2), jnp.asarray(b2),
+                              jnp.asarray(c2))
+    assert re.gnodes is not None
+    cen = (a2 + b2 + c2) / 3.0
+    n = 512
+    idx = np.resize(np.arange(len(cen)), n)
+    rng = np.random.default_rng(3)
+    offs = rng.normal(size=(n, 3)).astype(np.float32)
+    offs /= np.linalg.norm(offs, axis=1, keepdims=True)
+    o = (cen[idx] + offs * 30.0).astype(np.float32)
+    d = (cen[idx] + 0.05 - o).astype(np.float32)
+    rays = Ray.create(jnp.asarray(o), jnp.asarray(d))
+    wide = trace_closest_hit_tight(re, rays, interpret=True, packet=512)
+    noww = trace_closest_hit_tight(
+        re._replace(gnodes=None, gslot=None, gdepth=0), rays,
+        interpret=True, packet=512)
+    np.testing.assert_array_equal(np.asarray(wide.t), np.asarray(noww.t))
+    np.testing.assert_array_equal(np.asarray(wide.shape_id),
+                                  np.asarray(noww.shape_id))
 
 
 def test_refitter_deformed_consistent_and_traces():
