@@ -25,6 +25,18 @@ import time
 import numpy as np
 
 
+def _fin(x, scale=1.0, digits=0):
+    """round(x*scale) for finite x, else None — a leg interrupted between
+    `best = inf` and its first timing must not leak `Infinity` into the
+    JSON line (json.dumps emits non-standard Infinity without complaint)."""
+    import math
+
+    if x is None or not math.isfinite(x):
+        return None
+    v = round(x * scale, digits)
+    return v if digits else int(v)
+
+
 @contextlib.contextmanager
 def _leg(name):
     """Optional-leg guard: a hardware/compile failure in one bench leg
@@ -623,14 +635,14 @@ def main():
             "hit_fraction": round(hit_frac, 4),
             "aimed_all_hit_rays_per_s": round(aimed_rays_per_s),
             "aimed_hit_fraction": round(float(jnp.isfinite(out_a.t).mean()), 4),
-            "diff_fwd_bwd_rays_per_s": round(fwd_bwd_rays_per_s) if fwd_bwd_rays_per_s else None,
-            "update_shapes_50pct_device_ms": round(best_r * 1e3, 2) if best_r else None,
-            "tight_refit_device_ms": round(best_tr * 1e3, 2) if best_tr else None,
+            "diff_fwd_bwd_rays_per_s": _fin(fwd_bwd_rays_per_s),
+            "update_shapes_50pct_device_ms": _fin(best_r, 1e3, 2),
+            "tight_refit_device_ms": _fin(best_tr, 1e3, 2),
             "scales": scales,
-            "camera_260k_dense_rays_per_s": round(cam_rays_per_s) if cam_rays_per_s else None,
-            "camera_260k_fwd_bwd_rays_per_s": round(cam_fwd_bwd_rays_per_s) if cam_fwd_bwd_rays_per_s else None,
-            "sparse_1m_tris_rays_per_s": round(sparse_1m_rays_per_s) if sparse_1m_rays_per_s else None,
-            "pathtrace_2bounce_rays_per_s": round(pathtrace_rays_per_s) if pathtrace_rays_per_s else None,
+            "camera_260k_dense_rays_per_s": _fin(cam_rays_per_s),
+            "camera_260k_fwd_bwd_rays_per_s": _fin(cam_fwd_bwd_rays_per_s),
+            "sparse_1m_tris_rays_per_s": _fin(sparse_1m_rays_per_s),
+            "pathtrace_2bounce_rays_per_s": _fin(pathtrace_rays_per_s),
             "refit_quality": refit_quality or None,
             "ray_aabb_1000": ray_aabb,
             "roofline": roofline,

@@ -74,8 +74,6 @@ _TIGHT_VERSION = 3  # v2: optional bilinear forms; v3: wide-walk tables
 
 def save_tight_scene(path: str, scene) -> None:
     """Persists a ``TightScene`` (one compressed npz)."""
-    from ..ops.cluster import TightScene
-
     extra = {}
     if getattr(scene, "bgroups", None) is not None:
         extra["bgroups"] = np.asarray(scene.bgroups)
@@ -131,8 +129,6 @@ def save_chained_scene(path: str, chained) -> None:
     part-local -> global triangle id maps, in one compressed npz (the last
     structure the serde layer was missing; the reference persists everything
     it builds via its serde feature, Cargo.toml:19)."""
-    from ..ops.cluster import TightScene
-
     payload = {
         "__chained_version__": np.int64(_CHAINED_VERSION),
         "n_parts": np.int64(len(chained.parts)),

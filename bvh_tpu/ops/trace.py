@@ -1021,6 +1021,10 @@ def _wide_body(gnodes_ref, hints_ref, gate_ref, startg_ref, groups_ref,
             macc = macc | jnp.where(fired, jnp.int32(1 << k), jnp.int32(0))
         # log-tree OR fold: sublanes, then lane rotations, then one reduce
         # (jnp.max over an all-equal tile == the OR; masks are nonnegative)
+        # SUB must be a power of two or the halving fold drops rows
+        # (_trace_wide_jit guards this; the auto-selection never routes
+        # non-power-of-two packets here)
+        assert SUB & (SUB - 1) == 0, SUB
         acc = macc
         s = SUB
         while s > 1:
@@ -1267,6 +1271,12 @@ def _pack_rays_tight(rays: Ray, packet: int, t_max=None, base=None, perm=None):
     commute with the permutation). Packed lanes follow sorted order, so
     kernel outputs come back in sorted order either way.
     """
+    if packet < 128 or packet & (packet - 1):
+        # every kernel path assumes power-of-two sublane counts (the wide
+        # walk's sublane OR-fold drops rows otherwise — silently wrong
+        # results, not an error) and 128-lane tiles; no shipped config is
+        # non-power-of-two, so reject loudly instead
+        raise ValueError(f"packet must be a power of two >= 128, got {packet}")
     r = rays.origin.shape[0]
     pad = (-r) % packet
     if base is not None:
@@ -1488,11 +1498,6 @@ def trace_closest_hit_tight(scene, rays: Ray, tris=None, interpret: bool = False
     sub = packet // 128
     t = out[:, :sub].reshape(rp)[:r]
     lane_id = out[:, sub:].reshape(rp)[:r].astype(jnp.int32)
-    # with perm, packed lanes (and hence outputs) follow SORTED order; the
-    # caller un-permutes with the inverse, exactly as when it sorted rays
-    # itself — but per-ray inputs consumed here must be gathered to match
-    rays_p = rays if perm is None else jax.tree_util.tree_map(
-        lambda x: x[perm], rays)
     if t_max is not None:
         # a miss leaves t parked at t_max; restore the t=inf miss contract
         tm = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32).reshape(-1), (r,))
@@ -1505,6 +1510,12 @@ def trace_closest_hit_tight(scene, rays: Ray, tris=None, interpret: bool = False
     if tris is not None:
         from ..ray import ray_intersects_triangle
 
+        # with perm, packed lanes (and hence outputs) follow SORTED order;
+        # the winner recompute must gather the rays to match — only here
+        # (gathering unconditionally would waste three [r,3] gathers on
+        # the tris=None headline path)
+        rays_p = rays if perm is None else jax.tree_util.tree_map(
+            lambda x: x[perm], rays)
         ta, tb, tc = tris
         safe = jnp.maximum(sid, 0)
         inter = ray_intersects_triangle(rays_p, ta[safe], tb[safe], tc[safe])

@@ -180,8 +180,6 @@ void build_node(Ctx& ctx, int32_t* idx, int32_t* other, int8_t* bkt_buf,
       bcmin[i] = _mm_set1_ps(INF);
       bcmax[i] = _mm_set1_ps(-INF);
     }
-    const float inv_axis = 1.0f;  // division kept scalar below (identity)
-    (void)inv_axis;
     for (int64_t k = 0; k < len; ++k) {
       const Rec& rc = ctx.rec[idx[k]];
       float ca = axis == 0 ? rc.c.x : (axis == 1 ? rc.c.y : rc.c.z);

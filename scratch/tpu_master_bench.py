@@ -193,6 +193,11 @@ try:
 
     bench("1pct update (mask+delta)", lambda: run_q(sc_u))
     bench("1pct host rebuild", lambda: run_q(sc_r))
+    # topology-fixed device refit now keeps the wide tables — third cell
+    from bvh_tpu.ops.device_build import make_refitter
+
+    sc_f = make_refitter(scene)(amj, bmj, cmj)
+    bench("1pct refit (wide kept)", lambda: run_q(sc_f))
 except Exception:
     print("FAIL updater leg:", flush=True)
     traceback.print_exc()
