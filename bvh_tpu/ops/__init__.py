@@ -38,7 +38,7 @@ from .device_build import (build_chained_scene_device,
                            build_tight_scene_device, make_refitter)
 from .update import make_chained_updater, make_updater
 from .validate_scene import assert_tight_scene, check_tight_scene
-from .nearest import count_visits_nearest, nearest_tight
+from .nearest import count_visits_nearest, nearest_chained, nearest_tight
 from .ordered import trace_k_closest, trace_k_closest_chained
 from .trace import (
     count_visits_tight,
@@ -74,6 +74,7 @@ __all__ = [
     "check_tight_scene",
     "make_chained_updater",
     "make_updater",
+    "nearest_chained",
     "nearest_tight",
     "make_seeder",
     "pack_node_table_bf16",

@@ -382,6 +382,48 @@ def nearest_tight(scene, points, packet: int = 2048, d_max=None,
     return sid, dist
 
 
+def nearest_chained(chained, points, packet: int = 2048, d_max=None,
+                    interpret: bool = False,
+                    precision=jax.lax.Precision.HIGHEST):
+    """Nearest triangle over a ``ChainedScene`` (beyond one SMEM table).
+
+    Parts run sequentially; each point's best distance so far becomes the
+    next part's search radius, so the kernel's radius pruning cuts every
+    later part down to the subtrees that could still win (the
+    nearest-neighbor analog of ``trace_closest_hit_chained``'s carried
+    best-t). Shape ids come back remapped to global triangle ids; the
+    contract matches ``nearest_tight`` — the reference's ``nearest_to``
+    (/root/reference/src/flat_bvh.rs:513-562) at any scene scale.
+
+    Tolerance note: the carried radius is the winner's packed-key
+    distance, truncated downward by log2(W) mantissa bits of d^2 — a
+    later part's triangle inside that truncation window of the current
+    best may be excluded, so ties resolve to the earliest part (same
+    class as the single-table key truncation).
+    """
+    pts = jnp.asarray(points, jnp.float32)
+    r = pts.shape[0]
+    if r == 0:
+        return (jnp.full((r,), -1, jnp.int32),
+                jnp.full((r,), _INF, jnp.float32))
+    if d_max is None:
+        best_d = jnp.full((r,), _INF, jnp.float32)
+    else:
+        best_d = jnp.broadcast_to(
+            jnp.asarray(d_max, jnp.float32).reshape(-1), (r,))
+    best_id = jnp.full((r,), -1, jnp.int32)
+    for part, ids in zip(chained.parts, chained.orig_ids):
+        sid, dist = nearest_tight(part, pts, packet=packet, d_max=best_d,
+                                  interpret=interpret, precision=precision)
+        gids = jnp.asarray(ids)
+        closer = (sid >= 0) & (dist < best_d)
+        best_d = jnp.where(closer, dist, best_d)
+        best_id = jnp.where(
+            closer, gids[jnp.clip(sid, 0, gids.shape[0] - 1)], best_id)
+    best_d = jnp.where(best_id >= 0, best_d, _INF)
+    return best_id, best_d
+
+
 def count_visits_nearest(scene, points, packet: int = 2048,
                          interpret: bool = False):
     """Per-packet (visits, narrowphase fires) for ``nearest_tight``

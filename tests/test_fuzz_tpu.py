@@ -160,6 +160,15 @@ def test_fuzz_kernels_on_tpu():
             np.testing.assert_allclose(np.asarray(distn), bd, rtol=1e-4,
                                        atol=0.01,
                                        err_msg=str((rd, "nearest")))
+            # chained nearest: carried-radius multi-part combine on hardware
+            from bvh_tpu.ops.cluster import build_chained_scene as _bcs
+            from bvh_tpu.ops.nearest import nearest_chained
+
+            chn = _bcs(a, b, c, max_part=max(n_cubes * 4, 48))
+            sidc, distc = nearest_chained(chn, pts, packet=packet)
+            np.testing.assert_allclose(np.asarray(distc), bd, rtol=1e-4,
+                                       atol=0.01,
+                                       err_msg=str((rd, "nearest chained")))
 
         if rng.random() < 0.5:
             # perm-folded pack: bit-identical to tracing pre-sorted rays

@@ -49,6 +49,47 @@ def test_nearest_kernel_matches_brute(n_cubes):
     assert np.allclose(np.asarray(dd), bd2, rtol=1e-4, atol=1e-5)
 
 
+def test_nearest_chained_matches_brute_and_single_table():
+    """nearest_chained over a forced multi-part split must agree with the
+    single-table kernel AND the brute oracle (the reference's nearest_to
+    has no scale cliff; neither may ours)."""
+    from bvh_tpu.ops.cluster import build_chained_scene
+    from bvh_tpu.ops.nearest import nearest_chained
+
+    rng = np.random.default_rng(23)
+    a, b, c = tb.create_n_cubes(100)  # 1200 tris
+    ch = build_chained_scene(a, b, c, max_part=400)  # forces 3 parts
+    assert len(ch.parts) >= 2
+    scene = build_tight_scene(a, b, c)
+    pts = make_points(300, rng)
+
+    sid_c, dist_c = nearest_chained(ch, pts, packet=256, interpret=True)
+    sid_c, dist_c = np.asarray(sid_c), np.asarray(dist_c)
+    sid_s, dist_s = nearest_tight(scene, pts, packet=256, interpret=True)
+    bid, bd2 = brute_nearest(pts, a, b, c)
+    bd = np.sqrt(bd2)
+    assert np.allclose(dist_c, bd, rtol=1e-5, atol=1e-5), \
+        np.abs(dist_c - bd).max()
+    assert np.allclose(dist_c, np.asarray(dist_s), rtol=1e-5, atol=1e-5)
+    # the winner is a true nearest triangle (ties/truncation may pick the
+    # equidistant neighbor — verify by distance, like the single-table test)
+    dd = point_triangle_distance_squared(
+        jnp.asarray(pts), jnp.asarray(a)[sid_c], jnp.asarray(b)[sid_c],
+        jnp.asarray(c)[sid_c])
+    assert np.allclose(np.asarray(dd), bd2, rtol=1e-4, atol=1e-5)
+    assert (sid_c >= 0).all()
+
+    # radius-bounded: far points report no triangle, near points unchanged
+    sid_b, dist_b = nearest_chained(ch, pts, packet=256, d_max=5.0,
+                                    interpret=True)
+    sid_b, dist_b = np.asarray(sid_b), np.asarray(dist_b)
+    far = bd >= 5.0
+    assert (sid_b[far] == -1).all() and np.isinf(dist_b[far]).all()
+    near = bd < 5.0 * (1 - 1e-5)
+    if near.any():
+        assert np.allclose(dist_b[near], bd[near], rtol=1e-5, atol=1e-5)
+
+
 def test_nearest_kernel_points_on_and_in_triangles():
     """Points on vertices/edges/faces => distance ~0 (up to the f32 ulp of
     the +-100k testbase coordinates: a midpoint of two f32 points at 1e5
