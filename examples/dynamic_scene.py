@@ -44,11 +44,18 @@ def main() -> int:
                     help="force CPU + interpret mode (no TPU)")
     args = ap.parse_args()
 
-    if args.cpu or jax.default_backend() == "cpu":
+    if args.cpu:
+        # pin cpu BEFORE any backend use — probing for a TPU
+        # (jax.default_backend()) hangs when the tunnel is unreachable
         jax.config.update("jax_platforms", "cpu")
         interpret = True
+        # interpret-mode kernels run the packet loop in pure Python —
+        # cap the workload so the demo finishes in seconds off-TPU
+        args.cubes = min(args.cubes, 150)
+        args.rays = min(args.rays, 1 << 12)
+        args.frames = min(args.frames, 3)
     else:
-        interpret = False
+        interpret = jax.default_backend() == "cpu"
 
     from bvh_tpu import Ray
     from bvh_tpu import testbase as tb

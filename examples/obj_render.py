@@ -80,8 +80,14 @@ def main():
     ap.add_argument("--size", type=int, default=512)
     ap.add_argument("--out", default="obj_render.ppm")
     ap.add_argument("--obj", default=None, help="path to an .obj (generated if absent)")
-    ap.add_argument("--interpret", action="store_true")
+    ap.add_argument("--interpret", action="store_true",
+                    help="off-TPU run: pin the cpu backend (probing for a "
+                         "TPU can hang when none is reachable) and shrink "
+                         "the image for interpret-mode kernel speed")
     args = ap.parse_args()
+    if args.interpret:
+        jax.config.update("jax_platforms", "cpu")
+        args.size = min(args.size, 64)
 
     from bvh_tpu.diff import render_depth_fast
     from bvh_tpu.diff.camera import camera_rays

@@ -69,8 +69,14 @@ def main():
     ap.add_argument("--size", type=int, default=256)
     ap.add_argument("--bounces", type=int, default=2)
     ap.add_argument("--out", default="pathtrace.ppm")
-    ap.add_argument("--interpret", action="store_true", help="off-TPU run")
+    ap.add_argument("--interpret", action="store_true",
+                    help="off-TPU run: pin the cpu backend (probing for a "
+                         "TPU can hang when none is reachable) and shrink "
+                         "the image for interpret-mode kernel speed")
     args = ap.parse_args()
+    if args.interpret:
+        jax.config.update("jax_platforms", "cpu")
+        args.size = min(args.size, 64)
 
     a, b, c = make_scene()
     print(f"scene: {a.shape[0]} triangles")
