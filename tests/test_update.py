@@ -190,6 +190,34 @@ def test_update_quality_static_visits(moved_setup):
     assert (g1[~moved_lane] == g0[~moved_lane]).all()
 
 
+def test_update_chained_sweep_perm_composition(moved_setup):
+    """The bench's refit-quality composition — updater ChainedScene traced
+    with sweep gating AND the perm-folded pack — must be bit-identical to
+    the plain (pre-sorted, ungated) chained trace."""
+    from bvh_tpu.ops.trace import sort_rays_device
+
+    a, b, c, scene, moved, a2, b2, c2 = moved_setup
+    upd = make_updater(scene, max_moved=moved.shape[0])
+    sc = upd(jnp.asarray(a2), jnp.asarray(b2), jnp.asarray(c2),
+             jnp.asarray(moved))
+    rng = np.random.default_rng(5)
+    rays = _aimed_rays(a2, b2, c2, 512, rng)
+    o, d = jnp.asarray(rays.origin), jnp.asarray(rays.direction)
+    perm, inv = sort_rays_device(o, d, bits=2)
+    out_pf = trace_closest_hit_chained(sc, rays, packet=256, interpret=True,
+                                       sweep=True, perm=perm)
+    t_pf = np.asarray(out_pf.t)[np.asarray(inv)]
+    id_pf = np.asarray(out_pf.shape_id)[np.asarray(inv)]
+    rays_s = Ray.create(o[perm], d[perm])
+    out_pl = trace_closest_hit_chained(sc, rays_s, packet=256,
+                                       interpret=True, sweep=False)
+    t_pl = np.asarray(out_pl.t)[np.asarray(inv)]
+    id_pl = np.asarray(out_pl.shape_id)[np.asarray(inv)]
+    np.testing.assert_array_equal(t_pf, t_pl)
+    np.testing.assert_array_equal(id_pf, id_pl)
+    assert np.isfinite(t_pf).mean() > 0.5
+
+
 def test_chained_updater_matches_oracle():
     """make_chained_updater: mask+delta across a multi-part scene."""
     from bvh_tpu.ops import make_chained_updater
