@@ -1381,7 +1381,11 @@ def trace_closest_hit_tight(scene, rays: Ray, tris=None, interpret: bool = False
     ``hints``: optional [n_packets, K] i32 leaf-node ids per packet; those
     leaves are narrowphased before traversal to seed the per-lane pruning
     distances (see ``trace_closest_hit_seeded``). -1 in slot 0 disables a
-    packet's seeding; other slots must repeat a valid hint.
+    packet's seeding; other slots must repeat a valid hint. With ``perm``,
+    packets follow SORTED order — compute hints (and ``start_g``) from the
+    sorted rays, or the seeding addresses the wrong packets (results stay
+    exact — seeded distances are real distances and the two-phase walk
+    re-checks everything — but the hints stop helping).
 
     ``t_max``: optional scalar or [n] per-ray upper distance bound — hits at
     t >= t_max are misses, and the bound prunes traversal from the start.
