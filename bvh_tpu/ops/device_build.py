@@ -137,6 +137,17 @@ def _grid_upper(cl_min: jnp.ndarray, cl_max: jnp.ndarray, fanout: int = 16):
     sel = jnp.asarray(off[glevel] + gidx, jnp.int32)
     tmin = all_min[sel]
     tmax = all_max[sel]
+    # empty columns (clusters past the live set under valid_in, and any
+    # internal node over only-empty children) hold inverted (+inf, -inf)
+    # boxes — which the kernels' FMA slab form FIRES (tmin=-inf, tmax=+inf),
+    # so every packet walked and narrowphased the whole empty capacity of a
+    # partially-filled delta part. NaN boxes are the unfireable convention
+    # (NaN comparisons are false): a 120/1200-filled delta measured 75 ->
+    # ~10 fires/packet with this.
+    empty = jnp.any(tmin > tmax, axis=1, keepdims=True)
+    nan = jnp.float32(jnp.nan)
+    tmin = jnp.where(empty, nan, tmin)
+    tmax = jnp.where(empty, nan, tmax)
     return jnp.concatenate([
         tmin.T, tmax.T,
         jnp.asarray(entry)[None, :],

@@ -190,6 +190,28 @@ def test_update_quality_static_visits(moved_setup):
     assert (g1[~moved_lane] == g0[~moved_lane]).all()
 
 
+def test_update_partial_delta_skips_empty_capacity(moved_setup):
+    """A delta part filled far below max_moved must not traverse its empty
+    capacity: empty grid columns hold NaN (unfireable) boxes, so fires
+    track LIVE clusters, not capacity (a 120/1200 fill measured 75 -> 8
+    fires/packet when inverted-inf empties were firing the slab test)."""
+    from bvh_tpu.ops.trace import count_visits_tight
+
+    a, b, c, scene, moved, a2, b2, c2 = moved_setup
+    cap = 360  # 30x the live set
+    upd = make_updater(scene, max_moved=cap)
+    mi = np.full(cap, -1, np.int32)
+    mi[:12] = moved[:12]  # one cube lives in the delta
+    sc = upd(jnp.asarray(a2), jnp.asarray(b2), jnp.asarray(c2),
+             jnp.asarray(mi))
+    delta = sc.parts[1]
+    rng = np.random.default_rng(8)
+    rays = _aimed_rays(a2, b2, c2, 2048, rng)
+    vi, fi = count_visits_tight(delta, rays, packet=2048, interpret=True)
+    live_clusters = -(-12 // delta.width)
+    assert fi.sum() / len(fi) <= 4 * live_clusters, (vi.sum(), fi.sum())
+
+
 def test_update_chained_sweep_perm_composition(moved_setup):
     """The bench's refit-quality composition — updater ChainedScene traced
     with sweep gating AND the perm-folded pack — must be bit-identical to
