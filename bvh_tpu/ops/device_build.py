@@ -108,13 +108,89 @@ def _grid_layout(C: int, F: int = 16):
     return out
 
 
-@partial(jax.jit, static_argnames=("fanout",))
-def _grid_upper(cl_min: jnp.ndarray, cl_max: jnp.ndarray, fanout: int = 16):
+def _grid_wide_meta(C: int, F: int = 16):
+    """Static wide-walk (group) topology of the fixed-fanout grid
+    hierarchy — the device-build analog of ``cluster.build_wide_table``.
+
+    The grid tree is ALREADY F-ary with a shape that depends only on the
+    cluster count, so the whole gnodes table except the boxes is a host
+    constant: returns ``(template [7F+1, Gn] f32, box_sel [n_occ] i32,
+    scat_idx [n_occ*6] i32, gslot [C] i32, depth)``. ``box_sel`` indexes
+    the concatenated level-box array the grid build already computes
+    (level-k node j at level_off[k] + j); ``scat_idx`` are the template's
+    flat positions of each occupied slot's 6 box rows. gid 0 is the root
+    group (the kernel's entry point); children keep Morton (DFS) order so
+    results stay bit-identical to the entry/exit walk. Cached per (C, F).
+    """
+    key = ("wide", C, F)
+    hit = _LAYOUT_CACHE.get(key)
+    if hit is not None:
+        return hit
+    sizes = [C]
+    while sizes[-1] > 1:
+        sizes.append(-(-sizes[-1] // F))
+    L = len(sizes)
+    # group levels are 1..L-1; root group first (gid 0), deeper levels after
+    if L == 1:  # single cluster: one group whose only child is the cluster
+        Gn = 8
+        template = np.full((7 * F + 1, Gn), np.nan, np.float32)
+        template[6:7 * F:7, :] = -1.0
+        template[7 * F, :] = 0.0
+        template[6, 0] = -1.0  # -(cluster 0 + 1)
+        template[7 * F, 0] = 1.0  # leaf mask bit 0
+        box_sel = np.zeros(1, np.int32)  # level-0 node 0
+        scat_idx = (np.arange(6) * Gn).astype(np.int32)
+        out = (template, box_sel, scat_idx, np.zeros(1, np.int32), 1)
+        _LAYOUT_CACHE[key] = out
+        return out
+    offs = np.zeros(L, np.int64)  # level -> first gid (root level first)
+    acc = 0
+    for lvl in range(L - 1, 0, -1):
+        offs[lvl] = acc
+        acc += sizes[lvl]
+    n_groups = acc
+    Gn = max(8, -(-n_groups // 8) * 8)
+    template = np.full((7 * F + 1, Gn), np.nan, np.float32)
+    template[6:7 * F:7, :] = -1.0  # empty-slot payload
+    template[7 * F, :] = 0.0  # leaf masks
+    level_off = np.zeros(L, np.int64)  # level-box array offsets
+    for k in range(1, L):
+        level_off[k] = level_off[k - 1] + sizes[k - 1]
+    sel_parts, scat_parts = [], []
+    for lvl in range(1, L):
+        n_g = sizes[lvl]
+        n_ch = sizes[lvl - 1]
+        ch = np.arange(n_ch, dtype=np.int64)
+        g = offs[lvl] + ch // F
+        k = ch % F
+        if lvl == 1:
+            template[(7 * k + 6), g] = -(ch + 1.0)  # leaf payload
+            np.add.at(template[7 * F], g, (1 << k).astype(np.float32))
+        else:
+            template[(7 * k + 6), g] = (offs[lvl - 1] + ch).astype(np.float32)
+        sel_parts.append(level_off[lvl - 1] + ch)
+        rows6 = (7 * k)[:, None] + np.arange(6)[None, :]
+        scat_parts.append((rows6 * Gn + g[:, None]).reshape(-1))
+        del n_g
+    box_sel = np.concatenate(sel_parts).astype(np.int32)
+    scat_idx = np.concatenate(scat_parts).astype(np.int32)
+    gslot = ((offs[1] + np.arange(C) // F) * F
+             + np.arange(C) % F).astype(np.int32)
+    out = (template, box_sel, scat_idx, gslot, L - 1)
+    _LAYOUT_CACHE[key] = out
+    return out
+
+
+@partial(jax.jit, static_argnames=("fanout", "wide"))
+def _grid_upper(cl_min: jnp.ndarray, cl_max: jnp.ndarray, fanout: int = 16,
+                wide: bool = False):
     """SMEM table of the fixed-fanout hierarchy over Morton-ordered clusters.
 
     All control flow is host-side constants; on device this is log_F(C)
     reshape-reductions plus one gather — no Karras sweeps, no sort beyond
-    the triangle Morton sort that ordered the clusters.
+    the triangle Morton sort that ordered the clusters. ``wide=True`` also
+    fills the static group-walk template (``_grid_wide_meta``) from the
+    same level boxes and returns ``(smem_nodes, gnodes)``.
     """
     C = cl_min.shape[0]
     glevel, gidx, entry, exit_, sizes = _grid_layout(C, fanout)
@@ -148,23 +224,40 @@ def _grid_upper(cl_min: jnp.ndarray, cl_max: jnp.ndarray, fanout: int = 16):
     nan = jnp.float32(jnp.nan)
     tmin = jnp.where(empty, nan, tmin)
     tmax = jnp.where(empty, nan, tmax)
-    return jnp.concatenate([
+    smem_nodes = jnp.concatenate([
         tmin.T, tmax.T,
         jnp.asarray(entry)[None, :],
         jnp.asarray(exit_)[None, :],
     ], axis=0)
+    if not wide:
+        return smem_nodes
+    template, box_sel, scat_idx, _, _ = _grid_wide_meta(C, fanout)
+    wmin = all_min[jnp.asarray(box_sel)]
+    wmax = all_max[jnp.asarray(box_sel)]
+    wempty = jnp.any(wmin > wmax, axis=1, keepdims=True)
+    wmin = jnp.where(wempty, nan, wmin)
+    wmax = jnp.where(wempty, nan, wmax)
+    vals = jnp.concatenate([wmin, wmax], axis=1).reshape(-1)
+    gnodes = (jnp.asarray(template).reshape(-1)
+              .at[jnp.asarray(scat_idx)].set(vals)
+              .reshape(template.shape))
+    return smem_nodes, gnodes
 
 
-@partial(jax.jit, static_argnames=("width", "upper", "bmat"))
+@partial(jax.jit, static_argnames=("width", "upper", "bmat", "wide"))
 def _build_core(a: jnp.ndarray, b: jnp.ndarray, c: jnp.ndarray, width: int = TIGHT,
                 upper: str = "grid", bmat: bool = False,
-                valid_in: jnp.ndarray | None = None):
-    """Jittable core: returns (smem_nodes, groups, tri_map[, bgroups]).
+                valid_in: jnp.ndarray | None = None, wide: bool = False):
+    """Jittable core: returns (smem_nodes, groups, tri_map[, bgroups][, gnodes]).
 
     ``valid_in``: optional [n] bool — triangles marked False are excluded
     (they sort to the end, their lanes go degenerate, and their tri_map
     entries are -1). Lets callers build over a runtime-sized subset of a
     fixed-shape buffer (the per-frame delta part in ``ops/update.py``).
+
+    ``wide``: grid upper only — also emit the group-walk table (appended
+    last) so the scene traces the K-ary wide kernel; gslot/gdepth are the
+    host constants from ``_grid_wide_meta`` (callers attach them).
     """
     n = a.shape[0]
     W = width
@@ -211,8 +304,12 @@ def _build_core(a: jnp.ndarray, b: jnp.ndarray, c: jnp.ndarray, width: int = TIG
     cc = (cl_min + cl_max) * 0.5
 
     # upper tree over cluster AABBs -> SMEM entry/exit table
+    gnodes = None
     if upper == "grid":
-        smem_nodes = _grid_upper(cl_min, cl_max)
+        if wide:
+            smem_nodes, gnodes = _grid_upper(cl_min, cl_max, wide=True)
+        else:
+            smem_nodes = _grid_upper(cl_min, cl_max)
     else:  # Karras LBVH (adaptive splits; slower build, comparable trace)
         flat, _ = build_lbvh(cl_min, cl_max)
         is_leaf = flat.entry < 0
@@ -238,16 +335,28 @@ def _build_core(a: jnp.ndarray, b: jnp.ndarray, c: jnp.ndarray, width: int = TIG
 
     tri_map = jnp.full((G * group * W,), -1, jnp.int32)
     tri_map = tri_map.at[:n_pad].set(order_p)
-    if not bmat:
-        return smem_nodes, groups, tri_map
-    C_pad = G * group
-    pad_l = C_pad * W - n_pad
-    if pad_l:
-        z = jnp.zeros((pad_l, 3), jnp.float32)
-        av, e1, e2 = (jnp.concatenate([x, z], axis=0) for x in (av, e1, e2))
-    blocks = bilinear_blocks(av, e1, e2, jnp)
-    bgroups = pack_bgroups(blocks, C_pad, W, jnp)
-    return smem_nodes, groups, tri_map, bgroups
+    out = [smem_nodes, groups, tri_map]
+    if bmat:
+        C_pad = G * group
+        pad_l = C_pad * W - n_pad
+        if pad_l:
+            z = jnp.zeros((pad_l, 3), jnp.float32)
+            av, e1, e2 = (jnp.concatenate([x, z], axis=0)
+                          for x in (av, e1, e2))
+        blocks = bilinear_blocks(av, e1, e2, jnp)
+        out.append(pack_bgroups(blocks, C_pad, W, jnp))
+    if gnodes is not None:
+        out.append(gnodes)
+    return tuple(out)
+
+
+def _grid_wide_ok(C: int) -> bool:
+    """Grid-built scenes get the group-walk table when it fits the SMEM
+    scalar-prefetch budget (it replaces the entry/exit table as the wide
+    kernel's only SMEM operand) and the fixed kernel stack depth."""
+    template, _, _, _, depth = _grid_wide_meta(C)
+    return (depth <= 14
+            and template.shape[0] * template.shape[1] * 4 <= 660_000)
 
 
 def build_tight_scene_device(a, b, c, width: int = TIGHT,
@@ -260,6 +369,11 @@ def build_tight_scene_device(a, b, c, width: int = TIGHT,
     ``build_tight_scene`` for static scenes (better tree), this for
     per-frame rebuilds of deforming geometry. ``upper``: "grid" (default,
     fixed 16-ary Morton hierarchy, fastest build) or "lbvh" (Karras).
+
+    Grid builds also carry the K-ary group-walk tables (the 16-ary grid
+    maps 1:1 onto the wide kernel's group format; topology is a host
+    constant, boxes fill on device), so device-built scenes trace the
+    same fast walk as host-built ones.
     """
     a = jnp.asarray(a, jnp.float32)
     b = jnp.asarray(b, jnp.float32)
@@ -271,15 +385,23 @@ def build_tight_scene_device(a, b, c, width: int = TIGHT,
         raise ValueError("width must be 16/32/64/128 (VPU lane packing)")
     if bmat is None:
         bmat = False  # measured slower on TPU v5e (see cluster.py note)
-    out = _build_core(a, b, c, width, upper, bmat)
+    C = -(-n // width)
+    wide = upper == "grid" and not bmat and _grid_wide_ok(C)
+    out = _build_core(a, b, c, width, upper, bmat, wide=wide)
     smem_nodes, groups, tri_map = out[:3]
     bgroups = out[3] if bmat else None
-    C = -(-n // width)
     if upper == "grid":
         nn = int(_grid_layout(C)[0].shape[0])
     else:
         nn = 2 * C - 1 if C > 1 else 1
-    return TightScene(smem_nodes, groups, tri_map, C, nn, width, bgroups)
+    gnodes = gslot = None
+    gdepth = 0
+    if wide:
+        gnodes = out[-1]
+        _, _, _, gslot_np, gdepth = _grid_wide_meta(C)
+        gslot = jnp.asarray(gslot_np)
+    return TightScene(smem_nodes, groups, tri_map, C, nn, width, bgroups,
+                      gnodes=gnodes, gslot=gslot, gdepth=gdepth)
 
 
 def build_chained_scene_device(a, b, c, max_part: int = 200_000,
@@ -325,15 +447,23 @@ def build_chained_scene_device(a, b, c, max_part: int = 200_000,
         nn = int(_grid_layout(C)[0].shape[0])
     else:
         nn = 2 * C - 1 if C > 1 else 1
+    wide = upper == "grid" and _grid_wide_ok(C)
+    if wide:
+        _, _, _, gslot_np, gdepth = _grid_wide_meta(C)
+        gslot = jnp.asarray(gslot_np)
     parts, ids = [], []
     for p in range(P):
         sel = jax.lax.dynamic_slice_in_dim(order, p * sz, sz)
         valid = sel >= 0
         safe = jnp.maximum(sel, 0)
         out = _build_core(a[safe], b[safe], c[safe], width, upper, False,
-                          valid_in=valid)
+                          valid_in=valid, wide=wide)
         smem_nodes, groups, tri_map = out[:3]
-        parts.append(TightScene(smem_nodes, groups, tri_map, C, nn, width))
+        parts.append(TightScene(
+            smem_nodes, groups, tri_map, C, nn, width,
+            gnodes=out[-1] if wide else None,
+            gslot=gslot if wide else None,
+            gdepth=gdepth if wide else 0))
         ids.append(sel)
     return ChainedScene(tuple(parts), tuple(ids))
 

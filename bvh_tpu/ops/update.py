@@ -100,6 +100,17 @@ def make_updater(scene: TightScene, max_moved: int, delta_width: int = TIGHT):
     W = delta_width
     slice_cap, D, Cd, nn_d = _delta_layout(max_moved, W)
     cap = slice_cap * D  # lane-aligned total delta capacity
+    # delta parts carry the group-walk tables when they fit (grid topology
+    # is a host constant per capacity; boxes fill on device) — without
+    # them the delta traced the slower entry/exit walk
+    from .device_build import _grid_wide_meta, _grid_wide_ok
+
+    wide_d = _grid_wide_ok(Cd)
+    if wide_d:
+        _, _, _, gslot_np, gdepth_d = _grid_wide_meta(Cd)
+        gslot_d = jnp.asarray(gslot_np)
+    else:
+        gslot_d, gdepth_d = None, 0
 
     @jax.jit
     def update_core(a, b, c, moved_idx):
@@ -140,21 +151,27 @@ def make_updater(scene: TightScene, max_moved: int, delta_width: int = TIGHT):
         sl_s, sl_v = (safe_b.reshape(D, slice_cap),
                       valid_b.reshape(D, slice_cap))
         outs = [_build_core(a[sl_s[p]], b[sl_s[p]], c[sl_s[p]], W, "grid",
-                            False, valid_in=sl_v[p]) for p in range(D)]
+                            False, valid_in=sl_v[p], wide=wide_d)
+                for p in range(D)]
         smem_d, groups_d, tmap_d = (jnp.stack([o[i] for o in outs])
                                     for i in range(3))
-        return masked_groups, smem_d, groups_d, tmap_d, sl_s
+        gn_d = (jnp.stack([o[-1] for o in outs]) if wide_d
+                else jnp.zeros((D,), jnp.float32))
+        return masked_groups, smem_d, groups_d, tmap_d, sl_s, gn_d
 
     def update(a, b, c, moved_idx) -> ChainedScene:
         if np.shape(moved_idx)[0] > cap:
             raise ValueError(
                 f"{np.shape(moved_idx)[0]} moved ids > max_moved capacity "
                 f"{cap}; rebuild the scene (or raise max_moved)")
-        masked_groups, smem_d, groups_d, tmap_d, sl_s = update_core(
+        masked_groups, smem_d, groups_d, tmap_d, sl_s, gn_d = update_core(
             a, b, c, moved_idx)
         static = scene._replace(groups=masked_groups, bgroups=None)
         parts = [static] + [TightScene(smem_d[p], groups_d[p], tmap_d[p],
-                                       Cd, nn_d, W) for p in range(D)]
+                                       Cd, nn_d, W,
+                                       gnodes=gn_d[p] if wide_d else None,
+                                       gslot=gslot_d, gdepth=gdepth_d)
+                            for p in range(D)]
         static_ids = jnp.arange(n, dtype=jnp.int32)
         ids = [static_ids] + [sl_s[p] for p in range(D)]
         return ChainedScene(parts=tuple(parts), orig_ids=tuple(ids))
@@ -163,6 +180,7 @@ def make_updater(scene: TightScene, max_moved: int, delta_width: int = TIGHT):
     update.cap = cap  # delta-buffer geometry, reused by the chained wrapper
     update.delta_shape = (Cd, nn_d, W)
     update.delta_parts = D
+    update.delta_wide = (wide_d, gslot_d, gdepth_d)
     return update
 
 
@@ -195,6 +213,7 @@ def make_chained_updater(chained: ChainedScene, max_moved: int,
     cap = upds[0].cap
     Cd, nn_d, W = upds[0].delta_shape
     D = upds[0].delta_parts
+    wide_d, gslot_d, gdepth_d = upds[0].delta_wide
 
     def update(a, b, c, moved_idx) -> ChainedScene:
         a = jnp.asarray(a, jnp.float32)
@@ -213,14 +232,16 @@ def make_chained_updater(chained: ChainedScene, max_moved: int,
             a_p, b_p, c_p = a[safe_sel], b[safe_sel], c[safe_sel]
             moved_l = jnp.where(mvalid & (part_of_j[safe_g] == p),
                                 local_of_j[safe_g], -1)
-            masked_groups, smem_d, groups_d, tmap_d, sl_s = upd.core(
+            masked_groups, smem_d, groups_d, tmap_d, sl_s, gn_d = upd.core(
                 a_p, b_p, c_p, moved_l)
             out_parts.append(part._replace(groups=masked_groups,
                                            bgroups=None))
             out_ids.append(sel)
             for d in range(D):
-                out_parts.append(TightScene(smem_d[d], groups_d[d],
-                                            tmap_d[d], Cd, nn_d, W))
+                out_parts.append(TightScene(
+                    smem_d[d], groups_d[d], tmap_d[d], Cd, nn_d, W,
+                    gnodes=gn_d[d] if wide_d else None,
+                    gslot=gslot_d, gdepth=gdepth_d))
                 out_ids.append(safe_sel[sl_s[d]])  # part-local -> global
         return ChainedScene(parts=tuple(out_parts), orig_ids=tuple(out_ids))
 

@@ -172,9 +172,13 @@ def check_tight_scene(scene, a=None, b=None, c=None,
                 want_mx = sn[3:6, :nn][:, cols[okc]]
                 got_mn = gmin[ks[okc], :, gs[okc]].T
                 got_mx = gmax[ks[okc], :, gs[okc]].T
-                if (got_mn != want_mn).any() or (got_mx != want_mx).any():
-                    bad = ((got_mn != want_mn).any(axis=0)
-                           | (got_mx != want_mx).any(axis=0)).sum()
+
+                def neq(x, y):  # NaN==NaN here (both mean "unfireable")
+                    return (x != y) & ~(np.isnan(x) & np.isnan(y))
+
+                if neq(got_mn, want_mn).any() or neq(got_mx, want_mx).any():
+                    bad = (neq(got_mn, want_mn).any(axis=0)
+                           | neq(got_mx, want_mx).any(axis=0)).sum()
                     errs.append(f"{bad} wide leaf-slot boxes != their "
                                 "cluster leaf box (stale wide table?)")
             # interior slots must CONTAIN every occupied slot of the child

@@ -113,6 +113,42 @@ def test_refitter_identity():
     assert re.gdepth == scene.gdepth
 
 
+def test_device_build_wide_walk_matches_entry_exit():
+    """Grid-built scenes now carry the group-walk tables (static topology,
+    device-filled boxes): the wide walk must be bit-identical to the
+    entry/exit walk on the same scene, and the table must validate."""
+    from bvh_tpu.ops import assert_tight_scene
+    from bvh_tpu.ops.cluster import build_tight_scene
+
+    a, b, c = tb.create_n_cubes(40)
+    scene = build_tight_scene_device(a, b, c)
+    assert scene.gnodes is not None and scene.gslot is not None
+    assert scene.gdepth >= 1
+    assert_tight_scene(scene, a, b, c)
+    cen = a.reshape(-1, 12, 3).mean(axis=1)
+    n = 512
+    rng = np.random.default_rng(7)
+    idx = np.resize(np.arange(len(cen)), n)
+    offs = rng.normal(size=(n, 3)).astype(np.float32)
+    offs /= np.linalg.norm(offs, axis=1, keepdims=True)
+    o = (cen[idx] + offs * 30.0).astype(np.float32)
+    d = (cen[idx] + 0.05 - o).astype(np.float32)
+    rays = Ray.create(jnp.asarray(o), jnp.asarray(d))
+    wide = trace_closest_hit_tight(scene, rays, interpret=True, packet=512)
+    noww = trace_closest_hit_tight(
+        scene._replace(gnodes=None, gslot=None, gdepth=0), rays,
+        interpret=True, packet=512)
+    np.testing.assert_array_equal(np.asarray(wide.t), np.asarray(noww.t))
+    np.testing.assert_array_equal(np.asarray(wide.shape_id),
+                                  np.asarray(noww.shape_id))
+    assert np.isfinite(np.asarray(wide.t)).mean() > 0.5
+    # and the host SAH scene's wide walk agrees set-wise with the grid one
+    host = build_tight_scene(a, b, c, use_native=False)
+    hit_h = trace_closest_hit_tight(host, rays, interpret=True, packet=512)
+    assert (np.isfinite(np.asarray(hit_h.t))
+            == np.isfinite(np.asarray(wide.t))).all()
+
+
 def test_refit_wide_walk_matches_entry_exit():
     """The refit gnodes table is a pure perf hint: tracing the refit scene
     through the wide group walk must be bit-identical to the entry/exit
