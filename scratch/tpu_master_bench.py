@@ -100,6 +100,11 @@ for wide in (False, True):
     for perm_mode in (False, True):
         tag = f"random {'wide' if wide else 'narrow'} {'perm' if perm_mode else 'presort'}"
         bench(tag, lambda w=wide, p=perm_mode: run_random(w, p))
+# sweep A/B on the wide path: the pre-pass walks the coarse table with the
+# SERIAL entry/exit chain — against the wide main kernel's ~9x fewer
+# iterations, its round-2 +24% may have inverted
+bench("random wide perm NOSWEEP",
+      lambda: run_random(True, True, sweep=False))
 
 # --- leg 3: aimed workload, planner vs no planner ---
 n_aimed = min(N_RAYS, 1 << 20)
