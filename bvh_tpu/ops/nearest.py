@@ -52,6 +52,139 @@ _INF = np.float32(np.inf)
 _SENT_I = 0x7F800000  # +inf bits: sentinel above every finite d2 key
 
 
+def _point_narrow(c, ccx, ccy, ccz, groups_ref, pmat_ref, bestk_ref,
+                  bestc_ref, vb_ref, W, PACKET, PRECISION):
+    """MXU point-triangle narrowphase of cluster ``c`` (frame origin
+    ``cc*``): Ericson region cascade over the cluster's W packed
+    triangles, packed-key min into bestk/bestc, pruning-bound update.
+    Shared by the entry/exit and group-walk nearest kernels."""
+    SUB = PACKET // 128
+    GSHIFT = (128 // W).bit_length() - 1
+    GMASK = (128 // W) - 1
+    _SENT = jnp.int32(_SENT_I)
+    g = jax.lax.shift_right_logical(c, GSHIFT)
+    sub = jax.lax.bitwise_and(c, GMASK)
+    tile = groups_ref[pl.ds(g, 1)][0]  # [16, 128]
+    shift = jax.lax.bitwise_and(128 - sub * W, 127)
+    tr = pltpu.roll(tile, shift, axis=1)  # cluster tris at lanes 0..W-1
+
+    a0, a1, a2 = tr[0:1, 0:W], tr[1:2, 0:W], tr[2:3, 0:W]
+    e10, e11, e12 = tr[3:4, 0:W], tr[4:5, 0:W], tr[5:6, 0:W]
+    e20, e21, e22 = tr[6:7, 0:W], tr[7:8, 0:W], tr[8:9, 0:W]
+
+    # per-triangle scalars, [1, W] rows
+    s_e1a = e10 * a0 + e11 * a1 + e12 * a2
+    s_e2a = e20 * a0 + e21 * a1 + e22 * a2
+    s_aa = a0 * a0 + a1 * a1 + a2 * a2
+    q_aa = e10 * e10 + e11 * e11 + e12 * e12
+    q_bc = e10 * e20 + e11 * e21 + e12 * e22
+    q_cc = e20 * e20 + e21 * e21 + e22 * e22
+
+    z1 = jnp.zeros((1, W), jnp.float32)
+
+    def rows(*rs):
+        out = list(rs)
+        while len(out) < 8:
+            out.append(z1)
+        return jnp.concatenate(out, axis=0)
+
+    # 6 blocks of W columns each; contraction over 8 sublane rows of
+    # the point matrix (x', y', z', 1, 0...)
+    bmat = jnp.concatenate(
+        [
+            rows(e10, e11, e12, -s_e1a),   # d1 = e1 . (p' - a')
+            rows(e20, e21, e22, -s_e2a),   # d2 = e2 . (p' - a')
+            rows(-2.0 * a0, -2.0 * a1, -2.0 * a2, s_aa),  # a'a' - 2a'p'
+            rows(z1, z1, z1, q_aa),        # |e1|^2 broadcast
+            rows(z1, z1, z1, q_bc),        # e1.e2 broadcast
+            rows(z1, z1, z1, q_cc),        # |e2|^2 broadcast
+        ],
+        axis=1,
+    )  # [8, 6W]
+
+    pm = pmat_ref[0]  # [8, PACKET]
+    lp = jnp.concatenate(
+        [pm[0:1] - ccx, pm[1:2] - ccy, pm[2:3] - ccz, pm[3:8]], axis=0
+    )  # [8, PACKET]; rows 3 = ones, 4-7 = zeros
+
+    m = jax.lax.dot_general(
+        bmat, lp, (((0,), (0,)), ((), ())),
+        preferred_element_type=jnp.float32, precision=PRECISION,
+    )  # [6W, PACKET]
+
+    d1 = m[0:W]
+    d2 = m[W:2 * W]
+    apc = m[2 * W:3 * W]
+    aa = m[3 * W:4 * W]
+    bc = m[4 * W:5 * W]
+    cc = m[5 * W:6 * W]
+
+    pp = lp[0:1] * lp[0:1] + lp[1:2] * lp[1:2] + lp[2:3] * lp[2:3]
+    ap2 = pp + apc  # |p' - a'|^2
+
+    # Ericson 5.1.5 region cascade. Wheres applied in REVERSE priority
+    # (A > B > AB > C > AC > BC > face), so the earliest region wins.
+    d3 = d1 - aa
+    d4 = d2 - bc
+    d5 = d1 - bc
+    d6 = d2 - cc
+    va = d3 * d6 - d5 * d4
+    vb2 = d5 * d2 - d1 * d6
+    vc = d1 * d4 - d3 * d2
+
+    t_bc = (d4 - d3) / ((d4 - d3) + (d5 - d6))
+    denom = va + vb2 + vc
+    v = vb2 / denom
+    w = vc / denom
+    r_bc = (va <= 0.0) & (d4 - d3 >= 0.0) & (d5 - d6 >= 0.0)
+    v = jnp.where(r_bc, 1.0 - t_bc, v)
+    w = jnp.where(r_bc, t_bc, w)
+    r_ac = (vb2 <= 0.0) & (d2 >= 0.0) & (d6 <= 0.0)
+    v = jnp.where(r_ac, 0.0, v)
+    w = jnp.where(r_ac, d2 / (d2 - d6), w)
+    r_c = (d6 >= 0.0) & (d5 <= d6)
+    v = jnp.where(r_c, 0.0, v)
+    w = jnp.where(r_c, 1.0, w)
+    r_ab = (vc <= 0.0) & (d1 >= 0.0) & (d3 <= 0.0)
+    v = jnp.where(r_ab, d1 / (d1 - d3), v)
+    w = jnp.where(r_ab, 0.0, w)
+    r_b = (d3 >= 0.0) & (d4 <= d3)
+    v = jnp.where(r_b, 1.0, v)
+    w = jnp.where(r_b, 0.0, w)
+    r_a = (d1 <= 0.0) & (d2 <= 0.0)
+    v = jnp.where(r_a, 0.0, v)
+    w = jnp.where(r_a, 0.0, w)
+
+    d2out = ap2 + v * (v * aa + 2.0 * w * bc - 2.0 * d1) \
+        + w * (w * cc - 2.0 * d2)
+    # pad / degenerate slots (aa == 0) can never win; NaNs from their
+    # divisions have bit patterns above the +inf sentinel already, but
+    # mask explicitly so a padded slot with aa==0, d2out==|p'|^2 (a
+    # REAL finite number) cannot steal the min
+    d2out = jnp.where(aa > 0.0, jnp.maximum(d2out, 0.0), _INF)
+
+    LMASK = jnp.int32(W - 1)
+    lanes_i = jax.lax.broadcasted_iota(jnp.int32, (W, PACKET), 0)
+    key = pltpu.bitcast(d2out, jnp.int32)
+    key = jnp.where(d2out < _INF, (key & ~LMASK) | lanes_i, _SENT)
+    if PACKET >= 1024 or PACKET == 128:
+        km = jnp.min(key, axis=0).reshape(SUB, 128)
+    else:
+        km = jnp.concatenate(
+            [jnp.min(key[:, i * 128:(i + 1) * 128], axis=0,
+                     keepdims=True) for i in range(SUB)],
+            axis=0,
+        )
+
+    bk = bestk_ref[:, :]
+    closer = km < bk
+    nbk = jnp.where(closer, km, bk)
+    bestk_ref[:, :] = nbk
+    bestc_ref[:, :] = jnp.where(closer, c, bestc_ref[:, :])
+    nt = pltpu.bitcast(nbk & ~LMASK, jnp.float32)
+    vb_ref[:, :] = jnp.minimum(nt, vb_ref[:, :])
+
+
 def _nearest_body(nodes_ref, groups_ref, pslab_ref, pmat_ref, out_ref,
                   bestk_ref, bestc_ref, vb_ref, cnt_ref, PACKET, PRECISION,
                   W=16, COUNT_VISITS=False):
@@ -78,128 +211,9 @@ def _nearest_body(nodes_ref, groups_ref, pslab_ref, pmat_ref, out_ref,
         ccx = (nodes_ref[0, node] + nodes_ref[3, node]) * 0.5
         ccy = (nodes_ref[1, node] + nodes_ref[4, node]) * 0.5
         ccz = (nodes_ref[2, node] + nodes_ref[5, node]) * 0.5
+        _point_narrow(c, ccx, ccy, ccz, groups_ref, pmat_ref, bestk_ref,
+                      bestc_ref, vb_ref, W, PACKET, PRECISION)
 
-        g = jax.lax.shift_right_logical(c, GSHIFT)
-        sub = jax.lax.bitwise_and(c, GMASK)
-        tile = groups_ref[pl.ds(g, 1)][0]  # [16, 128]
-        shift = jax.lax.bitwise_and(128 - sub * W, 127)
-        tr = pltpu.roll(tile, shift, axis=1)  # cluster tris at lanes 0..W-1
-
-        a0, a1, a2 = tr[0:1, 0:W], tr[1:2, 0:W], tr[2:3, 0:W]
-        e10, e11, e12 = tr[3:4, 0:W], tr[4:5, 0:W], tr[5:6, 0:W]
-        e20, e21, e22 = tr[6:7, 0:W], tr[7:8, 0:W], tr[8:9, 0:W]
-
-        # per-triangle scalars, [1, W] rows
-        s_e1a = e10 * a0 + e11 * a1 + e12 * a2
-        s_e2a = e20 * a0 + e21 * a1 + e22 * a2
-        s_aa = a0 * a0 + a1 * a1 + a2 * a2
-        q_aa = e10 * e10 + e11 * e11 + e12 * e12
-        q_bc = e10 * e20 + e11 * e21 + e12 * e22
-        q_cc = e20 * e20 + e21 * e21 + e22 * e22
-
-        z1 = jnp.zeros((1, W), jnp.float32)
-
-        def rows(*rs):
-            out = list(rs)
-            while len(out) < 8:
-                out.append(z1)
-            return jnp.concatenate(out, axis=0)
-
-        # 6 blocks of W columns each; contraction over 8 sublane rows of
-        # the point matrix (x', y', z', 1, 0...)
-        bmat = jnp.concatenate(
-            [
-                rows(e10, e11, e12, -s_e1a),   # d1 = e1 . (p' - a')
-                rows(e20, e21, e22, -s_e2a),   # d2 = e2 . (p' - a')
-                rows(-2.0 * a0, -2.0 * a1, -2.0 * a2, s_aa),  # a'a' - 2a'p'
-                rows(z1, z1, z1, q_aa),        # |e1|^2 broadcast
-                rows(z1, z1, z1, q_bc),        # e1.e2 broadcast
-                rows(z1, z1, z1, q_cc),        # |e2|^2 broadcast
-            ],
-            axis=1,
-        )  # [8, 6W]
-
-        pm = pmat_ref[0]  # [8, PACKET]
-        lp = jnp.concatenate(
-            [pm[0:1] - ccx, pm[1:2] - ccy, pm[2:3] - ccz, pm[3:8]], axis=0
-        )  # [8, PACKET]; rows 3 = ones, 4-7 = zeros
-
-        m = jax.lax.dot_general(
-            bmat, lp, (((0,), (0,)), ((), ())),
-            preferred_element_type=jnp.float32, precision=PRECISION,
-        )  # [6W, PACKET]
-
-        d1 = m[0:W]
-        d2 = m[W:2 * W]
-        apc = m[2 * W:3 * W]
-        aa = m[3 * W:4 * W]
-        bc = m[4 * W:5 * W]
-        cc = m[5 * W:6 * W]
-
-        pp = lp[0:1] * lp[0:1] + lp[1:2] * lp[1:2] + lp[2:3] * lp[2:3]
-        ap2 = pp + apc  # |p' - a'|^2
-
-        # Ericson 5.1.5 region cascade. Wheres applied in REVERSE priority
-        # (A > B > AB > C > AC > BC > face), so the earliest region wins.
-        d3 = d1 - aa
-        d4 = d2 - bc
-        d5 = d1 - bc
-        d6 = d2 - cc
-        va = d3 * d6 - d5 * d4
-        vb2 = d5 * d2 - d1 * d6
-        vc = d1 * d4 - d3 * d2
-
-        t_bc = (d4 - d3) / ((d4 - d3) + (d5 - d6))
-        denom = va + vb2 + vc
-        v = vb2 / denom
-        w = vc / denom
-        r_bc = (va <= 0.0) & (d4 - d3 >= 0.0) & (d5 - d6 >= 0.0)
-        v = jnp.where(r_bc, 1.0 - t_bc, v)
-        w = jnp.where(r_bc, t_bc, w)
-        r_ac = (vb2 <= 0.0) & (d2 >= 0.0) & (d6 <= 0.0)
-        v = jnp.where(r_ac, 0.0, v)
-        w = jnp.where(r_ac, d2 / (d2 - d6), w)
-        r_c = (d6 >= 0.0) & (d5 <= d6)
-        v = jnp.where(r_c, 0.0, v)
-        w = jnp.where(r_c, 1.0, w)
-        r_ab = (vc <= 0.0) & (d1 >= 0.0) & (d3 <= 0.0)
-        v = jnp.where(r_ab, d1 / (d1 - d3), v)
-        w = jnp.where(r_ab, 0.0, w)
-        r_b = (d3 >= 0.0) & (d4 <= d3)
-        v = jnp.where(r_b, 1.0, v)
-        w = jnp.where(r_b, 0.0, w)
-        r_a = (d1 <= 0.0) & (d2 <= 0.0)
-        v = jnp.where(r_a, 0.0, v)
-        w = jnp.where(r_a, 0.0, w)
-
-        d2out = ap2 + v * (v * aa + 2.0 * w * bc - 2.0 * d1) \
-            + w * (w * cc - 2.0 * d2)
-        # pad / degenerate slots (aa == 0) can never win; NaNs from their
-        # divisions have bit patterns above the +inf sentinel already, but
-        # mask explicitly so a padded slot with aa==0, d2out==|p'|^2 (a
-        # REAL finite number) cannot steal the min
-        d2out = jnp.where(aa > 0.0, jnp.maximum(d2out, 0.0), _INF)
-
-        LMASK = jnp.int32(W - 1)
-        lanes_i = jax.lax.broadcasted_iota(jnp.int32, (W, PACKET), 0)
-        key = pltpu.bitcast(d2out, jnp.int32)
-        key = jnp.where(d2out < _INF, (key & ~LMASK) | lanes_i, _SENT)
-        if PACKET >= 1024 or PACKET == 128:
-            km = jnp.min(key, axis=0).reshape(SUB, 128)
-        else:
-            km = jnp.concatenate(
-                [jnp.min(key[:, i * 128:(i + 1) * 128], axis=0,
-                         keepdims=True) for i in range(SUB)],
-                axis=0,
-            )
-
-        bk = bestk_ref[:, :]
-        closer = km < bk
-        nbk = jnp.where(closer, km, bk)
-        bestk_ref[:, :] = nbk
-        bestc_ref[:, :] = jnp.where(closer, c, bestc_ref[:, :])
-        nt = pltpu.bitcast(nbk & ~LMASK, jnp.float32)
-        vb_ref[:, :] = jnp.minimum(nt, vb_ref[:, :])
 
     def visit(cursor):
         ax, ay, az = nodes_ref[0, cursor], nodes_ref[1, cursor], nodes_ref[2, cursor]
@@ -298,6 +312,198 @@ def _nearest_tight(smem_nodes, groups, pslab, pmat, num_nodes,
     )(smem_nodes, groups, pslab, pmat)
 
 
+def _nearest_wide_body(gnodes_ref, groups_ref, pslab_ref, pmat_ref, out_ref,
+                       bestk_ref, bestc_ref, vb_ref, cnt_ref, stk_ref, m2_ref,
+                       PACKET, PRECISION, K=16, W=16, COUNT_VISITS=False):
+    """Group-walk nearest: the wide-tree analog of ``_nearest_body``.
+
+    Same mask-stack walk as the trace kernel's ``_wide_body``
+    (ops/trace.py): one iteration distance-tests all K children of a
+    group against the per-lane squared-distance bound (one reduce
+    consumer), narrowphases the fired leaf bits, and pops interior bits
+    in DFS order. The bound refines with min over nonempty children's
+    farthest-corner d2max exactly like the entry/exit kernel's visits, so
+    the pruning behavior class is unchanged and results are bit-identical
+    (child order = DFS order)."""
+    assert W in (16, 32, 64, 128)
+    assert K == 16
+    SUB = PACKET // 128
+    _SENT = jnp.int32(_SENT_I)
+
+    bestk_ref[:, :] = jnp.full((SUB, 128), _SENT, jnp.int32)
+    bestc_ref[:, :] = jnp.zeros((SUB, 128), jnp.int32)
+    vb_ref[:, :] = pslab_ref[0, 3]  # d_max^2 (inf when unbounded)
+    m2_ref[0] = 0
+    if COUNT_VISITS:
+        cnt_ref[0] = 0  # loop iterations
+        cnt_ref[1] = 0  # narrowphase fires
+
+    def child_box(k, g):
+        base = 7 * k
+        return (gnodes_ref[base, g], gnodes_ref[base + 1, g],
+                gnodes_ref[base + 2, g], gnodes_ref[base + 3, g],
+                gnodes_ref[base + 4, g], gnodes_ref[base + 5, g])
+
+    def narrow_slot(k, g):
+        pay = gnodes_ref[7 * k + 6, g]
+        c = (-pay - 1.0).astype(jnp.int32)
+        ax, ay, az, bx, by, bz = child_box(k, g)
+        if COUNT_VISITS:
+            cnt_ref[1] = cnt_ref[1] + 1
+        _point_narrow(c, (ax + bx) * 0.5, (ay + by) * 0.5, (az + bz) * 0.5,
+                      groups_ref, pmat_ref, bestk_ref, bestc_ref, vb_ref,
+                      W, PACKET, PRECISION)
+
+    def group_test(g):
+        """Distance-test all K children; refine the bound; K-bit mask.
+
+        Empty slots hold NaN boxes: their d2min comparisons are false (bit
+        never sets) and their NaN d2max is excluded from the bound
+        refinement (min over a NaN would poison every lane's bound)."""
+        px, py, pz = pslab_ref[0, 0], pslab_ref[0, 1], pslab_ref[0, 2]
+        vbv = vb_ref[:, :]
+        refine = vbv
+        macc = jnp.zeros((SUB, 128), jnp.int32)
+        for k in range(K):
+            ax, ay, az, bx, by, bz = child_box(k, g)
+            tx = jnp.maximum(jnp.maximum(ax - px, px - bx), 0.0)
+            ty = jnp.maximum(jnp.maximum(ay - py, py - by), 0.0)
+            tz = jnp.maximum(jnp.maximum(az - pz, pz - bz), 0.0)
+            d2min = tx * tx + ty * ty + tz * tz
+            mx = jnp.maximum(px - ax, bx - px)
+            my = jnp.maximum(py - ay, by - py)
+            mz = jnp.maximum(pz - az, bz - pz)
+            d2max = mx * mx + my * my + mz * mz
+            refine = jnp.minimum(refine,
+                                 jnp.where(d2max == d2max, d2max, _INF))
+            fired = d2min < vbv
+            macc = macc | jnp.where(fired, jnp.int32(1 << k), jnp.int32(0))
+        vb_ref[:, :] = refine
+        acc = macc
+        s = SUB
+        assert s & (s - 1) == 0, s
+        while s > 1:
+            s //= 2
+            acc = acc[:s, :] | acc[s:2 * s, :]
+        for sh in (64, 32, 16, 8, 4, 2, 1):
+            acc = acc | pltpu.roll(acc, sh, axis=1)
+        return jnp.max(acc)
+
+    def ctz16(m):
+        low = jax.lax.bitwise_and(m, -m)
+        k = jnp.int32(0)
+        for bit, msk in ((1, 0xAAAA), (2, 0xCCCC), (4, 0xF0F0), (8, 0xFF00)):
+            k = k + jax.lax.select(
+                jax.lax.bitwise_and(low, jnp.int32(msk)) != 0,
+                jnp.int32(bit), jnp.int32(0))
+        return k
+
+    def narrow_mask(lm, g):
+        def step(m):
+            narrow_slot(ctz16(m), g)
+            return jax.lax.bitwise_and(m, m - 1)
+
+        jax.lax.while_loop(lambda m: m != 0, step, lm)
+
+    def enter(g):
+        m = group_test(g)
+        lmask = gnodes_ref[7 * K, g].astype(jnp.int32)
+        lm = jax.lax.bitwise_and(m, lmask)
+        narrow_mask(lm, g)
+        return jax.lax.bitwise_and(m, jax.lax.bitwise_not(lmask))
+
+    def body(carry):
+        d, gid, mask = carry
+        if COUNT_VISITS:
+            cnt_ref[0] = cnt_ref[0] + 1
+        has = mask != 0
+        k = ctz16(mask)
+        mask2 = jax.lax.bitwise_and(mask, mask - 1)
+        child = gnodes_ref[7 * k + 6, gid].astype(jnp.int32)
+        m2_ref[0] = 0
+
+        @pl.when(has)
+        def _():
+            m2_ref[0] = enter(child)
+
+        stk_ref[2 * d] = gid
+        stk_ref[2 * d + 1] = mask2
+        dm1 = jnp.maximum(d - 1, 0)
+        pgid = stk_ref[2 * dm1]
+        pmask = stk_ref[2 * dm1 + 1]
+        m2 = m2_ref[0]
+        push = has & (m2 != 0)
+        nd = jax.lax.select(push, d + 1, jax.lax.select(has, d, d - 1))
+        ngid = jax.lax.select(push, child, jax.lax.select(has, gid, pgid))
+        nmask = jax.lax.select(push, m2, jax.lax.select(has, mask2, pmask))
+        return nd, ngid, nmask
+
+    jax.lax.while_loop(lambda s: s[0] >= 0, body,
+                       (jnp.int32(0), jnp.int32(0), enter(jnp.int32(0))))
+
+    bk = bestk_ref[:, :]
+    LMASK = jnp.int32(W - 1)
+    out_ref[0, 0:SUB] = pltpu.bitcast(bk & ~LMASK, jnp.float32)
+    hit = bk < jnp.int32(_SENT_I)
+    gid = bestc_ref[:, :] * W + jax.lax.bitwise_and(bk, LMASK)
+    out_ref[0, SUB:2 * SUB] = jnp.where(hit, gid, -1).astype(jnp.float32)
+    if COUNT_VISITS:
+        out_ref[0, 0:1] = jnp.full((1, 128), cnt_ref[0].astype(jnp.float32))
+        out_ref[0, 1:2] = jnp.full((1, 128), cnt_ref[1].astype(jnp.float32))
+
+
+def _make_nearest_wide_kernel(packet, precision, width, count_visits):
+    def _kernel(gnodes_ref, groups_ref, pslab_ref, pmat_ref, out_ref,
+                bestk_ref, bestc_ref, vb_ref, cnt_ref, stk_ref, m2_ref):
+        return _nearest_wide_body(gnodes_ref, groups_ref, pslab_ref, pmat_ref,
+                                  out_ref, bestk_ref, bestc_ref, vb_ref,
+                                  cnt_ref, stk_ref, m2_ref, packet, precision,
+                                  W=width, COUNT_VISITS=count_visits)
+    return _kernel
+
+
+@partial(jax.jit, static_argnames=("interpret", "packet", "precision",
+                                   "width", "count_visits"))
+def _nearest_wide(gnodes, groups, pslab, pmat, interpret=False, packet=2048,
+                  precision=jax.lax.Precision.HIGHEST, width=16,
+                  count_visits=False):
+    from .trace import WIDE_DMAX
+
+    p = pslab.shape[0]
+    sub = packet // 128
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=1,
+        grid=(p,),
+        scratch_shapes=[
+            pltpu.VMEM((sub, 128), jnp.int32),
+            pltpu.VMEM((sub, 128), jnp.int32),
+            pltpu.VMEM((sub, 128), jnp.float32),
+            pltpu.SMEM((2,), jnp.int32),
+            pltpu.SMEM((2 * WIDE_DMAX,), jnp.int32),
+            pltpu.SMEM((1,), jnp.int32),
+        ],
+        in_specs=[
+            pl.BlockSpec(groups.shape, lambda i, *_: (0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + pslab.shape[1:], lambda i, *_: (i, 0, 0, 0),
+                         memory_space=pltpu.VMEM),
+            pl.BlockSpec((1,) + pmat.shape[1:], lambda i, *_: (i, 0, 0),
+                         memory_space=pltpu.VMEM),
+        ],
+        out_specs=pl.BlockSpec((1, 2 * sub, 128), lambda i, *_: (i, 0, 0),
+                               memory_space=pltpu.VMEM),
+    )
+    return pl.pallas_call(
+        _make_nearest_wide_kernel(packet, precision, width, count_visits),
+        out_shape=jax.ShapeDtypeStruct((p, 2 * sub, 128), jnp.float32),
+        grid_spec=grid_spec,
+        interpret=interpret,
+        compiler_params=pltpu.CompilerParams(
+            vmem_limit_bytes=64 * 1024 * 1024,
+        ),
+    )(gnodes, groups, pslab, pmat)
+
+
 def _pack_points(points, packet, d_max=None):
     """Pads points to a packet multiple (replicating the last point, which
     adds no traversal work) and builds the two kernel layouts: the slab
@@ -337,7 +543,8 @@ def _pack_points(points, packet, d_max=None):
 
 def nearest_tight(scene, points, packet: int = 2048, d_max=None,
                   interpret: bool = False,
-                  precision=jax.lax.Precision.HIGHEST):
+                  precision=jax.lax.Precision.HIGHEST,
+                  wide: bool | None = None):
     """Nearest triangle to each point (kernel path).
 
     Returns ``(shape_id [n] i32, distance [n] f32)``: the global triangle
@@ -350,6 +557,11 @@ def nearest_tight(scene, points, packet: int = 2048, d_max=None,
     ``d_max``: optional scalar or [n] search radius; triangles at
     distance >= d_max are ignored and the radius prunes traversal from
     the start.
+
+    Scenes carrying group-walk tables default to the wide nearest kernel
+    (one iteration distance-tests all 16 children — the trace kernels'
+    serial-chain amortization); results are bit-identical to the
+    entry/exit walk. ``wide=False`` forces the entry/exit kernel.
     """
     pts = jnp.asarray(points, jnp.float32)
     r = pts.shape[0]
@@ -359,12 +571,23 @@ def nearest_tight(scene, points, packet: int = 2048, d_max=None,
     assert getattr(scene, "packed_nodes", None) is None, \
         "nearest_tight reads f32 node tables (build with packed=False)"
     p, rp, pslab, pmat = _pack_points(pts, packet, d_max)
-    out = _nearest_tight(
-        jnp.asarray(scene.smem_nodes), jnp.asarray(scene.groups),
-        pslab, pmat, num_nodes=scene.num_nodes, interpret=interpret,
-        packet=packet, precision=precision,
-        width=int(getattr(scene, "width", 16)),
-    )
+    gn = getattr(scene, "gnodes", None)
+    if wide is None:
+        wide = gn is not None
+    if wide:
+        assert gn is not None, "scene built without wide tables"
+        out = _nearest_wide(
+            jnp.asarray(gn), jnp.asarray(scene.groups), pslab, pmat,
+            interpret=interpret, packet=packet, precision=precision,
+            width=int(getattr(scene, "width", 16)),
+        )
+    else:
+        out = _nearest_tight(
+            jnp.asarray(scene.smem_nodes), jnp.asarray(scene.groups),
+            pslab, pmat, num_nodes=scene.num_nodes, interpret=interpret,
+            packet=packet, precision=precision,
+            width=int(getattr(scene, "width", 16)),
+        )
     sub = packet // 128
     d2 = out[:, :sub].reshape(rp)[:r]
     lane_id = out[:, sub:2 * sub].reshape(rp)[:r].astype(jnp.int32)
@@ -425,20 +648,33 @@ def nearest_chained(chained, points, packet: int = 2048, d_max=None,
 
 
 def count_visits_nearest(scene, points, packet: int = 2048,
-                         interpret: bool = False):
-    """Per-packet (visits, narrowphase fires) for ``nearest_tight``
-    (debug/roofline mode — NOT a timed configuration)."""
+                         interpret: bool = False,
+                         wide: bool | None = None):
+    """Per-packet (serial visits/iterations, narrowphase fires) for
+    ``nearest_tight`` (debug/roofline mode — NOT a timed configuration).
+    Counts whichever walk the scene defaults to (wide when gnodes
+    present), like the trace counters."""
     pts = jnp.asarray(points, jnp.float32)
     if pts.shape[0] == 0:
         z = np.zeros(0, np.int64)
         return z, z
     p, rp, pslab, pmat = _pack_points(pts, packet, None)
-    out = _nearest_tight(
-        jnp.asarray(scene.smem_nodes), jnp.asarray(scene.groups),
-        pslab, pmat, num_nodes=scene.num_nodes, interpret=interpret,
-        packet=packet, width=int(getattr(scene, "width", 16)),
-        count_visits=True,
-    )
+    gn = getattr(scene, "gnodes", None)
+    if wide is None:
+        wide = gn is not None
+    if wide:
+        out = _nearest_wide(
+            jnp.asarray(gn), jnp.asarray(scene.groups), pslab, pmat,
+            interpret=interpret, packet=packet,
+            width=int(getattr(scene, "width", 16)), count_visits=True,
+        )
+    else:
+        out = _nearest_tight(
+            jnp.asarray(scene.smem_nodes), jnp.asarray(scene.groups),
+            pslab, pmat, num_nodes=scene.num_nodes, interpret=interpret,
+            packet=packet, width=int(getattr(scene, "width", 16)),
+            count_visits=True,
+        )
     visits = np.asarray(out[:, 0, 0]).astype(np.int64)
     fires = np.asarray(out[:, 1, 0]).astype(np.int64)
     return visits, fires

@@ -49,6 +49,26 @@ def test_nearest_kernel_matches_brute(n_cubes):
     assert np.allclose(np.asarray(dd), bd2, rtol=1e-4, atol=1e-5)
 
 
+def test_nearest_wide_matches_entry_exit():
+    """The group-walk nearest kernel must be bit-identical to the
+    entry/exit walk (same candidate set above the final bound, same DFS
+    narrow order, same packed keys) — bounded and unbounded."""
+    rng = np.random.default_rng(31)
+    a, b, c = tb.create_n_cubes(120)
+    scene = build_tight_scene(a, b, c)
+    assert scene.gnodes is not None
+    pts = make_points(512, rng)
+    for dm in (None, 40.0):
+        sw, dw = nearest_tight(scene, pts, packet=256, d_max=dm,
+                               interpret=True)  # wide (default)
+        se, de = nearest_tight(scene, pts, packet=256, d_max=dm,
+                               interpret=True, wide=False)
+        np.testing.assert_array_equal(np.asarray(dw), np.asarray(de))
+        np.testing.assert_array_equal(np.asarray(sw), np.asarray(se))
+        if dm is None:
+            assert (np.asarray(sw) >= 0).all()  # unbounded: all find one
+
+
 def test_nearest_chained_matches_brute_and_single_table():
     """nearest_chained over a forced multi-part split must agree with the
     single-table kernel AND the brute oracle (the reference's nearest_to
