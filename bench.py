@@ -348,13 +348,20 @@ def main():
                     a, b, c, amount=amount, seed=13)
                 amj, bmj, cmj = jnp.asarray(am), jnp.asarray(bm), jnp.asarray(cm)
                 updater = make_updater(scene, max_moved=amount)
+                upd_scene = updater(amj, bmj, cmj,
+                                    jnp.asarray(moved, jnp.int32)[:amount])
+                refit_scene = refitter(amj, bmj, cmj)
+                if not wide_ok:
+                    # updater deltas and the refit scene always carry wide
+                    # tables — strip them on the fallback path too
+                    upd_scene = _strip_wide(upd_scene)
+                    refit_scene = _strip_wide(refit_scene)
                 cells = {
-                    "refit": refitter(amj, bmj, cmj),
+                    "refit": refit_scene,
                     "host_rebuild": build_tight_scene(am, bm, cm, wide=wide_ok),
                     # mask+delta update: static part keeps original SAH quality,
                     # moved tris live in a device-built delta part (ops/update.py)
-                    "update": updater(amj, bmj, cmj,
-                                      jnp.asarray(moved, jnp.int32)[:amount]),
+                    "update": upd_scene,
                 }
                 for name, sc in cells.items():
                     chained_q = hasattr(sc, "parts")

@@ -85,6 +85,8 @@ def save_tight_scene(path: str, scene) -> None:
         extra["gnodes"] = np.asarray(scene.gnodes)
         extra["gslot"] = np.asarray(scene.gslot)
         extra["gdepth"] = np.int64(scene.gdepth)
+    if getattr(scene, "masked", False):
+        extra["masked"] = np.int64(1)
     np.savez_compressed(
         path,
         __tight_version__=np.int64(_TIGHT_VERSION),
@@ -117,6 +119,7 @@ def load_tight_scene(path: str):
             packed_nodes=z["packed_nodes"] if "packed_nodes" in z.files else None,
             gnodes=z["gnodes"] if "gnodes" in z.files else None,
             gslot=z["gslot"] if "gslot" in z.files else None,
+            masked=bool(z["masked"]) if "masked" in z.files else False,
             gdepth=int(z["gdepth"]) if "gdepth" in z.files else 0,
         )
 
@@ -147,6 +150,8 @@ def save_chained_scene(path: str, chained) -> None:
             if v is not None:
                 payload[f"p{i}_{opt}"] = np.asarray(v)
         payload[f"p{i}_gdepth"] = np.int64(getattr(part, "gdepth", 0))
+        if getattr(part, "masked", False):
+            payload[f"p{i}_masked"] = np.int64(1)
     np.savez_compressed(path, **payload)
 
 
@@ -176,6 +181,8 @@ def load_chained_scene(path: str):
                 gslot=z[f"p{i}_gslot"] if f"p{i}_gslot" in z.files else None,
                 gdepth=(int(z[f"p{i}_gdepth"])
                         if f"p{i}_gdepth" in z.files else 0),
+                masked=(bool(z[f"p{i}_masked"])
+                        if f"p{i}_masked" in z.files else False),
             ))
             ids.append(z[f"p{i}_orig_ids"])
     return ChainedScene(tuple(parts), tuple(ids))

@@ -199,6 +199,10 @@ class TightScene(NamedTuple):
     gnodes: np.ndarray | None = None  # [7K, Gn] wide-tree table (build_wide_table)
     gslot: np.ndarray | None = None  # [C] i32 cluster -> g*K + k (wide seed hints)
     gdepth: int = 0  # wide-tree group-stack depth
+    masked: bool = False  # lanes masked out after build (make_updater static
+    # part): boxes may cover NO live triangle, so consumers must not treat
+    # a box as evidence of contained geometry (nearest disables its
+    # farthest-corner bound refinement — unsound on vacated clusters)
 
     @property
     def num_tris(self) -> int:

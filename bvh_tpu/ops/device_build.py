@@ -350,13 +350,20 @@ def _build_core(a: jnp.ndarray, b: jnp.ndarray, c: jnp.ndarray, width: int = TIG
     return tuple(out)
 
 
-def _grid_wide_ok(C: int) -> bool:
+def _grid_wide_ok(C: int, F: int = 16) -> bool:
     """Grid-built scenes get the group-walk table when it fits the SMEM
     scalar-prefetch budget (it replaces the entry/exit table as the wide
-    kernel's only SMEM operand) and the fixed kernel stack depth."""
-    template, _, _, _, depth = _grid_wide_meta(C)
-    return (depth <= 14
-            and template.shape[0] * template.shape[1] * 4 <= 660_000)
+    kernel's only SMEM operand) and the fixed kernel stack depth.
+    Pure arithmetic on the ceil-div level-size chain — must NOT call
+    ``_grid_wide_meta`` (that would materialize and cache ~60 B/cluster
+    of template arrays just to answer False for huge scenes)."""
+    sizes = [C]
+    while sizes[-1] > 1:
+        sizes.append(-(-sizes[-1] // F))
+    depth = max(len(sizes) - 1, 1)
+    n_groups = max(sum(sizes[1:]), 1)
+    Gn = max(8, -(-n_groups // 8) * 8)
+    return depth <= 14 and (7 * F + 1) * Gn * 4 <= 660_000
 
 
 def build_tight_scene_device(a, b, c, width: int = TIGHT,

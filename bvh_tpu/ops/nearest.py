@@ -187,7 +187,7 @@ def _point_narrow(c, ccx, ccy, ccz, groups_ref, pmat_ref, bestk_ref,
 
 def _nearest_body(nodes_ref, groups_ref, pslab_ref, pmat_ref, out_ref,
                   bestk_ref, bestc_ref, vb_ref, cnt_ref, PACKET, PRECISION,
-                  W=16, COUNT_VISITS=False):
+                  W=16, COUNT_VISITS=False, REFINE=True):
     assert W in (16, 32, 64, 128)
     nn = nodes_ref.shape[1]
     SUB = PACKET // 128
@@ -228,12 +228,18 @@ def _nearest_body(nodes_ref, groups_ref, pslab_ref, pmat_ref, out_ref,
         d2min = tx * tx + ty * ty + tz * tz
         # max squared distance to the box's farthest face corner: a valid
         # upper bound on the nearest triangle inside (monotone refinement)
-        mx = jnp.maximum(px - ax, bx - px)
-        my = jnp.maximum(py - ay, by - py)
-        mz = jnp.maximum(pz - az, bz - pz)
-        d2max = mx * mx + my * my + mz * mz
-        vb = jnp.minimum(vb_ref[:, :], d2max)
-        vb_ref[:, :] = vb
+        if REFINE:
+            mx = jnp.maximum(px - ax, bx - px)
+            my = jnp.maximum(py - ay, by - py)
+            mz = jnp.maximum(pz - az, bz - pz)
+            d2max = mx * mx + my * my + mz * mz
+            vb = jnp.minimum(vb_ref[:, :], d2max)
+            vb_ref[:, :] = vb
+        else:
+            # masked scenes: a box no longer proves a live triangle inside,
+            # so its farthest corner is NOT an upper bound on the nearest
+            # distance — prune only against found results and d_max
+            vb = vb_ref[:, :]
         fired = jnp.any(d2min < vb)
         is_leaf = entry < 0.0
         if COUNT_VISITS:
@@ -263,22 +269,23 @@ def _nearest_body(nodes_ref, groups_ref, pslab_ref, pmat_ref, out_ref,
         out_ref[0, 1:2] = jnp.full((1, 128), cnt_ref[1].astype(jnp.float32))
 
 
-def _make_nearest_kernel(packet, precision, width, count_visits):
+def _make_nearest_kernel(packet, precision, width, count_visits, refine):
     def _kernel(nodes_ref, groups_ref, pslab_ref, pmat_ref, out_ref,
                 bestk_ref, bestc_ref, vb_ref, cnt_ref):
         return _nearest_body(nodes_ref, groups_ref, pslab_ref, pmat_ref,
                              out_ref, bestk_ref, bestc_ref, vb_ref, cnt_ref,
                              packet, precision, W=width,
-                             COUNT_VISITS=count_visits)
+                             COUNT_VISITS=count_visits, REFINE=refine)
     return _kernel
 
 
 @partial(jax.jit, static_argnames=("num_nodes", "interpret", "packet",
-                                   "precision", "width", "count_visits"))
+                                   "precision", "width", "count_visits",
+                                   "refine"))
 def _nearest_tight(smem_nodes, groups, pslab, pmat, num_nodes,
                    interpret=False, packet=2048,
                    precision=jax.lax.Precision.HIGHEST, width=16,
-                   count_visits=False):
+                   count_visits=False, refine=True):
     p = pslab.shape[0]
     sub = packet // 128
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -302,7 +309,8 @@ def _nearest_tight(smem_nodes, groups, pslab, pmat, num_nodes,
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
-        _make_nearest_kernel(packet, precision, width, count_visits),
+        _make_nearest_kernel(packet, precision, width, count_visits,
+                             refine),
         out_shape=jax.ShapeDtypeStruct((p, 2 * sub, 128), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -314,7 +322,8 @@ def _nearest_tight(smem_nodes, groups, pslab, pmat, num_nodes,
 
 def _nearest_wide_body(gnodes_ref, groups_ref, pslab_ref, pmat_ref, out_ref,
                        bestk_ref, bestc_ref, vb_ref, cnt_ref, stk_ref, m2_ref,
-                       PACKET, PRECISION, K=16, W=16, COUNT_VISITS=False):
+                       PACKET, PRECISION, K=16, W=16, COUNT_VISITS=False,
+                       REFINE=True):
     """Group-walk nearest: the wide-tree analog of ``_nearest_body``.
 
     Same mask-stack walk as the trace kernel's ``_wide_body``
@@ -370,12 +379,13 @@ def _nearest_wide_body(gnodes_ref, groups_ref, pslab_ref, pmat_ref, out_ref,
             ty = jnp.maximum(jnp.maximum(ay - py, py - by), 0.0)
             tz = jnp.maximum(jnp.maximum(az - pz, pz - bz), 0.0)
             d2min = tx * tx + ty * ty + tz * tz
-            mx = jnp.maximum(px - ax, bx - px)
-            my = jnp.maximum(py - ay, by - py)
-            mz = jnp.maximum(pz - az, bz - pz)
-            d2max = mx * mx + my * my + mz * mz
-            refine = jnp.minimum(refine,
-                                 jnp.where(d2max == d2max, d2max, _INF))
+            if REFINE:
+                mx = jnp.maximum(px - ax, bx - px)
+                my = jnp.maximum(py - ay, by - py)
+                mz = jnp.maximum(pz - az, bz - pz)
+                d2max = mx * mx + my * my + mz * mz
+                refine = jnp.minimum(refine,
+                                     jnp.where(d2max == d2max, d2max, _INF))
             fired = d2min < vbv
             macc = macc | jnp.where(fired, jnp.int32(1 << k), jnp.int32(0))
         vb_ref[:, :] = refine
@@ -389,18 +399,11 @@ def _nearest_wide_body(gnodes_ref, groups_ref, pslab_ref, pmat_ref, out_ref,
             acc = acc | pltpu.roll(acc, sh, axis=1)
         return jnp.max(acc)
 
-    def ctz16(m):
-        low = jax.lax.bitwise_and(m, -m)
-        k = jnp.int32(0)
-        for bit, msk in ((1, 0xAAAA), (2, 0xCCCC), (4, 0xF0F0), (8, 0xFF00)):
-            k = k + jax.lax.select(
-                jax.lax.bitwise_and(low, jnp.int32(msk)) != 0,
-                jnp.int32(bit), jnp.int32(0))
-        return k
+    from .trace import _ctz16, _make_mask_walk
 
     def narrow_mask(lm, g):
         def step(m):
-            narrow_slot(ctz16(m), g)
+            narrow_slot(_ctz16(m), g)
             return jax.lax.bitwise_and(m, m - 1)
 
         jax.lax.while_loop(lambda m: m != 0, step, lm)
@@ -412,34 +415,12 @@ def _nearest_wide_body(gnodes_ref, groups_ref, pslab_ref, pmat_ref, out_ref,
         narrow_mask(lm, g)
         return jax.lax.bitwise_and(m, jax.lax.bitwise_not(lmask))
 
-    def body(carry):
-        d, gid, mask = carry
-        if COUNT_VISITS:
-            cnt_ref[0] = cnt_ref[0] + 1
-        has = mask != 0
-        k = ctz16(mask)
-        mask2 = jax.lax.bitwise_and(mask, mask - 1)
-        child = gnodes_ref[7 * k + 6, gid].astype(jnp.int32)
-        m2_ref[0] = 0
+    def _count_iter():
+        cnt_ref[0] = cnt_ref[0] + 1
 
-        @pl.when(has)
-        def _():
-            m2_ref[0] = enter(child)
-
-        stk_ref[2 * d] = gid
-        stk_ref[2 * d + 1] = mask2
-        dm1 = jnp.maximum(d - 1, 0)
-        pgid = stk_ref[2 * dm1]
-        pmask = stk_ref[2 * dm1 + 1]
-        m2 = m2_ref[0]
-        push = has & (m2 != 0)
-        nd = jax.lax.select(push, d + 1, jax.lax.select(has, d, d - 1))
-        ngid = jax.lax.select(push, child, jax.lax.select(has, gid, pgid))
-        nmask = jax.lax.select(push, m2, jax.lax.select(has, mask2, pmask))
-        return nd, ngid, nmask
-
-    jax.lax.while_loop(lambda s: s[0] >= 0, body,
-                       (jnp.int32(0), jnp.int32(0), enter(jnp.int32(0))))
+    walk = _make_mask_walk(gnodes_ref, stk_ref, m2_ref, enter,
+                           count_iter=_count_iter if COUNT_VISITS else None)
+    walk(jnp.int32(0), enter(jnp.int32(0)))
 
     bk = bestk_ref[:, :]
     LMASK = jnp.int32(W - 1)
@@ -452,21 +433,23 @@ def _nearest_wide_body(gnodes_ref, groups_ref, pslab_ref, pmat_ref, out_ref,
         out_ref[0, 1:2] = jnp.full((1, 128), cnt_ref[1].astype(jnp.float32))
 
 
-def _make_nearest_wide_kernel(packet, precision, width, count_visits):
+def _make_nearest_wide_kernel(packet, precision, width, count_visits,
+                              refine):
     def _kernel(gnodes_ref, groups_ref, pslab_ref, pmat_ref, out_ref,
                 bestk_ref, bestc_ref, vb_ref, cnt_ref, stk_ref, m2_ref):
         return _nearest_wide_body(gnodes_ref, groups_ref, pslab_ref, pmat_ref,
                                   out_ref, bestk_ref, bestc_ref, vb_ref,
                                   cnt_ref, stk_ref, m2_ref, packet, precision,
-                                  W=width, COUNT_VISITS=count_visits)
+                                  W=width, COUNT_VISITS=count_visits,
+                                  REFINE=refine)
     return _kernel
 
 
 @partial(jax.jit, static_argnames=("interpret", "packet", "precision",
-                                   "width", "count_visits"))
+                                   "width", "count_visits", "refine"))
 def _nearest_wide(gnodes, groups, pslab, pmat, interpret=False, packet=2048,
                   precision=jax.lax.Precision.HIGHEST, width=16,
-                  count_visits=False):
+                  count_visits=False, refine=True):
     from .trace import WIDE_DMAX
 
     p = pslab.shape[0]
@@ -494,7 +477,8 @@ def _nearest_wide(gnodes, groups, pslab, pmat, interpret=False, packet=2048,
                                memory_space=pltpu.VMEM),
     )
     return pl.pallas_call(
-        _make_nearest_wide_kernel(packet, precision, width, count_visits),
+        _make_nearest_wide_kernel(packet, precision, width, count_visits,
+                                  refine),
         out_shape=jax.ShapeDtypeStruct((p, 2 * sub, 128), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -574,19 +558,23 @@ def nearest_tight(scene, points, packet: int = 2048, d_max=None,
     gn = getattr(scene, "gnodes", None)
     if wide is None:
         wide = gn is not None
+    # masked scenes (make_updater static part): boxes may cover no live
+    # triangle, so the farthest-corner bound refinement is unsound there
+    # — disable it (weaker pruning, exact results)
+    refine = not bool(getattr(scene, "masked", False))
     if wide:
         assert gn is not None, "scene built without wide tables"
         out = _nearest_wide(
             jnp.asarray(gn), jnp.asarray(scene.groups), pslab, pmat,
             interpret=interpret, packet=packet, precision=precision,
-            width=int(getattr(scene, "width", 16)),
+            width=int(getattr(scene, "width", 16)), refine=refine,
         )
     else:
         out = _nearest_tight(
             jnp.asarray(scene.smem_nodes), jnp.asarray(scene.groups),
             pslab, pmat, num_nodes=scene.num_nodes, interpret=interpret,
             packet=packet, precision=precision,
-            width=int(getattr(scene, "width", 16)),
+            width=int(getattr(scene, "width", 16)), refine=refine,
         )
     sub = packet // 128
     d2 = out[:, :sub].reshape(rp)[:r]

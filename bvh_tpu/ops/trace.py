@@ -942,6 +942,78 @@ def _make_wide_kernel(packet: int, precision, K: int = 16, subtile: int = 1024,
     return _kernel
 
 
+def _ctz16(m):
+    """Index of the lowest set bit of a 16-bit mask (scalar selects)."""
+    low = jax.lax.bitwise_and(m, -m)
+    k = jnp.int32(0)
+    for bit, msk in ((1, 0xAAAA), (2, 0xCCCC), (4, 0xF0F0), (8, 0xFF00)):
+        k = k + jax.lax.select(
+            jax.lax.bitwise_and(low, jnp.int32(msk)) != 0,
+            jnp.int32(bit), jnp.int32(0))
+    return k
+
+
+def _make_mask_walk(gnodes_ref, stk_ref, m2_ref, enter, count_iter=None):
+    """DFS mask-stack walk over a wide group table — the serial engine
+    shared by the wide trace and wide nearest kernels.
+
+    ``enter(child) -> interior mask`` tests a group (narrowphasing its
+    fired leaves as a side effect) and returns the fired INTERIOR bits;
+    the walk stacks only those. Every iteration is descend-or-pop (leaves
+    are consumed inside ``enter``), ONE conditional region per iteration.
+    ``count_iter``: optional callable bumping the iteration counter.
+
+    Returns ``walk(g0, m0, skip=None)``; ``skip`` is an optional PAIR of
+    traced group ids never entered (their subtrees were already fully
+    processed by earlier phases); ids <= 0 are inert (no child has id 0).
+    """
+
+    def walk(g0, m0, skip=None):
+        def body(carry):
+            d, gid, mask = carry
+            if count_iter is not None:
+                count_iter()
+            has = mask != 0
+            k = _ctz16(mask)
+            mask2 = jax.lax.bitwise_and(mask, mask - 1)
+            child = gnodes_ref[7 * k + 6, gid].astype(jnp.int32)
+
+            if skip is None:
+                do_enter = has
+            else:
+                # the skipped child must read back m2 == 0 (consume the
+                # bit without pushing), so clear the stale value first
+                m2_ref[0] = 0
+                s1, s2 = skip
+                do_enter = has & (child != s1) & (child != s2)
+
+            @pl.when(do_enter)
+            def _():
+                m2_ref[0] = enter(child)
+
+            # stack frame for the current depth (read back on pop); the
+            # pop-iteration store targets the abandoned slot — harmless
+            stk_ref[2 * d] = gid
+            stk_ref[2 * d + 1] = mask2
+            dm1 = jnp.maximum(d - 1, 0)
+            pgid = stk_ref[2 * dm1]
+            pmask = stk_ref[2 * dm1 + 1]
+            m2 = m2_ref[0]
+            push = has & (m2 != 0)  # leaf-only subgroup: nothing to push
+            nd = jax.lax.select(push, d + 1, jax.lax.select(has, d, d - 1))
+            ngid = jax.lax.select(push, child,
+                                  jax.lax.select(has, gid, pgid))
+            nmask = jax.lax.select(push, m2,
+                                   jax.lax.select(has, mask2, pmask))
+            return nd, ngid, nmask
+
+        jax.lax.while_loop(lambda s: s[0] >= 0, body,
+                           (jnp.int32(0), g0, m0))
+
+    return walk
+
+
+
 def _wide_body(gnodes_ref, hints_ref, gate_ref, startg_ref, groups_ref,
                slab_ref, lmat_ref, out_ref, bestk_ref, bestc_ref, vb_ref,
                cnt_ref, stk_ref, m2_ref,
@@ -1036,22 +1108,12 @@ def _wide_body(gnodes_ref, hints_ref, gate_ref, startg_ref, groups_ref,
             cnt_ref[2] = cnt_ref[2] + 1
         return jnp.max(acc)
 
-    def ctz16(m):
-        """Index of the lowest set bit of a 16-bit mask (scalar selects)."""
-        low = jax.lax.bitwise_and(m, -m)
-        k = jnp.int32(0)
-        for bit, msk in ((1, 0xAAAA), (2, 0xCCCC), (4, 0xF0F0), (8, 0xFF00)):
-            k = k + jax.lax.select(
-                jax.lax.bitwise_and(low, jnp.int32(msk)) != 0,
-                jnp.int32(bit), jnp.int32(0))
-        return k
-
     def narrow_mask(lm, g):
         """Narrowphase every set bit of the fired-LEAF mask ``lm`` of group
         ``g`` (a tight scalar ctz loop — no per-leaf walk iteration)."""
 
         def step(m):
-            narrow_slot(ctz16(m), g)
+            narrow_slot(_ctz16(m), g)
             return jax.lax.bitwise_and(m, m - 1)
 
         jax.lax.while_loop(lambda m: m != 0, step, lm)
@@ -1067,56 +1129,11 @@ def _wide_body(gnodes_ref, hints_ref, gate_ref, startg_ref, groups_ref,
         narrow_mask(lm, g)
         return jax.lax.bitwise_and(m, jax.lax.bitwise_not(lmask))
 
-    def walk(g0, m0, skip=None):
-        """Mask-stack walk from group ``g0`` with fired-interior mask ``m0``.
+    def _count_iter():
+        cnt_ref[0] = cnt_ref[0] + 1
 
-        ``skip``: optional PAIR of traced group ids — those children are
-        never entered (their subtrees were already fully processed by the
-        phase-1 walks). Ids <= 0 are inert (no child has id 0)."""
-
-        def body(carry):
-            # Every set bit is an INTERIOR child (leaves were consumed by
-            # ``enter``), so an iteration is descend-or-pop — no leaf
-            # branch, ONE conditional region.
-            d, gid, mask = carry
-            if COUNT_VISITS:
-                cnt_ref[0] = cnt_ref[0] + 1
-            has = mask != 0
-            k = ctz16(mask)
-            mask2 = jax.lax.bitwise_and(mask, mask - 1)
-            child = gnodes_ref[7 * k + 6, gid].astype(jnp.int32)
-
-            if skip is None:
-                do_enter = has
-            else:
-                # the skipped child must read back m2 == 0 (consume the bit
-                # without pushing), so clear the stale value first
-                m2_ref[0] = 0
-                s1, s2 = skip
-                do_enter = has & (child != s1) & (child != s2)
-
-            @pl.when(do_enter)
-            def _():
-                m2_ref[0] = enter(child)
-
-            # stack frame for the current depth (read back on pop); the
-            # pop-iteration store targets the abandoned slot — harmless
-            stk_ref[2 * d] = gid
-            stk_ref[2 * d + 1] = mask2
-            dm1 = jnp.maximum(d - 1, 0)
-            pgid = stk_ref[2 * dm1]
-            pmask = stk_ref[2 * dm1 + 1]
-            m2 = m2_ref[0]
-            push = has & (m2 != 0)  # a leaf-only subgroup has nothing to push
-            nd = jax.lax.select(push, d + 1, jax.lax.select(has, d, d - 1))
-            ngid = jax.lax.select(push, child,
-                                  jax.lax.select(has, gid, pgid))
-            nmask = jax.lax.select(push, m2,
-                                   jax.lax.select(has, mask2, pmask))
-            return nd, ngid, nmask
-
-        jax.lax.while_loop(lambda s: s[0] >= 0, body,
-                           (jnp.int32(0), g0, m0))
+    walk = _make_mask_walk(gnodes_ref, stk_ref, m2_ref, enter,
+                           count_iter=_count_iter if COUNT_VISITS else None)
 
     def run_traversal():
         if N_HINTS:

@@ -166,7 +166,11 @@ def make_updater(scene: TightScene, max_moved: int, delta_width: int = TIGHT):
                 f"{cap}; rebuild the scene (or raise max_moved)")
         masked_groups, smem_d, groups_d, tmap_d, sl_s, gn_d = update_core(
             a, b, c, moved_idx)
-        static = scene._replace(groups=masked_groups, bgroups=None)
+        # masked=True: vacated clusters keep their (now-stale) boxes, so a
+        # box no longer proves live geometry inside — nearest queries must
+        # not refine their pruning bound from these boxes
+        static = scene._replace(groups=masked_groups, bgroups=None,
+                                masked=True)
         parts = [static] + [TightScene(smem_d[p], groups_d[p], tmap_d[p],
                                        Cd, nn_d, W,
                                        gnodes=gn_d[p] if wide_d else None,
@@ -235,7 +239,7 @@ def make_chained_updater(chained: ChainedScene, max_moved: int,
             masked_groups, smem_d, groups_d, tmap_d, sl_s, gn_d = upd.core(
                 a_p, b_p, c_p, moved_l)
             out_parts.append(part._replace(groups=masked_groups,
-                                           bgroups=None))
+                                           bgroups=None, masked=True))
             out_ids.append(sel)
             for d in range(D):
                 out_parts.append(TightScene(

@@ -188,9 +188,14 @@ def check_tight_scene(scene, a=None, b=None, c=None,
             if (cg >= Gn).any():
                 errs.append("wide interior payload out of group range")
             else:
-                occ_child = (leaf_sl | inter_sl)[:, cg]  # [K, n_int]
-                cmn = np.where(occ_child[:, None], gmin[:, :, cg], np.inf)
-                cmx = np.where(occ_child[:, None], gmax[:, :, cg], -np.inf)
+                # exclude empty slots AND NaN (unfireable, vacated) child
+                # boxes from the union — np.min would propagate the NaN and
+                # make the containment check vacuously pass for any group
+                # with one empty-cluster child
+                occ_child = ((leaf_sl | inter_sl)[:, cg][:, None, :]
+                             & ~np.isnan(gmin[:, :, cg]))  # [K, 3, n_int]
+                cmn = np.where(occ_child, gmin[:, :, cg], np.inf)
+                cmx = np.where(occ_child, gmax[:, :, cg], -np.inf)
                 u_mn = cmn.min(axis=0)  # [3, n_int]
                 u_mx = cmx.max(axis=0)
                 p_mn = gmin[ki, :, gi].T

@@ -69,6 +69,55 @@ def test_nearest_wide_matches_entry_exit():
             assert (np.asarray(sw) >= 0).all()  # unbounded: all find one
 
 
+def test_nearest_on_updater_scene_vacated_cluster():
+    """Regression (review finding): on a make_updater scene, a fully
+    vacated cluster keeps its (stale) box; the nearest kernels' farthest-
+    corner bound refinement treated that box as evidence of a live
+    triangle and pruned the true nearest away. Masked scenes now disable
+    the refinement — results must match brute force exactly."""
+    import jax.numpy as jnp
+
+    from bvh_tpu.ops import build_tight_scene, make_updater, nearest_chained
+
+    a, b, c = tb.create_n_cubes(50)
+    a, b, c = np.asarray(a), np.asarray(b), np.asarray(c)
+    scene = build_tight_scene(a, b, c)
+    assert scene.num_clusters >= 2
+    # vacate one whole cluster: move ALL its triangles far away
+    tri_map = np.asarray(scene.tri_map)
+    W = scene.width
+    lanes = np.arange(W)  # cluster 0's lanes
+    moved = tri_map[lanes]
+    moved = moved[moved >= 0].astype(np.int32)
+    a2, b2, c2 = a.copy(), b.copy(), c.copy()
+    for arr in (a2, b2, c2):
+        arr[moved] += np.float32(1e6)
+    upd = make_updater(scene, max_moved=len(moved))
+    sc = upd(jnp.asarray(a2), jnp.asarray(b2), jnp.asarray(c2),
+             jnp.asarray(moved))
+    assert sc.parts[0].masked
+    # query points near the vacated cluster's OLD box (stale box region):
+    # cluster 0's leaf column has entry payload -(0+1)
+    col = int(np.nonzero(np.asarray(scene.smem_nodes[6]) == -1.0)[0][0])
+    old_box_center = np.asarray(
+        (scene.smem_nodes[0:3, col] + scene.smem_nodes[3:6, col]) * 0.5)
+    rng = np.random.default_rng(3)
+    pts = (old_box_center
+           + rng.normal(scale=30.0, size=(256, 3))).astype(np.float32)
+    sid, dist = nearest_chained(sc, pts, packet=256, interpret=True)
+    sid, dist = np.asarray(sid), np.asarray(dist)
+    d2 = np.asarray(point_triangle_distance_squared(
+        jnp.asarray(pts)[:, None, :], jnp.asarray(a2)[None],
+        jnp.asarray(b2)[None], jnp.asarray(c2)[None]))
+    bd = np.sqrt(d2.min(axis=1))
+    assert np.allclose(dist, bd, rtol=1e-5, atol=1e-4), \
+        np.abs(dist - bd).max()
+    dw = np.asarray(point_triangle_distance_squared(
+        jnp.asarray(pts), jnp.asarray(a2)[sid], jnp.asarray(b2)[sid],
+        jnp.asarray(c2)[sid]))
+    assert np.allclose(dw, d2.min(axis=1), rtol=1e-4, atol=1e-4)
+
+
 def test_nearest_chained_matches_brute_and_single_table():
     """nearest_chained over a forced multi-part split must agree with the
     single-table kernel AND the brute oracle (the reference's nearest_to
@@ -169,6 +218,12 @@ def test_nearest_counters_sane():
     assert visits.shape == (2,)
     assert (visits >= 1).all()
     assert (fires >= 1).all()  # every packet must reach at least one leaf
-    assert (fires <= visits).all()
+    # wide walk (the default): one iteration can narrowphase up to K=16
+    # leaves; entry/exit: at most one fire per visit
+    assert (fires <= visits * 16).all()
+    ve, fe = count_visits_nearest(scene, pts, packet=128, interpret=True,
+                                  wide=False)
+    assert (fe <= ve).all()
+    assert (visits <= ve).all()  # wide amortizes the serial unit
     # pruning must beat brute force: fires bounded well below cluster count
     assert fires.sum() < 2 * scene.num_clusters
