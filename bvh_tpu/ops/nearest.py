@@ -81,6 +81,7 @@ def _point_narrow(c, ccx, ccy, ccz, groups_ref, pmat_ref, bestk_ref,
     q_cc = e20 * e20 + e21 * e21 + e22 * e22
 
     z1 = jnp.zeros((1, W), jnp.float32)
+    one1 = jnp.ones((1, W), jnp.float32)
 
     def rows(*rs):
         out = list(rs)
@@ -88,19 +89,34 @@ def _point_narrow(c, ccx, ccy, ccz, groups_ref, pmat_ref, bestk_ref,
             out.append(z1)
         return jnp.concatenate(out, axis=0)
 
-    # 6 blocks of W columns each; contraction over 8 sublane rows of
-    # the point matrix (x', y', z', 1, 0...)
+    # 14 blocks of W columns each; contraction over 8 sublane rows of
+    # the point matrix (x', y', z', 1, 0...). Blocks 6-13 materialize the
+    # per-pair displacement q = p' - a' and the edge broadcasts so the
+    # FINAL distance is evaluated componentwise on small magnitudes —
+    # |v e1 + w e2 - q|^2 — instead of the catastrophically cancelling
+    # |p'|^2 + (a'a' - 2a'p') form (two ~span^2 terms whose difference is
+    # the answer: at wide-leaf sparse clusters the span reaches 1e4, the
+    # terms 1e8, and f32 lost ~10 units^2 of absolute accuracy, enough to
+    # report d=0 for a point 20 units away).
     bmat = jnp.concatenate(
         [
             rows(e10, e11, e12, -s_e1a),   # d1 = e1 . (p' - a')
             rows(e20, e21, e22, -s_e2a),   # d2 = e2 . (p' - a')
-            rows(-2.0 * a0, -2.0 * a1, -2.0 * a2, s_aa),  # a'a' - 2a'p'
             rows(z1, z1, z1, q_aa),        # |e1|^2 broadcast
             rows(z1, z1, z1, q_bc),        # e1.e2 broadcast
             rows(z1, z1, z1, q_cc),        # |e2|^2 broadcast
+            rows(one1, z1, z1, -a0),       # qx = p'x - a'x
+            rows(z1, one1, z1, -a1),       # qy
+            rows(z1, z1, one1, -a2),       # qz
+            rows(z1, z1, z1, e10),         # e1 broadcasts
+            rows(z1, z1, z1, e11),
+            rows(z1, z1, z1, e12),
+            rows(z1, z1, z1, e20),         # e2 broadcasts
+            rows(z1, z1, z1, e21),
+            rows(z1, z1, z1, e22),
         ],
         axis=1,
-    )  # [8, 6W]
+    )  # [8, 14W]
 
     pm = pmat_ref[0]  # [8, PACKET]
     lp = jnp.concatenate(
@@ -110,17 +126,22 @@ def _point_narrow(c, ccx, ccy, ccz, groups_ref, pmat_ref, bestk_ref,
     m = jax.lax.dot_general(
         bmat, lp, (((0,), (0,)), ((), ())),
         preferred_element_type=jnp.float32, precision=PRECISION,
-    )  # [6W, PACKET]
+    )  # [14W, PACKET]
 
     d1 = m[0:W]
     d2 = m[W:2 * W]
-    apc = m[2 * W:3 * W]
-    aa = m[3 * W:4 * W]
-    bc = m[4 * W:5 * W]
-    cc = m[5 * W:6 * W]
-
-    pp = lp[0:1] * lp[0:1] + lp[1:2] * lp[1:2] + lp[2:3] * lp[2:3]
-    ap2 = pp + apc  # |p' - a'|^2
+    aa = m[2 * W:3 * W]
+    bc = m[3 * W:4 * W]
+    cc = m[4 * W:5 * W]
+    qx = m[5 * W:6 * W]
+    qy = m[6 * W:7 * W]
+    qz = m[7 * W:8 * W]
+    e1xb = m[8 * W:9 * W]
+    e1yb = m[9 * W:10 * W]
+    e1zb = m[10 * W:11 * W]
+    e2xb = m[11 * W:12 * W]
+    e2yb = m[12 * W:13 * W]
+    e2zb = m[13 * W:14 * W]
 
     # Ericson 5.1.5 region cascade. Wheres applied in REVERSE priority
     # (A > B > AB > C > AC > BC > face), so the earliest region wins.
@@ -155,13 +176,16 @@ def _point_narrow(c, ccx, ccy, ccz, groups_ref, pmat_ref, bestk_ref,
     v = jnp.where(r_a, 0.0, v)
     w = jnp.where(r_a, 0.0, w)
 
-    d2out = ap2 + v * (v * aa + 2.0 * w * bc - 2.0 * d1) \
-        + w * (w * cc - 2.0 * d2)
+    # componentwise displacement to the closest point (small magnitudes,
+    # no span^2 cancellation): f = v e1 + w e2 - q
+    fx = v * e1xb + w * e2xb - qx
+    fy = v * e1yb + w * e2yb - qy
+    fz = v * e1zb + w * e2zb - qz
+    d2out = fx * fx + fy * fy + fz * fz
     # pad / degenerate slots (aa == 0) can never win; NaNs from their
     # divisions have bit patterns above the +inf sentinel already, but
-    # mask explicitly so a padded slot with aa==0, d2out==|p'|^2 (a
-    # REAL finite number) cannot steal the min
-    d2out = jnp.where(aa > 0.0, jnp.maximum(d2out, 0.0), _INF)
+    # mask explicitly so a padded slot (q finite) cannot steal the min
+    d2out = jnp.where(aa > 0.0, d2out, _INF)
 
     LMASK = jnp.int32(W - 1)
     lanes_i = jax.lax.broadcasted_iota(jnp.int32, (W, PACKET), 0)

@@ -95,3 +95,43 @@ def test_compile_matrix_tight_kernel():
                 assert (occ == want_occ).mean() > 0.995, tag
             print(f"[matrix] {tag} OK")
             cell += 1
+
+
+def test_compile_matrix_nearest_kernel():
+    """Nearest kernels (wide + entry/exit + refine-off) across widths and
+    packets — compiled on hardware."""
+    import jax
+
+    jax.config.update("jax_platforms", "")
+    import jax.numpy as jnp
+
+    from bvh_tpu import testbase as tb
+    from bvh_tpu.ops import build_tight_scene
+    from bvh_tpu.ops.nearest import nearest_tight
+    from bvh_tpu.tri import point_triangle_distance_squared
+
+    a, b, c = tb.create_n_cubes(90)
+    rng = np.random.default_rng(1)
+    cen = (a + b + c) / 3.0
+    n = 2048
+    idx = rng.integers(0, len(cen), n)
+    pts = (cen[idx] + rng.normal(scale=25.0, size=(n, 3))).astype(np.float32)
+    d2 = np.asarray(point_triangle_distance_squared(
+        jnp.asarray(pts)[:, None, :], jnp.asarray(a)[None],
+        jnp.asarray(b)[None], jnp.asarray(c)[None]))
+    bd = np.sqrt(d2.min(axis=1))
+
+    cell = 0
+    for w in WIDTHS:
+        scene = build_tight_scene(a, b, c, leaf_size=w)
+        for p in (128, 1024, 2048):
+            wide = None if scene.gnodes is not None and cell % 3 != 2 \
+                else False
+            masked = cell % 4 == 3  # refine-off variant
+            sc = scene._replace(masked=True) if masked else scene
+            tag = f"nearest w={w} p={p} wide={wide} refine={not masked}"
+            sid, dist = nearest_tight(sc, pts, packet=p, wide=wide)
+            assert np.allclose(np.asarray(dist), bd, rtol=1e-4, atol=0.01), \
+                tag
+            print(f"[matrix] {tag} OK")
+            cell += 1

@@ -208,6 +208,28 @@ def test_nearest_kernel_empty_and_padding():
     assert np.allclose(np.asarray(dist), np.sqrt(bd2), rtol=1e-5)
 
 
+def test_nearest_wide_leaf_sparse_accuracy():
+    """Regression: wide leaves on SPARSE scenes give cluster frames
+    spanning ~1e4 units; the old |p'|^2 + (a'a' - 2a'p') distance form
+    cancelled two ~span^2 terms and could report d=0 for points 20+
+    units from everything. The componentwise |v e1 + w e2 - q|^2 form
+    must stay within ~1e-2 of the oracle at every leaf width."""
+    import jax.numpy as jnp
+
+    rng = np.random.default_rng(1)
+    a, b, c = tb.create_n_cubes(90)
+    cen = (a + b + c) / 3.0
+    idx = rng.integers(0, len(cen), 512)
+    pts = (cen[idx]
+           + rng.normal(scale=25.0, size=(512, 3))).astype(np.float32)
+    bid, bd2 = brute_nearest(pts, a, b, c)
+    bd = np.sqrt(bd2)
+    for w in (64, 128):
+        scene = build_tight_scene(a, b, c, leaf_size=w)
+        sid, dist = nearest_tight(scene, pts, packet=128, interpret=True)
+        assert np.abs(np.asarray(dist) - bd).max() < 1e-2
+
+
 def test_nearest_counters_sane():
     rng = np.random.default_rng(9)
     a, b, c = tb.create_n_cubes(64)
