@@ -220,9 +220,15 @@ try:
                                   interpret=INTERP)
         return float(jnp.sum(jnp.where(jnp.isfinite(dist), dist, 0.0)))
 
+    def run_near_ee():  # entry/exit A/B (wide is the default now)
+        tid, dist = nearest_tight(scene, pts_j, packet=PACKET,
+                                  interpret=INTERP, wide=False)
+        return float(jnp.sum(jnp.where(jnp.isfinite(dist), dist, 0.0)))
+
     saved = N_RAYS
     N_RAYS = n_pts
-    bench(f"nearest kernel {n_pts} pts", run_near)
+    bench(f"nearest kernel wide {n_pts} pts", run_near)
+    bench(f"nearest kernel entry/exit {n_pts} pts", run_near_ee)
     N_RAYS = saved
 except Exception:
     print("FAIL nearest leg:", flush=True)
