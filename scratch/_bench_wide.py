@@ -1,4 +1,6 @@
 """A/B: wide group-walk kernel vs entry/exit tight kernel, real TPU, 120k."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import os
 import time
 

@@ -1,4 +1,6 @@
 """Verify driver: device chained build end-to-end vs brute force."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import os
 import numpy as np
 import jax

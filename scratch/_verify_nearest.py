@@ -4,6 +4,8 @@ Tries the real TPU; if the axon tunnel is unreachable (known wedge), falls
 back to the CPU platform with the interpret-mode kernel — same code path
 through pl.pallas_call.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import numpy as np
 
 import jax

@@ -4,6 +4,8 @@ Replicates make_pathtracer's bounce generation for one wave on the dense
 mesh, then counts wide-walk iters/fires for the bounce rays as-is
 (primary order) vs morton re-sorted, and for the NEE shadow wave.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import jax
 jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp

@@ -1,4 +1,6 @@
 """Camera-workload planner engagement: 32x32 tiles vs morton sort (CPU)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import jax
 jax.config.update("jax_platforms", "cpu")
 import jax.numpy as jnp

@@ -1,4 +1,6 @@
 """Host kernel-ready build breakdown at 120k tris (single core)."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import time
 
 import jax

@@ -2,6 +2,8 @@
 
 Interpret-mode counters on the random + aimed workloads, lam sweep.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import os
 
 import jax

@@ -3,6 +3,8 @@
 Compares cube-index order (bench.py today) vs target-cluster (DFS/tree)
 order: planner root-frac + wide iters planned vs plain.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import os
 
 import jax

@@ -1,4 +1,6 @@
 """A/B: sort_rays_device mode octant-lex vs morton, random + aimed workloads."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import os
 
 import jax

@@ -12,8 +12,11 @@ Usage: timeout 3600 python scratch/tpu_master_bench.py 2>&1 | tee /tmp/master_be
 NEVER run while pytest runs (1 host core).
 """
 import os
+import sys
 import time
 import traceback
+
+sys.path.insert(0, os.path.dirname(os.path.dirname(os.path.abspath(__file__))))
 
 import numpy as np
 import jax

@@ -3,6 +3,8 @@
 Hardware-independent measurement of the #1 perf lever (visit count).
 Cost model: tight = visits x ~195ns; wide = iters x chain + gtests x vec.
 """
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import os
 import time
 

@@ -1,4 +1,6 @@
 """Interpret-mode sweep: wide iters vs {sort bits} x {packet} + planner diag."""
+import os as _os, sys as _sys
+_sys.path.insert(0, _os.path.dirname(_os.path.dirname(_os.path.abspath(__file__))))
 import os
 import time
 
