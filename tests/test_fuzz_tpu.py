@@ -106,8 +106,9 @@ def test_fuzz_kernels_on_tpu():
             if bc.any():
                 np.testing.assert_allclose(tc[bc], tw[bc], rtol=1e-2,
                                            err_msg=str((rd, "chained")))
-        if builder == "host" and scene.gnodes is not None and rng.random() < 0.5:
+        if scene.gnodes is not None and rng.random() < 0.5:
             # subtree entry: planned walk must be bit-identical to plain
+            # (device-built scenes carry wide tables now — covered too)
             from bvh_tpu.ops.trace import make_planner
 
             plan = make_planner(scene, packet=packet)
