@@ -1317,33 +1317,47 @@ def _pack_rays_tight(rays: Ray, packet: int, t_max=None, base=None, perm=None):
             pp = jnp.concatenate([pp, jnp.full((pad,), r, jnp.int32)])
         o, d, inv = rays.origin, rays.direction, rays.inv_direction
         inv_c = jnp.clip(inv, -1.0e30, 1.0e30)
-        oi = o * inv_c
-        m = jnp.cross(o, d)
 
         def row(f, padval):
             if pad:
                 f = jnp.concatenate([f, jnp.full((1,), padval, jnp.float32)])
             return f[pp]
 
-        def srow(f, padval):
-            return row(f, padval).reshape(p, 1, sub, 128)
+        # gather the 9 base fields (o, d, inv) plus the 3 cross rows; the
+        # oi rows derive as single multiplies of gathered rows — one
+        # rounding either side of the permutation, so bit-identical to
+        # gathering precomputed oi (12 random gathers instead of 15;
+        # gathers are the measured prep cost driver). The CROSS rows must
+        # stay pre-gather: a*b - c*d invites FMA contraction, and the
+        # compiler contracts differently in the gathered context (measured
+        # exactly ulp(coord) = 2^-7 drift at 1e5 coordinates), breaking
+        # the perm-vs-presorted bit-identity contract.
+        m = jnp.cross(o, d)
+        ox, oy, oz = row(o[:, 0], 2.0e30), row(o[:, 1], 2.0e30), row(o[:, 2], 2.0e30)
+        dx, dy, dz = row(d[:, 0], 1.0), row(d[:, 1], 1.0), row(d[:, 2], 1.0)
+        ivx, ivy, ivz = (row(inv_c[:, 0], 1.0), row(inv_c[:, 1], 1.0),
+                         row(inv_c[:, 2], 1.0))
+        mx, my, mz = row(m[:, 0], 0.0), row(m[:, 1], 0.0), row(m[:, 2], 0.0)
 
-        def lrow(f, padval):
-            return row(f, padval).reshape(p, 1, packet)
+        def srow(f):
+            return f.reshape(p, 1, sub, 128)
+
+        def lrow(f):
+            return f.reshape(p, 1, packet)
 
         if t_max is None:
             tm_r = jnp.full((p, 1, sub, 128), _INF, jnp.float32)
         else:
             tmf = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32).reshape(-1), (r,))
-            tm_r = srow(tmf, _INF)
+            tm_r = srow(row(tmf, _INF))
         slab = jnp.concatenate(
-            [srow(oi[:, 0], 2.0e30), srow(oi[:, 1], 2.0e30), srow(oi[:, 2], 2.0e30),
-             srow(inv_c[:, 0], 1.0), srow(inv_c[:, 1], 1.0), srow(inv_c[:, 2], 1.0),
+            [srow(ox * ivx), srow(oy * ivy), srow(oz * ivz),
+             srow(ivx), srow(ivy), srow(ivz),
              tm_r], axis=1)  # [p, 7, sub, 128]
         lmat = jnp.concatenate(
-            [lrow(d[:, 0], 1.0), lrow(d[:, 1], 1.0), lrow(d[:, 2], 1.0),
-             lrow(m[:, 0], 0.0), lrow(m[:, 1], 0.0), lrow(m[:, 2], 0.0),
-             lrow(o[:, 0], 2.0e30), lrow(o[:, 1], 2.0e30), lrow(o[:, 2], 2.0e30),
+            [lrow(dx), lrow(dy), lrow(dz),
+             lrow(mx), lrow(my), lrow(mz),
+             lrow(ox), lrow(oy), lrow(oz),
              jnp.ones((p, 1, packet), jnp.float32),
              jnp.zeros((p, 6, packet), jnp.float32)], axis=1)  # [p, 16, packet]
         return p, rp, slab, lmat
