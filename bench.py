@@ -64,7 +64,10 @@ def main():
     # over the remote-attach tunnel; bigger batches amortize it (the
     # reference bench's per-ray hot loop has no such per-iteration cost)
     n_rays = int(os.environ.get("BENCH_RAYS", str(2 << 20)))
-    packet = int(os.environ.get("BENCH_PACKET", "4096"))
+    # P=8192 measured best on the wide group-walk (round-3 packet sweep:
+    # P2048 3.25 / P4096 4.91 / P8192 6.40 / P16384 6.44 M rays/s — flat
+    # past 8192; bigger packets amortize the serial chain over more lanes)
+    packet = int(os.environ.get("BENCH_PACKET", "8192"))
     iters = int(os.environ.get("BENCH_ITERS", "5"))
 
     a, b, c = tb.create_n_cubes(n_cubes)
@@ -95,10 +98,15 @@ def main():
         perm, inv = sort_rays_device(o, d, bits=2)
         # sweep: region-free pre-pass gates the full kernel per packet —
         # the right default for incoherent/miss-heavy batches (see
-        # ops/trace.py); measured +24% here. perm= folds the sort into the
-        # pack's per-field gathers (no ray gather, no layout transposes).
-        out = trace_closest_hit_tight(scene, rays_u, packet=packet, sweep=True,
-                                      perm=perm)
+        # ops/trace.py). PRESORT (gather rays, then pack) beats the
+        # perm-folded pack on hardware: prep cost tracks the NUMBER of
+        # gather ops, not bytes — 12 per-field gathers lose ~0.19s/2M rays
+        # to 2 ray gathers + pack transposes (round-3 A/B, 4.89 vs 3.38
+        # M rays/s wide; perm= stays available for pipelines that already
+        # hold per-field layouts).
+        rays_s = Ray.create(o[perm], d[perm])
+        out = trace_closest_hit_tight(scene, rays_s, packet=packet,
+                                      sweep=True)
         t = out.t[inv]
         sid = out.shape_id[inv]
         # NOTE: block_until_ready does not actually block on the axon
@@ -151,36 +159,17 @@ def main():
     perm_a, inv_a = sort_rays_device(ao_j, ad_j2, mode="morton")
     aimed = Ray.create(ao_j[perm_a], ad_j2[perm_a])
 
-    from bvh_tpu.ops.trace import make_planner, make_seeder
-
-    def _make_plan(s, pkt):
-        """Planner (hints + subtree entries) on wide scenes; seeding hints
-        alone on the entry/exit fallback path."""
-        if getattr(s, "gnodes", None) is not None:
-            return make_planner(s, packet=pkt)
-        seeder = make_seeder(s, packet=pkt)
-        return lambda r: (seeder(r), None)
-
-    # device-side planning: sampled pre-trace -> seeding hints + per-packet
-    # subtree-entry groups, composing with the main trace into one device
-    # program (the host-mapping path pays a ~27ms tunnel fence per batch)
-    planner = _make_plan(scene, packet)
-
+    # PLAIN morton-sorted trace: on hardware the wide group-walk already
+    # cuts cold iterations so far that planning overhead inverts the
+    # interpret-mode win — round-3 A/B on this workload: plain 2.64 M,
+    # hints-only 1.64 M, planner (hints+start2) 1.53 M rays/s. The
+    # planner/seeder stay in the API for entry/exit-walk scenes, where
+    # seeding measured +35% in round 2.
     def run_aimed():
-        hints_a, start_a = planner(aimed)
-        out = trace_closest_hit_tight(scene, aimed, packet=packet,
-                                      hints=hints_a, start_g=start_a)
+        out = trace_closest_hit_tight(scene, aimed, packet=packet)
         return out, float(jnp.sum(jnp.where(jnp.isfinite(out.t), out.t, 0.0)))
 
-    try:
-        out_a, _ = run_aimed()
-    except Exception as e:
-        # seeding/planning kernels are hardware-untested round-3 code; the
-        # plain trace is the exact same result, just colder
-        print(f"bench: planner failed ({type(e).__name__}: {str(e)[:200]}); "
-              "aimed legs run unplanned", file=sys.stderr)
-        planner = lambda r: (None, None)  # noqa: E731
-        out_a, _ = run_aimed()
+    out_a, _ = run_aimed()
     best_a = float("inf")
     for _ in range(max(iters - 2, 1)):
         t0 = time.perf_counter()
@@ -194,13 +183,12 @@ def main():
 
     aj, bj, cj = jnp.asarray(a), jnp.asarray(b), jnp.asarray(c)
     tgt = jnp.zeros((n_aimed,), jnp.float32)
-    # hit-dense batch: plan (hints + subtree entries) once outside the step
-    hints, start_a = planner(aimed)
 
     def loss(av, bv, cv):
+        # plain trace: planning measured net-negative on the wide walk
+        # (see the aimed leg note above)
         depth, hit_m = render_depth_fast(scene, aimed, av, bv, cv,
-                                         packet=packet, hints=hints,
-                                         start_g=start_a)
+                                         packet=packet)
         return jnp.sum(jnp.where(hit_m, (depth - tgt) ** 2, 0.0)) * 1e-9
 
     fwd_bwd_rays_per_s = None
@@ -238,8 +226,10 @@ def main():
                                                      bits=4 if nc < 1000 else 2)
                     # tiny scenes: the sweep's extra dispatch outweighs the
                     # traversal it saves (measured -24% at 1.2k tris)
-                    out_s = trace_closest_hit_tight(scene_s, rays_su, packet=packet,
-                                                    sweep=nc >= 1000, perm=perm_s)
+                    rays_ss = Ray.create(o_sj[perm_s], d_sj[perm_s])
+                    out_s = trace_closest_hit_tight(scene_s, rays_ss,
+                                                    packet=packet,
+                                                    sweep=nc >= 1000)
                     ts = out_s.t[inv_s]
                     return float(jnp.sum(jnp.where(jnp.isfinite(ts), ts, 0.0)))
 
@@ -274,8 +264,9 @@ def main():
 
             def run_m():
                 perm_m, inv_m = sort_rays_device(o_mj, d_mj, bits=2)
-                out_m = trace_closest_hit_chained(ch, r_mu, packet=packet,
-                                                  sweep=True, perm=perm_m)
+                rays_ms = Ray.create(o_mj[perm_m], d_mj[perm_m])
+                out_m = trace_closest_hit_chained(ch, rays_ms, packet=packet,
+                                                  sweep=True)
                 t_m = out_m.t[inv_m]
                 return float(jnp.sum(jnp.where(jnp.isfinite(t_m), t_m, 0.0)))
 
@@ -287,6 +278,33 @@ def main():
                 best_m = min(best_m, time.perf_counter() - t0)
             sparse_1m_rays_per_s = n_rays / best_m
             del ch
+
+    # Nearest-neighbor kernel: the reference's nearest_to fast path
+    # (src/flat_bvh.rs:513-562) batched — Morton-sorted 1M points against
+    # the headline scene. Round-3 hardware: 1.195 M pts/s sorted at P4096
+    # (unsorted packets union-visit the whole tree: 0.057 M; pure-JAX
+    # gather path: 0.0024 M — the kernel is ~500x it).
+    nearest_pts_per_s = None
+    if os.environ.get("BENCH_NEAREST", "1") == "1":
+        with _leg("nearest"):
+            from bvh_tpu.ops.nearest import nearest_tight
+
+            n_pts = min(n_rays, 1 << 20)
+            pts_n = tb.create_rays(n_pts, seed=tb.seed_state_after(n_cubes + 7))[0]
+            pts_nj = jnp.asarray(pts_n)
+
+            def run_near():
+                _, dist_n = nearest_tight(scene, pts_nj, packet=4096)
+                return float(jnp.sum(jnp.where(jnp.isfinite(dist_n), dist_n,
+                                               0.0)))
+
+            run_near()
+            best_n = float("inf")
+            for _ in range(max(iters - 3, 1)):
+                t0 = time.perf_counter()
+                run_near()
+                best_n = min(best_n, time.perf_counter() - t0)
+            nearest_pts_per_s = n_pts / best_n
 
     # Dynamic-scene maintenance: the reference's update_shapes bench moves a
     # fraction of shapes then refits (README.md:197-200; 76ms at 50% churn on
@@ -368,14 +386,15 @@ def main():
 
                     def run_q(sc=sc, chained_q=chained_q):
                         perm, inv = sort_rays_device(o_dev, d_dev, bits=2)
+                        rays_qs = Ray.create(o_dev[perm], d_dev[perm])
                         if chained_q:
-                            out_q = trace_closest_hit_chained(sc, rays_u,
+                            out_q = trace_closest_hit_chained(sc, rays_qs,
                                                               packet=packet,
-                                                              sweep=True, perm=perm)
+                                                              sweep=True)
                         else:
-                            out_q = trace_closest_hit_tight(sc, rays_u,
+                            out_q = trace_closest_hit_tight(sc, rays_qs,
                                                             packet=packet,
-                                                            sweep=True, perm=perm)
+                                                            sweep=True)
                         tq = out_q.t[inv]
                         return float(jnp.sum(jnp.where(jnp.isfinite(tq), tq, 0.0)))
 
@@ -420,8 +439,7 @@ def main():
             # sweep), so time an ungated run for an apples-to-apples
             # decomposition (the headline above is sweep-gated and faster)
             def run_ungated():
-                out_u = trace_closest_hit_tight(scene, rays_u, packet=packet,
-                                                perm=perm)
+                out_u = trace_closest_hit_tight(scene, rays_s, packet=packet)
                 tu = out_u.t[inv_r]
                 return float(jnp.sum(jnp.where(jnp.isfinite(tu), tu, 0.0)))
 
@@ -437,8 +455,8 @@ def main():
             # next to the gathers) — no assumed per-visit constant needed
             def run_prep():
                 perm_p, inv_p = sort_rays_device(o_dev, d_dev, bits=2)
-                _, _, slab_p, lmat_p = _pack_rays_tight(rays_u, packet, None,
-                                                        perm=perm_p)
+                rays_p = Ray.create(o_dev[perm_p], d_dev[perm_p])
+                _, _, slab_p, lmat_p = _pack_rays_tight(rays_p, packet, None)
                 return float(jnp.sum(slab_p[:, :6]) + jnp.sum(lmat_p)
                              + jnp.sum(inv_p))
 
@@ -448,8 +466,9 @@ def main():
                 t0 = time.perf_counter()
                 run_prep()
                 best_p = min(best_p, time.perf_counter() - t0)
-            fence_s = 0.027
-            prep_s = max(best_p - fence_s, 0.0)
+            fence_s = 0.027  # assumed tunnel-roundtrip constant (see below)
+            prep_raw_s = best_p - fence_s  # NEGATIVE => fence_s is stale
+            prep_s = max(prep_raw_s, 0.0)
             kernel_epi_s = best_u - best_p  # fences cancel; epilogue gathers small
             W = int(scene.width)
             # narrowphase MXU flops per fire: [16, 4W] x [16, packet] matmul
@@ -466,6 +485,12 @@ def main():
                 "serial_per_packet": round(v_tot / n_packets, 1),
                 "ungated_best_s": round(best_u, 4),
                 "xla_prep_s": round(prep_s, 4),
+                # raw (unclamped) residual: if this goes negative the
+                # assumed fence_s drifted on this host/chip and the
+                # decomposition below misattributes time — flagged, not
+                # silently clamped away
+                "xla_prep_raw_s": round(prep_raw_s, 4),
+                "decomposition_valid": bool(prep_raw_s >= -0.005),
                 "kernel_epilogue_s": round(kernel_epi_s, 4),
                 "measured_ns_per_serial_unit": round(
                     kernel_epi_s * 1e9 / max(v_tot, 1), 2),
@@ -589,12 +614,12 @@ def main():
             dc = dc.transpose(0, 2, 1, 3, 4).reshape(-1, 3)
             cam_tiled = Ray.create(jnp.asarray(oc), jnp.asarray(dc))
 
-            planner_d = _make_plan(scene_d, 1024)
-
+            # plain trace: camera tiles walk ~7 iterations/packet on the
+            # wide table (NEXT.md) — a planning pre-pass costs more than
+            # the handful of iterations it could save (same round-3
+            # hardware inversion as the aimed leg)
             def run_cam():
-                hints_c, start_c = planner_d(cam_tiled)
-                out = trace_closest_hit_tight(scene_d, cam_tiled, packet=1024,
-                                              hints=hints_c, start_g=start_c)
+                out = trace_closest_hit_tight(scene_d, cam_tiled, packet=1024)
                 return float(jnp.sum(jnp.where(jnp.isfinite(out.t), out.t, 0.0)))
 
             run_cam()
@@ -607,12 +632,10 @@ def main():
 
             ad_j, bd_j, cd_j = jnp.asarray(ad), jnp.asarray(bd), jnp.asarray(cd)
             tgt_c = jnp.zeros((Wd * Hd,), jnp.float32)
-            hints_cd, start_cd = planner_d(cam_tiled)
 
             def loss_cam(av, bv, cv):
                 depth, hit_m = render_depth_fast(scene_d, cam_tiled, av, bv, cv,
-                                                 packet=1024, hints=hints_cd,
-                                                 start_g=start_cd)
+                                                 packet=1024)
                 return jnp.sum(jnp.where(hit_m, (depth - tgt_c) ** 2, 0.0)) * 1e-9
 
             gcam = jax.jit(jax.value_and_grad(loss_cam, argnums=(0, 1, 2)))
@@ -649,6 +672,7 @@ def main():
             "camera_260k_dense_rays_per_s": _fin(cam_rays_per_s),
             "camera_260k_fwd_bwd_rays_per_s": _fin(cam_fwd_bwd_rays_per_s),
             "sparse_1m_tris_rays_per_s": _fin(sparse_1m_rays_per_s),
+            "nearest_1m_pts_per_s": _fin(nearest_pts_per_s),
             "pathtrace_2bounce_rays_per_s": _fin(pathtrace_rays_per_s),
             "refit_quality": refit_quality or None,
             "ray_aabb_1000": ray_aabb,

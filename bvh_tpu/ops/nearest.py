@@ -549,10 +549,32 @@ def _pack_points(points, packet, d_max=None):
     return p, rp, slab, pmat
 
 
+def sort_points_device(points):
+    """Morton coherence sort for point batches: ``(perm, inv)`` i32.
+
+    The walk is packet-coherent (one cursor per packet; a group fires if
+    ANY lane needs it), so a packet of spatially scattered points visits
+    the UNION of its lanes' subtrees — nearly the whole tree for random
+    batches (measured 18 s/M points unsorted vs sorted on hardware).
+    Morton-sorted packets are spatially tight and prune like single
+    points. Per-lane results are exact either way: every fired group
+    narrowphases all lanes, so grouping only changes visit supersets.
+    """
+    pts = jnp.asarray(points, jnp.float32)
+    from ..bvh.lbvh import morton_codes
+    lo = pts.min(axis=0)
+    hi = pts.max(axis=0)
+    key = morton_codes(pts, lo, hi)
+    perm = jnp.argsort(key, stable=True).astype(jnp.int32)
+    inv = jnp.zeros_like(perm).at[perm].set(
+        jnp.arange(perm.shape[0], dtype=jnp.int32))
+    return perm, inv
+
+
 def nearest_tight(scene, points, packet: int = 2048, d_max=None,
                   interpret: bool = False,
                   precision=jax.lax.Precision.HIGHEST,
-                  wide: bool | None = None):
+                  wide: bool | None = None, sort: bool = True):
     """Nearest triangle to each point (kernel path).
 
     Returns ``(shape_id [n] i32, distance [n] f32)``: the global triangle
@@ -570,12 +592,28 @@ def nearest_tight(scene, points, packet: int = 2048, d_max=None,
     (one iteration distance-tests all 16 children — the trace kernels'
     serial-chain amortization); results are bit-identical to the
     entry/exit walk. ``wide=False`` forces the entry/exit kernel.
+
+    ``sort=True`` (default) Morton-sorts the batch on device so packets
+    are spatially tight (see ``sort_points_device``); results come back
+    in input order and are exact regardless. Pass ``sort=False`` only
+    for batches you already sorted.
     """
     pts = jnp.asarray(points, jnp.float32)
     r = pts.shape[0]
     if r == 0 or scene.num_nodes == 0:
         return (jnp.full((r,), -1, jnp.int32),
                 jnp.full((r,), _INF, jnp.float32))
+    if sort and r > 128:
+        perm, inv = sort_points_device(pts)
+        dm = d_max
+        if dm is not None:
+            dm = jnp.asarray(dm, jnp.float32)
+            if dm.ndim and dm.shape[0] == r:
+                dm = dm[perm]
+        sid_s, dist_s = nearest_tight(
+            scene, pts[perm], packet=packet, d_max=dm, interpret=interpret,
+            precision=precision, wide=wide, sort=False)
+        return sid_s[inv], dist_s[inv]
     assert getattr(scene, "packed_nodes", None) is None, \
         "nearest_tight reads f32 node tables (build with packed=False)"
     p, rp, pslab, pmat = _pack_points(pts, packet, d_max)
@@ -619,7 +657,8 @@ def nearest_tight(scene, points, packet: int = 2048, d_max=None,
 
 def nearest_chained(chained, points, packet: int = 2048, d_max=None,
                     interpret: bool = False,
-                    precision=jax.lax.Precision.HIGHEST):
+                    precision=jax.lax.Precision.HIGHEST,
+                    sort: bool = True):
     """Nearest triangle over a ``ChainedScene`` (beyond one SMEM table).
 
     Parts run sequentially; each point's best distance so far becomes the
@@ -641,6 +680,18 @@ def nearest_chained(chained, points, packet: int = 2048, d_max=None,
     if r == 0:
         return (jnp.full((r,), -1, jnp.int32),
                 jnp.full((r,), _INF, jnp.float32))
+    if sort and r > 128:
+        # sort ONCE here (not per part) and run parts on sorted points
+        perm, inv = sort_points_device(pts)
+        dm = d_max
+        if dm is not None:
+            dm = jnp.asarray(dm, jnp.float32)
+            if dm.ndim and dm.shape[0] == r:
+                dm = dm[perm]
+        bid_s, bd_s = nearest_chained(chained, pts[perm], packet=packet,
+                                      d_max=dm, interpret=interpret,
+                                      precision=precision, sort=False)
+        return bid_s[inv], bd_s[inv]
     if d_max is None:
         best_d = jnp.full((r,), _INF, jnp.float32)
     else:
@@ -649,7 +700,8 @@ def nearest_chained(chained, points, packet: int = 2048, d_max=None,
     best_id = jnp.full((r,), -1, jnp.int32)
     for part, ids in zip(chained.parts, chained.orig_ids):
         sid, dist = nearest_tight(part, pts, packet=packet, d_max=best_d,
-                                  interpret=interpret, precision=precision)
+                                  interpret=interpret, precision=precision,
+                                  sort=False)
         gids = jnp.asarray(ids)
         closer = (sid >= 0) & (dist < best_d)
         best_d = jnp.where(closer, dist, best_d)
