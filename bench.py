@@ -84,8 +84,6 @@ def main():
     o_dev = jnp.asarray(origins)
     d_dev = jnp.asarray(dirs)
 
-    rays_u = Ray.create(o_dev, d_dev)  # unsorted; perm folds into the pack
-
     def _strip_wide(s):
         """Drop the wide-walk tables so every trace falls back to the
         round-2-hardware-proven entry/exit kernel (results identical;
@@ -129,6 +127,10 @@ def main():
               "entry/exit kernel", file=sys.stderr)
         wide_ok = False
         scene = _strip_wide(scene)
+        # the narrow entry/exit kernel spills the register file past
+        # packet=4096 (CLAUDE.md measured rule); the 8192 default is tuned
+        # for the wide walk only
+        packet = min(packet, 4096)
         t, sid, _ = run(o_dev, d_dev)
 
     best = float("inf")
@@ -216,8 +218,6 @@ def main():
                 seed_s = tb.seed_state_after(nc)
                 o_s, d_s = tb.create_rays(n_rays, seed=seed_s)
                 o_sj, d_sj = jnp.asarray(o_s), jnp.asarray(d_s)
-
-                rays_su = Ray.create(o_sj, d_sj)
 
                 def run_s():
                     # tiny tables: coherence matters less, finer origin bits
@@ -437,10 +437,16 @@ def main():
                 g_tot = None
             # the counters come from the UNGATED kernel (count mode has no
             # sweep), so time an ungated run for an apples-to-apples
-            # decomposition (the headline above is sweep-gated and faster)
+            # decomposition (the headline above is sweep-gated and faster).
+            # Sort+gather runs INSIDE the timed loop, mirroring run() and
+            # run_prep(), so best_u - best_p subtracts stages both perform
+            # (round-3 advisor: timing pre-sorted rays here understated
+            # kernel_epilogue_s by the sort+gather cost).
             def run_ungated():
-                out_u = trace_closest_hit_tight(scene, rays_s, packet=packet)
-                tu = out_u.t[inv_r]
+                perm_u, inv_u = sort_rays_device(o_dev, d_dev, bits=2)
+                rays_u = Ray.create(o_dev[perm_u], d_dev[perm_u])
+                out_u = trace_closest_hit_tight(scene, rays_u, packet=packet)
+                tu = out_u.t[inv_u]
                 return float(jnp.sum(jnp.where(jnp.isfinite(tu), tu, 0.0)))
 
             run_ungated()
@@ -683,21 +689,32 @@ def main():
     print(json.dumps(result))
 
 
-def _device_reachable(timeout_s: float = 120.0) -> bool:
+def _device_reachable(timeout_s: float = 120.0, attempts: int = 3) -> bool:
     """Probe TPU availability in a subprocess (a dead axon tunnel hangs
     device init indefinitely — fail fast with an honest error line
-    instead of hanging the driver)."""
+    instead of hanging the driver). The tunnel flakes transiently, so
+    retry before declaring it down (a false negative zeroes the round's
+    bench artifact)."""
     import subprocess
 
     code = ("import jax, jax.numpy as jnp; "
             "assert jax.devices()[0].platform != 'cpu'; "
             "print(float(jnp.sum(jnp.ones((8, 8)))))")
-    try:
-        r = subprocess.run([sys.executable, "-c", code], timeout=timeout_s,
-                           capture_output=True)
-        return r.returncode == 0
-    except subprocess.TimeoutExpired:
-        return False
+    for i in range(attempts):
+        try:
+            r = subprocess.run([sys.executable, "-c", code],
+                               timeout=timeout_s, capture_output=True)
+            if r.returncode == 0:
+                return True
+            print(f"bench: device probe attempt {i + 1}/{attempts} failed "
+                  f"(rc={r.returncode}): "
+                  f"{r.stderr.decode(errors='replace')[-500:]}",
+                  file=sys.stderr)
+        except subprocess.TimeoutExpired:
+            print(f"bench: device probe attempt {i + 1}/{attempts} timed out "
+                  f"after {timeout_s}s", file=sys.stderr)
+        time.sleep(5.0)
+    return False
 
 
 if __name__ == "__main__":

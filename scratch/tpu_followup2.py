@@ -112,6 +112,10 @@ try:
     agree_i = int(jnp.sum(s1[0] != s0[0]))
     print(f"CROSSCHECK nearest sorted vs unsorted: id mismatches {agree_i}, "
           f"max|dd| {agree_d:.3e}", flush=True)
+    # fail loudly: a sort-path regression must gate the run, not scroll by
+    assert agree_i == 0 and agree_d == 0.0, (
+        f"nearest sorted-vs-unsorted CROSSCHECK FAILED: {agree_i} id "
+        f"mismatches, max|dd|={agree_d:.3e}")
 except Exception:
     print("FAIL nearest leg:", flush=True)
     traceback.print_exc()
