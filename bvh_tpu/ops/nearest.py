@@ -387,13 +387,22 @@ def _nearest_wide_body(gnodes_ref, groups_ref, pslab_ref, pmat_ref, out_ref,
                       groups_ref, pmat_ref, bestk_ref, bestc_ref, vb_ref,
                       W, PACKET, PRECISION)
 
-    def group_test(g):
+    # the 3 point rows are read-only for the whole walk: keep them live in
+    # vector registers instead of re-loading per group test (the per-test
+    # VMEM load latency dominated the wide trace chain; same fix here)
+    px_h, py_h, pz_h = pslab_ref[0, 0], pslab_ref[0, 1], pslab_ref[0, 2]
+
+    def group_test(g, en=None):
         """Distance-test all K children; refine the bound; K-bit mask.
+
+        ``en`` (scalar bool) masks the call: the walk runs it
+        unconditionally (no pl.when region, see trace._make_mask_walk), so
+        a disabled call must not refine the bound and must return 0.
 
         Empty slots hold NaN boxes: their d2min comparisons are false (bit
         never sets) and their NaN d2max is excluded from the bound
         refinement (min over a NaN would poison every lane's bound)."""
-        px, py, pz = pslab_ref[0, 0], pslab_ref[0, 1], pslab_ref[0, 2]
+        px, py, pz = px_h, py_h, pz_h
         vbv = vb_ref[:, :]
         refine = vbv
         macc = jnp.zeros((SUB, 128), jnp.int32)
@@ -412,7 +421,10 @@ def _nearest_wide_body(gnodes_ref, groups_ref, pslab_ref, pmat_ref, out_ref,
                                      jnp.where(d2max == d2max, d2max, _INF))
             fired = d2min < vbv
             macc = macc | jnp.where(fired, jnp.int32(1 << k), jnp.int32(0))
-        vb_ref[:, :] = refine
+        if REFINE:
+            if en is not None:
+                refine = jnp.where(en, refine, vbv)
+            vb_ref[:, :] = refine
         acc = macc
         s = SUB
         assert s & (s - 1) == 0, s
@@ -432,8 +444,10 @@ def _nearest_wide_body(gnodes_ref, groups_ref, pslab_ref, pmat_ref, out_ref,
 
         jax.lax.while_loop(lambda m: m != 0, step, lm)
 
-    def enter(g):
-        m = group_test(g)
+    def enter(g, en=None):
+        m = group_test(g, en)
+        if en is not None:
+            m = jax.lax.select(en, m, jnp.int32(0))
         lmask = gnodes_ref[7 * K, g].astype(jnp.int32)
         lm = jax.lax.bitwise_and(m, lmask)
         narrow_mask(lm, g)

@@ -957,16 +957,26 @@ def _make_mask_walk(gnodes_ref, stk_ref, m2_ref, enter, count_iter=None):
     """DFS mask-stack walk over a wide group table — the serial engine
     shared by the wide trace and wide nearest kernels.
 
-    ``enter(child) -> interior mask`` tests a group (narrowphasing its
+    ``enter(child, en) -> interior mask`` tests a group (narrowphasing its
     fired leaves as a side effect) and returns the fired INTERIOR bits;
-    the walk stacks only those. Every iteration is descend-or-pop (leaves
-    are consumed inside ``enter``), ONE conditional region per iteration.
+    the walk stacks only those. ``en`` is a scalar bool: when False the
+    implementation must mask ALL its side effects and return 0 — the walk
+    calls ``enter`` UNCONDITIONALLY every iteration (on a safe group id)
+    instead of wrapping it in a pl.when region. Together with hoisting
+    the read-only slab rows out of the loop this took the headline walk
+    from 3427 to 2896 ns/iteration at P8192 (BENCH r4 roofline vs
+    scratch/wide_walk_prof.py; the isolated serialized group test costs
+    1263 ns — scratch/gt_bench.py variant A, T=32768). do_enter is true
+    for >90% of iterations on the headline workload, so the wasted
+    masked tests are noise. ``m2_ref`` is unused (kept for signature
+    stability).
     ``count_iter``: optional callable bumping the iteration counter.
 
     Returns ``walk(g0, m0, skip=None)``; ``skip`` is an optional PAIR of
     traced group ids never entered (their subtrees were already fully
     processed by earlier phases); ids <= 0 are inert (no child has id 0).
     """
+    del m2_ref
 
     def walk(g0, m0, skip=None):
         def body(carry):
@@ -981,15 +991,11 @@ def _make_mask_walk(gnodes_ref, stk_ref, m2_ref, enter, count_iter=None):
             if skip is None:
                 do_enter = has
             else:
-                # the skipped child must read back m2 == 0 (consume the
-                # bit without pushing), so clear the stale value first
-                m2_ref[0] = 0
                 s1, s2 = skip
                 do_enter = has & (child != s1) & (child != s2)
 
-            @pl.when(do_enter)
-            def _():
-                m2_ref[0] = enter(child)
+            g_safe = jax.lax.select(do_enter, child, jnp.int32(0))
+            m2 = enter(g_safe, do_enter)
 
             # stack frame for the current depth (read back on pop); the
             # pop-iteration store targets the abandoned slot — harmless
@@ -998,7 +1004,6 @@ def _make_mask_walk(gnodes_ref, stk_ref, m2_ref, enter, count_iter=None):
             dm1 = jnp.maximum(d - 1, 0)
             pgid = stk_ref[2 * dm1]
             pmask = stk_ref[2 * dm1 + 1]
-            m2 = m2_ref[0]
             push = has & (m2 != 0)  # leaf-only subgroup: nothing to push
             nd = jax.lax.select(push, d + 1, jax.lax.select(has, d, d - 1))
             ngid = jax.lax.select(push, child,
@@ -1063,6 +1068,17 @@ def _wide_body(gnodes_ref, hints_ref, gate_ref, startg_ref, groups_ref,
             PRECISION=PRECISION, MODE=MODE, BOUNDED=BOUNDED, USE_BMAT=False,
         )
 
+    # The 6 ray slab rows are read-only for the whole walk: read them ONCE
+    # and keep them live in vector registers. Re-reading them per group
+    # test (the narrow kernel's live-state-minimizing rule) costs 7xSUB
+    # vreg loads per test; the per-test VMEM load latency grows with SUB
+    # and dominates the wide chain (gt_bench.py's hoisted serialized loop
+    # runs at 1263 ns/test at P8192 vs 3427 measured in the real walk
+    # before this change; hoisting + the region-free walk got 2896).
+    # vbv must stay inside: the narrowphase refines it between tests.
+    oix_h, oiy_h, oiz_h = slab_ref[0, 0], slab_ref[0, 1], slab_ref[0, 2]
+    ix_h, iy_h, iz_h = slab_ref[0, 3], slab_ref[0, 4], slab_ref[0, 5]
+
     def group_test(g):
         """Slab-test all K children of group g; return the K-bit fired mask.
 
@@ -1071,8 +1087,8 @@ def _wide_body(gnodes_ref, hints_ref, gate_ref, startg_ref, groups_ref,
         ONE log-tree OR fold and ONE reduce consumer at the end. Empty
         slots hold NaN boxes: every comparison is false, the bit never
         sets."""
-        oix, oiy, oiz = slab_ref[0, 0], slab_ref[0, 1], slab_ref[0, 2]
-        ix, iy, iz = slab_ref[0, 3], slab_ref[0, 4], slab_ref[0, 5]
+        oix, oiy, oiz = oix_h, oiy_h, oiz_h
+        ix, iy, iz = ix_h, iy_h, iz_h
         vbv = vb_ref[:, :]
         macc = jnp.zeros((SUB, 128), jnp.int32)
         for k in range(K):
@@ -1118,10 +1134,15 @@ def _wide_body(gnodes_ref, hints_ref, gate_ref, startg_ref, groups_ref,
 
         jax.lax.while_loop(lambda m: m != 0, step, lm)
 
-    def enter(g):
+    def enter(g, en=None):
         """Test group ``g``; narrowphase its fired leaves; return the
-        fired INTERIOR bits (the only thing the walk stacks)."""
+        fired INTERIOR bits (the only thing the walk stacks). ``en``
+        (scalar bool) masks the whole call: the walk runs enter
+        unconditionally (no pl.when region — see _make_mask_walk), so a
+        disabled call must fire no narrowphase and return 0."""
         m = group_test(g)
+        if en is not None:
+            m = jax.lax.select(en, m, jnp.int32(0))
         # leaf mask stored as a float VALUE (<= 2^K, exact in f32): scalar
         # f32<->i32 bitcast does not lower in Mosaic, int conversion does
         lmask = gnodes_ref[7 * K, g].astype(jnp.int32)
