@@ -260,8 +260,6 @@ def main():
             o_m, d_m = tb.create_rays(n_rays, seed=seed_m)
             o_mj, d_mj = jnp.asarray(o_m), jnp.asarray(d_m)
 
-            r_mu = Ray.create(o_mj, d_mj)
-
             def run_m():
                 perm_m, inv_m = sort_rays_device(o_mj, d_mj, bits=2)
                 rays_ms = Ray.create(o_mj[perm_m], d_mj[perm_m])
