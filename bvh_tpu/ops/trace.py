@@ -930,7 +930,8 @@ WIDE_DMAX = 16  # fixed mask-stack depth (static => one compile per scene bucket
 def _make_wide_kernel(packet: int, precision, K: int = 16, subtile: int = 1024,
                       width: int = 16, n_hints: int = 0, mode: str = "closest",
                       bounded: bool = False, count_visits: bool = False,
-                      gated: bool = False, subtree: bool = False):
+                      gated: bool = False, subtree: bool = False,
+                      exp: str = ""):
     def _kernel(gnodes_ref, hints_ref, gate_ref, startg_ref, groups_ref,
                 slab_ref, lmat_ref, out_ref, bestk_ref, bestc_ref, vb_ref,
                 cnt_ref, stk_ref, m2_ref):
@@ -938,7 +939,7 @@ def _make_wide_kernel(packet: int, precision, K: int = 16, subtile: int = 1024,
                           groups_ref, slab_ref, lmat_ref, out_ref, bestk_ref,
                           bestc_ref, vb_ref, cnt_ref, stk_ref, m2_ref, packet,
                           precision, K, subtile, width, n_hints, mode, bounded,
-                          count_visits, gated, subtree)
+                          count_visits, gated, subtree, exp)
     return _kernel
 
 
@@ -1019,12 +1020,112 @@ def _make_mask_walk(gnodes_ref, stk_ref, m2_ref, enter, count_iter=None):
 
 
 
+def _make_dual_walk(gnodes_ref, stk_ref, enter, count_iter=None):
+    """EXPERIMENT ("dual"): two interleaved DFS mask-stack walks over
+    disjoint subtree sets of the root group.
+
+    Rationale: the single walk's per-iteration cost is the serial
+    vector-test -> scalar-reduce -> mask-pop chain; the VPU idles during
+    the scalar tail and the scalar core idles during the test. Two
+    independent streams issue two group tests per loop body — stream B's
+    vector work overlaps stream A's scalar tail (Mosaic schedules them
+    freely: no data dependence). The root's fired interior bits are dealt
+    round-robin (alternate set bits) to balance the streams.
+
+    Visit ORDER differs from the single walk (A/B interleave), so packed
+    min-key TIES (identical t and lane) may resolve to the other winner —
+    measured-equal on the headline; gate on exactness before making this
+    a default. A dead stream keeps calling ``enter`` masked-off (wasted
+    vector work on unbalanced tails).
+    """
+    OFF = 2 * WIDE_DMAX  # stream B's stack region
+
+    def walk2(g0):
+        m0 = enter(g0, jnp.int32(0) == 0)
+        # deal the root's fired interior bits round-robin to A and B
+        mA = jnp.int32(0)
+        mB = jnp.int32(0)
+        toA = jnp.int32(0) == 0
+        m = m0
+        for _ in range(16):
+            low = jax.lax.bitwise_and(m, -m)
+            mA = mA | jax.lax.select(toA, low, jnp.int32(0))
+            mB = mB | jax.lax.select(toA, jnp.int32(0), low)
+            toA = jax.lax.select(low != 0, ~toA, toA)
+            m = jax.lax.bitwise_and(m, m - 1)
+        dA0 = jax.lax.select(mA != 0, jnp.int32(0), jnp.int32(-1))
+        dB0 = jax.lax.select(mB != 0, jnp.int32(0), jnp.int32(-1))
+
+        def body(carry):
+            dA, gA, mA_, dB, gB, mB_ = carry
+            if count_iter is not None:
+                count_iter()
+            # scalar pre-compute for both streams (independent)
+            actA = dA >= 0
+            hasA = actA & (mA_ != 0)
+            kA = _ctz16(mA_)
+            childA = gnodes_ref[7 * kA + 6, gA].astype(jnp.int32)
+            gsA = jax.lax.select(hasA, childA, jnp.int32(0))
+            actB = dB >= 0
+            hasB = actB & (mB_ != 0)
+            kB = _ctz16(mB_)
+            childB = gnodes_ref[7 * kB + 6, gB].astype(jnp.int32)
+            gsB = jax.lax.select(hasB, childB, jnp.int32(0))
+
+            # two independent vector tests: B's test hides A's scalar tail
+            intA = enter(gsA, hasA)
+            intB = enter(gsB, hasB)
+
+            mA2 = jax.lax.bitwise_and(mA_, mA_ - 1)
+            dAc = jnp.maximum(dA, 0)
+            stk_ref[2 * dAc] = gA
+            stk_ref[2 * dAc + 1] = mA2
+            dm1A = jnp.maximum(dA - 1, 0)
+            pgA = stk_ref[2 * dm1A]
+            pmA = stk_ref[2 * dm1A + 1]
+            pushA = hasA & (intA != 0)
+            ndA = jax.lax.select(
+                pushA, dA + 1, jax.lax.select(hasA, dA, dA - 1))
+            ndA = jax.lax.select(actA, ndA, dA)
+            ngA = jax.lax.select(pushA, childA,
+                                 jax.lax.select(hasA, gA, pgA))
+            ngA = jax.lax.select(actA, ngA, gA)
+            nmA = jax.lax.select(pushA, intA,
+                                 jax.lax.select(hasA, mA2, pmA))
+            nmA = jax.lax.select(actA, nmA, mA_)
+
+            mB2 = jax.lax.bitwise_and(mB_, mB_ - 1)
+            dBc = jnp.maximum(dB, 0)
+            stk_ref[OFF + 2 * dBc] = gB
+            stk_ref[OFF + 2 * dBc + 1] = mB2
+            dm1B = jnp.maximum(dB - 1, 0)
+            pgB = stk_ref[OFF + 2 * dm1B]
+            pmB = stk_ref[OFF + 2 * dm1B + 1]
+            pushB = hasB & (intB != 0)
+            ndB = jax.lax.select(
+                pushB, dB + 1, jax.lax.select(hasB, dB, dB - 1))
+            ndB = jax.lax.select(actB, ndB, dB)
+            ngB = jax.lax.select(pushB, childB,
+                                 jax.lax.select(hasB, gB, pgB))
+            ngB = jax.lax.select(actB, ngB, gB)
+            nmB = jax.lax.select(pushB, intB,
+                                 jax.lax.select(hasB, mB2, pmB))
+            nmB = jax.lax.select(actB, nmB, mB_)
+            return ndA, ngA, nmA, ndB, ngB, nmB
+
+        jax.lax.while_loop(
+            lambda s: (s[0] >= 0) | (s[3] >= 0), body,
+            (dA0, g0, mA, dB0, g0, mB))
+
+    return walk2
+
+
 def _wide_body(gnodes_ref, hints_ref, gate_ref, startg_ref, groups_ref,
                slab_ref, lmat_ref, out_ref, bestk_ref, bestc_ref, vb_ref,
                cnt_ref, stk_ref, m2_ref,
                PACKET, PRECISION, K=16, SUBTILE=1024, W=16, N_HINTS=0,
                MODE="closest", BOUNDED=False, COUNT_VISITS=False, GATED=False,
-               SUBTREE=False):
+               SUBTREE=False, EXP=""):
     assert W in (16, 32, 64, 128)
     assert MODE in ("closest", "any")
     assert K in (8, 16)
@@ -1140,6 +1241,30 @@ def _wide_body(gnodes_ref, hints_ref, gate_ref, startg_ref, groups_ref,
         (scalar bool) masks the whole call: the walk runs enter
         unconditionally (no pl.when region — see _make_mask_walk), so a
         disabled call must fire no narrowphase and return 0."""
+        if "chainonly" in EXP or "walkall" in EXP:
+            # DECOMPOSITION PROBES: the walk visits EVERY populated slot.
+            # "chainonly" drops the vector test entirely (the pure serial
+            # walk chain: ctz/stack/selects/back-edge + SMEM reads);
+            # "walkall" keeps the test+reduce alive via an unprovable
+            # sentinel compare but still visits everything. Both suppress
+            # the narrowphase (every leaf would fire). Valid slots are
+            # derived from payloads: leaf bits OR payload >= 0 (empty
+            # slots hold payload -1 with the leaf bit clear — entering
+            # them would walk garbage).
+            lmask_p = gnodes_ref[7 * K, g].astype(jnp.int32)
+            vmask = lmask_p
+            for k in range(K):
+                pay = gnodes_ref[7 * k + 6, g]
+                vmask = vmask | jax.lax.select(
+                    pay >= 0, jnp.int32(1 << k), jnp.int32(0))
+            if "walkall" in EXP:
+                mx = group_test(g)
+                vmask = jax.lax.select(mx == jnp.int32(-123456),
+                                       jnp.int32(0), vmask)
+            m = vmask
+            if en is not None:
+                m = jax.lax.select(en, m, jnp.int32(0))
+            return jax.lax.bitwise_and(m, jax.lax.bitwise_not(lmask_p))
         m = group_test(g)
         if en is not None:
             m = jax.lax.select(en, m, jnp.int32(0))
@@ -1147,7 +1272,15 @@ def _wide_body(gnodes_ref, hints_ref, gate_ref, startg_ref, groups_ref,
         # f32<->i32 bitcast does not lower in Mosaic, int conversion does
         lmask = gnodes_ref[7 * K, g].astype(jnp.int32)
         lm = jax.lax.bitwise_and(m, lmask)
-        narrow_mask(lm, g)
+        if "nwhen" in EXP:
+            # EXPERIMENT: skip the nested narrow-mask loop entirely when no
+            # leaf fired (miss-heavy walks fire leaves on ~0% of
+            # iterations; the zero-trip nested while may still cost)
+            @pl.when(lm != 0)
+            def _():
+                narrow_mask(lm, g)
+        else:
+            narrow_mask(lm, g)
         return jax.lax.bitwise_and(m, jax.lax.bitwise_not(lmask))
 
     def _count_iter():
@@ -1197,6 +1330,11 @@ def _wide_body(gnodes_ref, hints_ref, gate_ref, startg_ref, groups_ref,
             # already-processed subtrees. Ids <= 0 never match a child id
             # (the root group 0 is nobody's child), so those skips are inert.
             walk(jnp.int32(0), enter(jnp.int32(0)), skip=(sg, sg2))
+        elif "dual" in EXP:
+            walk2 = _make_dual_walk(gnodes_ref, stk_ref, enter,
+                                    count_iter=_count_iter
+                                    if COUNT_VISITS else None)
+            walk2(jnp.int32(0))
         else:
             walk(jnp.int32(0), enter(jnp.int32(0)))
 
@@ -1222,7 +1360,8 @@ def _wide_body(gnodes_ref, hints_ref, gate_ref, startg_ref, groups_ref,
 def _trace_wide(gnodes, hints, gate, groups, slab, lmat, interpret=False,
                 packet=2048, precision=jax.lax.Precision.HIGHEST,
                 width=16, n_hints=0, mode="closest", bounded=False,
-                count_visits=False, gated=False, k_ary=16, start_g=None):
+                count_visits=False, gated=False, k_ary=16, start_g=None,
+                exp: str = ""):
     p = slab.shape[0]
     subtree = start_g is not None
     if start_g is None:
@@ -1240,19 +1379,19 @@ def _trace_wide(gnodes, hints, gate, groups, slab, lmat, interpret=False,
                            packet=packet, precision=precision, width=width,
                            n_hints=n_hints, mode=mode, bounded=bounded,
                            count_visits=count_visits, gated=gated,
-                           k_ary=k_ary, subtree=subtree)
+                           k_ary=k_ary, subtree=subtree, exp=exp)
 
 
 @partial(jax.jit, static_argnames=("interpret", "packet", "precision",
                                    "width", "n_hints", "mode", "bounded",
                                    "count_visits", "gated", "k_ary",
-                                   "subtree"))
+                                   "subtree", "exp"))
 def _trace_wide_jit(gnodes, hints, gate, start_g, groups, slab, lmat,
                     interpret=False, packet=2048,
                     precision=jax.lax.Precision.HIGHEST,
                     width=16, n_hints=0, mode="closest", bounded=False,
                     count_visits=False, gated=False, k_ary=16,
-                    subtree=False):
+                    subtree=False, exp: str = ""):
     p = slab.shape[0]
     sub = packet // 128
     scratch = [
@@ -1260,7 +1399,8 @@ def _trace_wide_jit(gnodes, hints, gate, start_g, groups, slab, lmat,
         pltpu.VMEM((sub, 128), jnp.int32),
         pltpu.VMEM((sub, 128), jnp.float32),
         pltpu.SMEM((4,), jnp.int32),
-        pltpu.SMEM((2 * WIDE_DMAX,), jnp.int32),
+        # 2*WIDE_DMAX slots per walk stream; the "dual" experiment runs two
+        pltpu.SMEM((4 * WIDE_DMAX,), jnp.int32),
         pltpu.SMEM((1,), jnp.int32),
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
@@ -1278,7 +1418,7 @@ def _trace_wide_jit(gnodes, hints, gate, start_g, groups, slab, lmat,
         _make_wide_kernel(packet, precision, K=k_ary, width=width,
                           n_hints=n_hints, mode=mode, bounded=bounded,
                           count_visits=count_visits, gated=gated,
-                          subtree=subtree),
+                          subtree=subtree, exp=exp),
         out_shape=jax.ShapeDtypeStruct((p, 2 * sub, 128), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,
@@ -1424,7 +1564,7 @@ def trace_closest_hit_tight(scene, rays: Ray, tris=None, interpret: bool = False
                             pre_gate=None,
                             start_g: jnp.ndarray | None = None,
                             perm: jnp.ndarray | None = None,
-                            _base=None) -> HitRecord:
+                            _base=None, _exp: str = "") -> HitRecord:
     """Closest hit against a ``TightScene`` (the fast path for sparse scenes).
 
     Same contract as ``trace_closest_hit``: returns packed (t, triangle id);
@@ -1530,6 +1670,7 @@ def trace_closest_hit_tight(scene, rays: Ray, tris=None, interpret: bool = False
             bounded=t_max is not None,
             gated=sweep or pg is not None,
             start_g=start_g,
+            exp=_exp,
         )
     else:
         out = _trace_tight(
@@ -1903,7 +2044,7 @@ def count_visits_tight(scene, rays: Ray, packet: int = 2048,
 
 
 def count_visits_wide(scene, rays: Ray, packet: int = 2048,
-                      interpret: bool = False, start_g=None):
+                      interpret: bool = False, start_g=None, exp: str = ""):
     """Wide-kernel counters per packet (debug mode; NOT a timed config).
 
     Returns ``(iterations, fires, group_tests)`` int arrays [n_packets]:
@@ -1933,6 +2074,7 @@ def count_visits_wide(scene, rays: Ray, packet: int = 2048,
         width=int(getattr(scene, "width", 16)),
         count_visits=True,
         start_g=start_g,
+        exp=exp,
     )
     iters = np.asarray(out[:, 0, 0]).astype(np.int64)
     fires = np.asarray(out[:, 1, 0]).astype(np.int64)
