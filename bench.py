@@ -715,14 +715,35 @@ def _device_reachable(timeout_s: float = 120.0, attempts: int = 3) -> bool:
     return False
 
 
+def _last_measured() -> dict:
+    """The most recent COMPLETE hardware bench this tree produced, for the
+    tunnel-down fallback line. Clearly labeled stale: the driver's round
+    artifact must never pass off an old number as this run's measurement."""
+    path = os.path.join(os.path.dirname(os.path.abspath(__file__)),
+                        "scratch", "judge_bench_r3.json")
+    try:
+        with open(path) as f:
+            prev = json.load(f)
+        return {
+            "value": prev.get("value", 0),
+            "vs_baseline": prev.get("vs_baseline", 0.0),
+            "artifact": "scratch/judge_bench_r3.json",
+            "note": "STALE: measured 2026-08-19 on TPU v5e before the "
+                    "tunnel went down; NOT this run's number",
+        }
+    except Exception:
+        return {"artifact": "BENCH_r02.json",
+                "note": "see BENCH_r02.json for the last hardware numbers"}
+
+
 if __name__ == "__main__":
     sys.path.insert(0, os.path.dirname(os.path.abspath(__file__)))
     if os.environ.get("BENCH_SKIP_PROBE", "0") != "1" and not _device_reachable():
         print(json.dumps({
             "metric": "closest_hit_rays_per_s_120k_tris", "value": 0,
             "unit": "rays/s", "vs_baseline": 0.0,
-            "error": "TPU device unreachable (axon tunnel down); "
-                     "see BENCH_r02.json for the last hardware numbers",
+            "error": "TPU device unreachable (axon tunnel down)",
+            "last_measured": _last_measured(),
         }))
         sys.exit(0)
     try:
