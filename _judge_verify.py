@@ -36,10 +36,11 @@ t_k = np.asarray(out.t)
 sid_k = np.asarray(out.shape_id)
 
 # brute oracle on the same rays (public Moller-Trumbore)
-dist, _, _ = ray_intersects_triangle(
-    rays.origin[:, None, :], rays.direction[:, None, :],
-    jnp.asarray(a)[None], jnp.asarray(b)[None], jnp.asarray(c)[None])
-dist = np.asarray(dist)
+rays_b = Ray.create(rays.origin[:, None, :].repeat(a.shape[0], 1),
+                    rays.direction[:, None, :].repeat(a.shape[0], 1))
+inter = ray_intersects_triangle(
+    rays_b, jnp.asarray(a)[None], jnp.asarray(b)[None], jnp.asarray(c)[None])
+dist = np.asarray(inter.distance)
 t_b = dist.min(axis=1)
 hit_b = np.isfinite(t_b)
 hit_k = np.isfinite(t_k)

@@ -90,6 +90,12 @@ def _load():
         ]
     except AttributeError:  # stale .so without the collapse entry point
         pass
+    try:
+        lib.bvh_build_sah_hint.restype = ctypes.c_int
+        lib.bvh_build_sah_hint.argtypes = (
+            lib.bvh_build_sah.argtypes + [ctypes.c_int32])
+    except AttributeError:  # stale .so: hinted builds fall back to exact
+        pass
     _LIB = lib
     return _LIB
 
@@ -98,8 +104,17 @@ def native_available() -> bool:
     return _load() is not None
 
 
-def build_sah_native(shape_min, shape_max, nthreads: int = 0):
+def build_sah_native(shape_min, shape_max, nthreads: int = 0,
+                     cluster_hint: int = 0):
     """Native multithreaded SAH build; same outputs as ``build_sah``.
+
+    ``cluster_hint`` > 0 switches subtrees at or below that leaf count to
+    median splits (same leaf SETS per subtree and exact bounds, so any
+    <=hint cluster cut of the tree is unchanged; intra-subtree leaf order
+    differs from the exact SAH tree). Only the tight-scene pipeline — which
+    dissolves all structure below its cluster cut — should pass it; the
+    default 0 is the bit-identical-to-numpy contract ``tests/test_native.py``
+    checks. Ignored (exact build) when the loaded .so predates the entry.
 
     Raises RuntimeError if the native library is unavailable; 3D only.
     """
@@ -122,7 +137,7 @@ def build_sah_native(shape_min, shape_max, nthreads: int = 0):
 
     fp = ctypes.POINTER(ctypes.c_float)
     ip = ctypes.POINTER(ctypes.c_int32)
-    rc = lib.bvh_build_sah(
+    args = [
         smin.ctypes.data_as(fp),
         smax.ctypes.data_as(fp),
         ctypes.c_int64(n),
@@ -134,7 +149,12 @@ def build_sah_native(shape_min, shape_max, nthreads: int = 0):
         parent.ctypes.data_as(ip),
         s2n.ctypes.data_as(ip),
         ctypes.c_int32(nthreads),
-    )
+    ]
+    if cluster_hint > 0 and hasattr(lib, "bvh_build_sah_hint") \
+            and lib.bvh_build_sah_hint.argtypes is not None:
+        rc = lib.bvh_build_sah_hint(*args, ctypes.c_int32(cluster_hint))
+    else:
+        rc = lib.bvh_build_sah(*args)
     if rc != 0:
         raise RuntimeError(f"native builder failed with code {rc}")
     return FlatBvh(amin, amax, entry, exit_, shape, parent), s2n
@@ -161,15 +181,20 @@ def collapse_native(nodes: np.ndarray, K: int) -> np.ndarray | None:
     return np.ascontiguousarray(out[:, : out_nn.value])
 
 
-def build_sah_auto(shape_min, shape_max, config=None, nthreads: int = 0):
+def build_sah_auto(shape_min, shape_max, config=None, nthreads: int = 0,
+                   cluster_hint: int = 0):
     """Native builder when available and applicable, numpy otherwise.
 
     The native path is f32/3-D; float64 inputs (the BHValue f64 tier) stay
-    on the numpy builder so the tree keeps f64 resolution."""
+    on the numpy builder so the tree keeps f64 resolution. ``cluster_hint``
+    (see ``build_sah_native``) is a native-only speed hint; the numpy
+    fallback ignores it (exact build — a strictly finer tree with the same
+    cluster cuts, so callers see equivalent results either way)."""
     smin = np.asarray(shape_min)
     if (smin.shape[0] > 0 and smin.shape[1] == 3
             and smin.dtype != np.float64 and native_available()):
-        return build_sah_native(shape_min, shape_max, nthreads)
+        return build_sah_native(shape_min, shape_max, nthreads,
+                                cluster_hint=cluster_hint)
     from .bvh.sah_build import build_sah
     from .config import DEFAULT_CONFIG
 

@@ -76,6 +76,15 @@ struct Ctx {
   int64_t total;
   std::atomic<int> threads_left;
   int64_t par_cutoff;
+  // Subtrees at or below this leaf count split by MEDIAN instead of binned
+  // SAH (0 = never). The tight-scene pipeline cuts the tree into <=W-leaf
+  // clusters whose internal structure the packet kernel never traverses
+  // (the narrowphase tests all W lanes at once), so the ~15/16 of internal
+  // nodes living below the cut pay the full 6-bucket bin+sweep for nothing.
+  // Median splits keep the SAME leaf sets per subtree (the cut roots are
+  // "first node on each path with len <= W", which only depends on counts)
+  // and exact bounds; only the intra-cluster LANE ORDER changes class.
+  int64_t cluster_hint;
 };
 
 inline V3 load(const float* p, int64_t i) { return {p[3 * i], p[3 * i + 1], p[3 * i + 2]}; }
@@ -159,8 +168,9 @@ void build_node(Ctx& ctx, int32_t* idx, int32_t* other, int8_t* bkt_buf,
   Bounds lb, rb;
   bool partitioned = false;
 
-  if (axis_size < F32_EPS) {
-    // degenerate: median split of the current order
+  if (axis_size < F32_EPS || len <= ctx.cluster_hint) {
+    // degenerate extent, or below the cluster cut: median split of the
+    // current order (bounds still exact via direct scans)
     l_count = len / 2;
     lb = bounds_of(ctx, idx, l_count);
     rb = bounds_of(ctx, idx + l_count, len - l_count);
@@ -297,10 +307,11 @@ void build_node(Ctx& ctx, int32_t* idx, int32_t* other, int8_t* bkt_buf,
 
 }  // namespace
 
-extern "C" int bvh_build_sah(const float* shape_min, const float* shape_max, int64_t n,
-                             float* out_amin, float* out_amax, int32_t* entry,
-                             int32_t* exit_, int32_t* shape, int32_t* parent, int32_t* s2n,
-                             int32_t nthreads) {
+extern "C" int bvh_build_sah_hint(const float* shape_min, const float* shape_max,
+                                  int64_t n, float* out_amin, float* out_amax,
+                                  int32_t* entry, int32_t* exit_, int32_t* shape,
+                                  int32_t* parent, int32_t* s2n, int32_t nthreads,
+                                  int32_t cluster_hint) {
   if (n <= 0) return -1;
   Ctx ctx;
   ctx.smin = shape_min;
@@ -316,6 +327,7 @@ extern "C" int bvh_build_sah(const float* shape_min, const float* shape_max, int
   int hw = nthreads > 0 ? nthreads : (int)std::thread::hardware_concurrency();
   ctx.threads_left.store(std::max(hw - 1, 0));
   ctx.par_cutoff = 4096;
+  ctx.cluster_hint = cluster_hint;
 
   ctx.rec.resize(n + 1);  // +1: SSE loads read one float past the record
   ctx.bucket_scratch.resize(n);
@@ -334,4 +346,13 @@ extern "C" int bvh_build_sah(const float* shape_min, const float* shape_max, int
   return 0;
 }
 
-extern "C" int bvh_native_version() { return 1; }
+// Bit-identical-to-numpy mode (the differentially-tested contract).
+extern "C" int bvh_build_sah(const float* shape_min, const float* shape_max, int64_t n,
+                             float* out_amin, float* out_amax, int32_t* entry,
+                             int32_t* exit_, int32_t* shape, int32_t* parent, int32_t* s2n,
+                             int32_t nthreads) {
+  return bvh_build_sah_hint(shape_min, shape_max, n, out_amin, out_amax, entry,
+                            exit_, shape, parent, s2n, nthreads, 0);
+}
+
+extern "C" int bvh_native_version() { return 2; }

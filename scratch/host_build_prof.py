@@ -30,6 +30,8 @@ def timeit(label, fn, n=5):
 timeit("tri_aabbs_native", lambda: tri_aabbs_native(a, b, c))
 mn, mx = tri_aabbs_native(a, b, c)
 timeit("build_sah_auto (lower)", lambda: build_sah_auto(mn, mx, DEFAULT_CONFIG))
+timeit("build_sah_auto (lower, hint=16)",
+       lambda: build_sah_auto(mn, mx, DEFAULT_CONFIG, cluster_hint=16))
 flat, _ = build_sah_auto(mn, mx, DEFAULT_CONFIG)
 timeit("cut_tight_native", lambda: cut_tight_native(flat.entry, flat.exit, 16))
 roots = cut_tight_native(flat.entry, flat.exit, 16)
