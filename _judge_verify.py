@@ -64,10 +64,19 @@ r_face = Ray.create(jnp.asarray([[0.5, 0.5, -1.0]]), jnp.asarray([[0.0, 1.0, 0.0
 face_hit = bool(np.asarray(ray_intersects_aabb(r_face, mn, mx))[0])
 print("face-plane pure-JAX slab hit (reference says miss):", face_hit)
 
-# backface culling through the kernel: reversed winding => no hit
+# backface culling through the kernel: reversed winding on CLOSED cubes
+# still hits (the ray exits through the far face, which culling now faces) —
+# so the correct check is kernel-vs-brute agreement on the reversed scene,
+# not "no hits" (round-4 note: the old ~0 expectation was a physics error).
 out_bf = trace_closest_hit_tight(build_tight_scene(a, c, b), rays, packet=512)
-bf_hits = np.isfinite(np.asarray(out_bf.t)).mean()
-print(f"reversed-winding kernel hit fraction (want ~0 of aimed): {bf_hits:.4f}")
+inter_rev = ray_intersects_triangle(
+    rays_b, jnp.asarray(a)[None], jnp.asarray(c)[None], jnp.asarray(b)[None])
+t_bf_b = np.asarray(inter_rev.distance).min(axis=1)
+hit_bf_k = np.isfinite(np.asarray(out_bf.t))
+bf_agree = (np.isfinite(t_bf_b) == hit_bf_k).mean()
+bf_hits = hit_bf_k.mean()
+print(f"reversed-winding kernel vs brute mask agree: {bf_agree:.6f} "
+      f"(hit fraction {bf_hits:.4f})")
 
 # nearest kernel vs brute
 from bvh_tpu.tri import point_triangle_distance_squared
@@ -82,6 +91,6 @@ err = np.abs(np.asarray(dist_n) - bd)
 print(f"nearest vs brute: max abs err {err.max():.3e}, "
       f"max rel {(err / np.maximum(bd, 1e-6)).max():.3e}")
 
-ok = ok_sem and (not face_hit) and bf_hits < 0.01 and (err < 1e-2).all()
+ok = ok_sem and (not face_hit) and bf_agree == 1.0 and (err < 1e-2).all()
 print("JUDGE VERIFY", "PASS" if ok else "FAIL")
 sys.exit(0 if ok else 1)
