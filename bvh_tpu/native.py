@@ -19,6 +19,11 @@ from .bvh.flat import FlatBvh
 _LIB = None
 _TRIED = False
 
+# Bump alongside csrc/sah_builder.cpp's bvh_native_version: _load() rebuilds
+# a stale .so so new entry points (e.g. bvh_build_sah_hint) actually load
+# instead of silently degrading to their fallbacks (advisor r4).
+_EXPECTED_NATIVE_VERSION = 2
+
 
 def _find_src_dir() -> str:
     """csrc/ location: env override, repo checkout, or installed package."""
@@ -42,19 +47,53 @@ def _load():
         return _LIB
     _TRIED = True
     path = os.path.join(_SRC_DIR, "libbvhbuild.so")
-    if not os.path.exists(path):
+
+    def _make(force=False):
         if not os.path.isdir(_SRC_DIR):
-            return None  # wheel install without sources: numpy fallback
+            return False  # wheel install without sources: numpy fallback
+        # force: `clean` first so gcc writes a NEW inode — dlopen caches by
+        # (dev, inode), and truncating the mapped .so in place would hand the
+        # reload the stale mapping (or SIGBUS the old one)
+        cmd = ["make", "-C", _SRC_DIR] + (["clean", "all"] if force else [])
         try:  # best-effort build; fine to fail (falls back to numpy)
-            subprocess.run(
-                ["make", "-C", _SRC_DIR], check=True, capture_output=True, timeout=120
-            )
+            subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+            return True
         except Exception:
-            return None
+            return False
+
+    if not os.path.exists(path) and not _make():
+        return None
     try:
         lib = ctypes.CDLL(path)
     except OSError:
         return None
+    # Stale-.so guard: an old checkout's .so predates newer entry points and
+    # would silently lose them (cluster_hint => ~2x host build). Rebuild and
+    # reload once; if the rebuild fails, keep the old lib (its fallbacks are
+    # correct, just slower).
+    try:
+        ver = int(lib.bvh_native_version())
+    except AttributeError:
+        ver = 0
+    if ver < _EXPECTED_NATIVE_VERSION:
+        handle = lib._handle
+        del lib
+        try:
+            import _ctypes
+
+            _ctypes.dlclose(handle)
+        except Exception:
+            pass  # leaked handle at worst; the fresh inode still loads clean
+        if not _make(force=True):
+            try:  # rebuild failed: keep the stale lib (correct, just slower)
+                lib = ctypes.CDLL(path)
+            except OSError:
+                return None
+        else:
+            try:
+                lib = ctypes.CDLL(path)
+            except OSError:
+                return None
     lib.bvh_build_sah.restype = ctypes.c_int
     lib.bvh_build_sah.argtypes = [
         ctypes.POINTER(ctypes.c_float),

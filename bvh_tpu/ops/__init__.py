@@ -43,6 +43,7 @@ from .ordered import trace_k_closest, trace_k_closest_chained
 from .trace import (
     count_visits_tight,
     count_visits_wide,
+    make_key_planner,
     make_planner,
     make_seeder,
     sort_rays,
@@ -52,6 +53,7 @@ from .trace import (
     trace_closest_hit,
     trace_closest_hit_chained,
     trace_closest_hit_seeded,
+    make_tracer,
     trace_closest_hit_tight,
 )
 
@@ -68,6 +70,7 @@ __all__ = [
     "count_visits_nearest",
     "count_visits_tight",
     "count_visits_wide",
+    "make_key_planner",
     "make_planner",
     "make_refitter",
     "assert_tight_scene",
@@ -81,6 +84,7 @@ __all__ = [
     "trace_closest_hit",
     "trace_k_closest",
     "trace_k_closest_chained",
+    "make_tracer",
     "trace_closest_hit_tight",
     "trace_closest_hit_seeded",
     "trace_closest_hit_chained",

@@ -553,6 +553,16 @@ def build_tight_scene(
     at build time so every leaf visit skips the in-kernel matrix
     construction (256 B/triangle of VMEM). Measured SLOWER on TPU v5e
     (latency-bound fetch) — opt-in only; default (None) stays off.
+
+    Tie/near-tie shape_id class: the closest-hit kernel packs the lane
+    index into the low 7 bits of the f32 distance key (ops/trace.py), so
+    when two hits' distances agree within ~128 ulps the winning
+    ``shape_id`` depends on intra-cluster lane ORDER. ``use_native``'s
+    cluster_hint (and any rebuild across versions) reorders lanes within a
+    cluster, so such near-tie rays may report a different (equally valid)
+    shape_id between ``use_native=True`` and ``False``. Tests must not
+    assert exact id equality across build paths — compare ``t`` (exact)
+    and treat ids as interchangeable within the tie class.
     """
     from ..config import DEFAULT_CONFIG
     from ..native import (build_sah_auto, cut_tight_native, pack_tight_native,

@@ -48,6 +48,8 @@ import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+from .trace import _dev
+
 _INF = np.float32(np.inf)
 _SENT_I = 0x7F800000  # +inf bits: sentinel above every finite d2 key
 
@@ -641,13 +643,13 @@ def nearest_tight(scene, points, packet: int = 2048, d_max=None,
     if wide:
         assert gn is not None, "scene built without wide tables"
         out = _nearest_wide(
-            jnp.asarray(gn), jnp.asarray(scene.groups), pslab, pmat,
+            _dev(gn), _dev(scene.groups), pslab, pmat,
             interpret=interpret, packet=packet, precision=precision,
             width=int(getattr(scene, "width", 16)), refine=refine,
         )
     else:
         out = _nearest_tight(
-            jnp.asarray(scene.smem_nodes), jnp.asarray(scene.groups),
+            _dev(scene.smem_nodes), _dev(scene.groups),
             pslab, pmat, num_nodes=scene.num_nodes, interpret=interpret,
             packet=packet, precision=precision,
             width=int(getattr(scene, "width", 16)), refine=refine,
@@ -662,7 +664,7 @@ def nearest_tight(scene, points, packet: int = 2048, d_max=None,
         dm = jnp.broadcast_to(jnp.asarray(d_max, jnp.float32).reshape(-1),
                               (r,))
         hit = hit & (d2 < dm * dm)
-    tri_map = jnp.asarray(scene.tri_map)
+    tri_map = _dev(scene.tri_map)
     sid = jnp.where(hit, tri_map[jnp.clip(lane_id, 0, tri_map.shape[0] - 1)],
                     -1)
     dist = jnp.where(hit, jnp.sqrt(jnp.maximum(d2, 0.0)), _INF)
@@ -742,13 +744,13 @@ def count_visits_nearest(scene, points, packet: int = 2048,
         wide = gn is not None
     if wide:
         out = _nearest_wide(
-            jnp.asarray(gn), jnp.asarray(scene.groups), pslab, pmat,
+            _dev(gn), _dev(scene.groups), pslab, pmat,
             interpret=interpret, packet=packet,
             width=int(getattr(scene, "width", 16)), count_visits=True,
         )
     else:
         out = _nearest_tight(
-            jnp.asarray(scene.smem_nodes), jnp.asarray(scene.groups),
+            _dev(scene.smem_nodes), _dev(scene.groups),
             pslab, pmat, num_nodes=scene.num_nodes, interpret=interpret,
             packet=packet, width=int(getattr(scene, "width", 16)),
             count_visits=True,

@@ -17,6 +17,7 @@ becomes shared-cursor packet traversal + dense MXU intersection.
 
 from __future__ import annotations
 
+import weakref
 from functools import partial
 
 import jax
@@ -32,6 +33,40 @@ from .cluster import CLUSTER, ClusterScene
 PACKET = 1024  # default rays per packet: 8 sublanes x 128 lanes
 _EPS = float(np.finfo(np.float32).eps)
 _INF = float(np.inf)
+
+# Device cache for host-built scene tables, keyed by buffer identity.
+# Scene tables are numpy (host build output); converting with a bare
+# jnp.asarray re-TRANSFERS them on every trace call — ~8 MB/call on the
+# 120k headline and the dominant cost of the per-call public API on camera
+# workloads (round-4 verdict: the plain camera leg ran 3x slower than the
+# fully-jitted fwd+bwd leg that closes over the same tables). Entries evict
+# when the numpy array is garbage-collected (the weakref callback), so
+# device memory tracks scene lifetime.
+_DEVICE_TABLE_CACHE: dict[int, tuple] = {}
+
+
+def _dev(arr):
+    """jnp.asarray with identity-caching for host numpy tables."""
+    if arr is None or isinstance(arr, jax.Array):
+        return arr
+    if not isinstance(arr, np.ndarray):
+        return jnp.asarray(arr)
+    key = id(arr)
+    ent = _DEVICE_TABLE_CACHE.get(key)
+    if ent is not None and ent[0]() is arr:
+        return ent[1]
+    ja = jnp.asarray(arr)
+    if isinstance(ja, jax.core.Tracer):
+        # under jit TRACING asarray yields a tracer-wrapped constant;
+        # caching it would leak the tracer out of the trace (and poison
+        # eager calls with an UnexpectedTracerError)
+        return ja
+    try:
+        ref = weakref.ref(arr, lambda _r, k=key: _DEVICE_TABLE_CACHE.pop(k, None))
+    except TypeError:  # weakref-unsupported subclass: uncached transfer
+        return ja
+    _DEVICE_TABLE_CACHE[key] = (ref, ja)
+    return ja
 
 
 def _cross_rows(u0, u1, u2, v0, v1, v2):
@@ -296,9 +331,9 @@ def trace_closest_hit(
     lmat = jnp.concatenate([d, m, o, ones, zeros], axis=1).reshape(p, packet, 16)
 
     out = _trace(
-        jnp.asarray(scene.smem_nodes),
-        jnp.asarray(scene.smem_cc),
-        jnp.asarray(scene.tris_rel),
+        _dev(scene.smem_nodes),
+        _dev(scene.smem_cc),
+        _dev(scene.tris_rel),
         slab,
         lmat,
         num_nodes=int(scene.num_nodes),
@@ -312,7 +347,7 @@ def trace_closest_hit(
     t = out[:, 0]
     lane_id = out[:, 3].astype(jnp.int32)
     hit = jnp.isfinite(t)
-    tri_map = jnp.asarray(scene.tri_map)
+    tri_map = _dev(scene.tri_map)
     sid = jnp.where(hit, tri_map[jnp.clip(lane_id, 0, tri_map.shape[0] - 1)], -1)
     if tris is not None:
         from ..ray import ray_intersects_triangle
@@ -934,10 +969,11 @@ def _make_wide_kernel(packet: int, precision, K: int = 16, subtile: int = 1024,
                       exp: str = ""):
     def _kernel(gnodes_ref, hints_ref, gate_ref, startg_ref, groups_ref,
                 slab_ref, lmat_ref, out_ref, bestk_ref, bestc_ref, vb_ref,
-                cnt_ref, stk_ref, m2_ref):
+                cnt_ref, stk_ref, m2_ref, macc_ref, vbh_ref):
         return _wide_body(gnodes_ref, hints_ref, gate_ref, startg_ref,
                           groups_ref, slab_ref, lmat_ref, out_ref, bestk_ref,
-                          bestc_ref, vb_ref, cnt_ref, stk_ref, m2_ref, packet,
+                          bestc_ref, vb_ref, cnt_ref, stk_ref, m2_ref,
+                          macc_ref, vbh_ref, packet,
                           precision, K, subtile, width, n_hints, mode, bounded,
                           count_visits, gated, subtree, exp)
     return _kernel
@@ -1122,7 +1158,7 @@ def _make_dual_walk(gnodes_ref, stk_ref, enter, count_iter=None):
 
 def _wide_body(gnodes_ref, hints_ref, gate_ref, startg_ref, groups_ref,
                slab_ref, lmat_ref, out_ref, bestk_ref, bestc_ref, vb_ref,
-               cnt_ref, stk_ref, m2_ref,
+               cnt_ref, stk_ref, m2_ref, macc_ref, vbh_ref,
                PACKET, PRECISION, K=16, SUBTILE=1024, W=16, N_HINTS=0,
                MODE="closest", BOUNDED=False, COUNT_VISITS=False, GATED=False,
                SUBTREE=False, EXP=""):
@@ -1139,6 +1175,7 @@ def _wide_body(gnodes_ref, hints_ref, gate_ref, startg_ref, groups_ref,
     bestk_ref[:, :] = jnp.full((SUB, 128), _SENT, jnp.int32)
     bestc_ref[:, :] = jnp.zeros((SUB, 128), jnp.int32)
     vb_ref[:, :] = slab_ref[0, 6]
+    vbh_ref[0] = jnp.max(slab_ref[0, 6])  # packet-max pruning bound (frs)
     m2_ref[0] = 0  # read unconditionally by the walk's first iteration
     if COUNT_VISITS:
         cnt_ref[0] = 0  # loop iterations (interior descends + pops)
@@ -1168,6 +1205,10 @@ def _wide_body(gnodes_ref, hints_ref, gate_ref, startg_ref, groups_ref,
             bestk_ref, bestc_ref, vb_ref, W=W, SUBTILE=SUBTILE, PACKET=PACKET,
             PRECISION=PRECISION, MODE=MODE, BOUNDED=BOUNDED, USE_BMAT=False,
         )
+        if FRS:
+            # refresh the scalar pruning bound (one reduce per FIRE — the
+            # frs walk otherwise never syncs vector state to scalar)
+            vbh_ref[0] = jnp.max(vb_ref[:, :])
 
     # The 6 ray slab rows are read-only for the whole walk: read them ONCE
     # and keep them live in vector registers. Re-reading them per group
@@ -1180,34 +1221,117 @@ def _wide_body(gnodes_ref, hints_ref, gate_ref, startg_ref, groups_ref,
     oix_h, oiy_h, oiz_h = slab_ref[0, 0], slab_ref[0, 1], slab_ref[0, 2]
     ix_h, iy_h, iz_h = slab_ref[0, 3], slab_ref[0, 4], slab_ref[0, 5]
 
-    def group_test(g):
+    FRS = "frs" in EXP
+    FR = ("fr" in EXP) and not FRS
+    if FR or FRS:
+        # Packet-frustum interval bounds (once per packet): the group test
+        # at P8192 issues ~16 children x 15 ops x SUB vregs of VECTOR work
+        # per iteration (~2 us at SUB=64 — the walk is VPU-throughput
+        # bound, NOT chain-latency bound; the round-4 "dual" overlap
+        # experiment measured -12% because the VPU is single-issue). Only
+        # ~1-2 of 16 children actually fire, so a conservative SCALAR
+        # interval slab test per child culls the vector work instead:
+        # per-axis interval arithmetic over the packet's (oi, inv) ranges
+        # — a superset of every per-ray test, so culled children are
+        # provably miss for EVERY ray. The packet coherence sort is what
+        # makes the intervals tight. TPU-shaped packet frustum culling
+        # (the classic SIMD-packet trick, re-cast as scalar-vs-vector
+        # work division).
+        oix_lo, oix_hi = jnp.min(oix_h), jnp.max(oix_h)
+        oiy_lo, oiy_hi = jnp.min(oiy_h), jnp.max(oiy_h)
+        oiz_lo, oiz_hi = jnp.min(oiz_h), jnp.max(oiz_h)
+        ix_lo, ix_hi = jnp.min(ix_h), jnp.max(ix_h)
+        iy_lo, iy_hi = jnp.min(iy_h), jnp.max(iy_h)
+        iz_lo, iz_hi = jnp.min(iz_h), jnp.max(iz_h)
+
+        def _axis_iv(a_, b_, ivlo, ivhi, olo, ohi):
+            """Interval (near_lo, far_hi) of the per-ray slab terms for one
+            axis. Treating a ray's (oi, iv) as independent interval members
+            is conservative (looser bounds, never tighter)."""
+            t1lo = jnp.minimum(a_ * ivlo, a_ * ivhi) - ohi
+            t1hi = jnp.maximum(a_ * ivlo, a_ * ivhi) - olo
+            t2lo = jnp.minimum(b_ * ivlo, b_ * ivhi) - ohi
+            t2hi = jnp.maximum(b_ * ivlo, b_ * ivhi) - olo
+            return (jnp.minimum(t1lo, t2lo),  # near lower bound
+                    jnp.maximum(t1hi, t2hi))  # far upper bound
+
+        def frustum_pass(ax, ay, az, bx, by, bz, vbh=None):
+            nxl, fxh = _axis_iv(ax, bx, ix_lo, ix_hi, oix_lo, oix_hi)
+            nyl, fyh = _axis_iv(ay, by, iy_lo, iy_hi, oiy_lo, oiy_hi)
+            nzl, fzh = _axis_iv(az, bz, iz_lo, iz_hi, oiz_lo, oiz_hi)
+            tmin_lo = jnp.maximum(jnp.maximum(nxl, nyl), nzl)
+            tmax_hi = jnp.minimum(jnp.minimum(fxh, fyh), fzh)
+            # float-rounding slack: the interval chain rounds ~4 ulps; a
+            # 1e-5-relative + small absolute inflation keeps the cull
+            # conservative far beyond that (documented class; sub-slack
+            # grazing fires are already in the kernel's grazing class).
+            # NaN (empty slot) compares False => culled for free.
+            lo = tmin_lo - (jnp.abs(tmin_lo) * 1e-5 + 1e-3)
+            hi = tmax_hi + (jnp.abs(tmax_hi) * 1e-5 + 1e-3)
+            ok = hi >= jnp.maximum(lo, 0.0)
+            if vbh is not None:
+                # packet-max pruning bound: any per-ray fire has
+                # tmin_r < vb_r <= vbh and tmin_r >= lo, so lo < vbh
+                ok = ok & (lo < vbh)
+            return ok
+
+    def group_test(g, en=None):
         """Slab-test all K children of group g; return the K-bit fired mask.
 
         K serial-chain-free child tests (each child's test depends only on
         its own 6 SMEM scalars — the scalar core runs ahead of the VPU),
         ONE log-tree OR fold and ONE reduce consumer at the end. Empty
         slots hold NaN boxes: every comparison is false, the bit never
-        sets."""
+        sets. With EXP "fr", each child's vector test is gated by the
+        scalar frustum pre-test (`frustum_pass`); ``en`` folds the walk's
+        enable bit into that gate so disabled iterations stay cheap."""
         oix, oiy, oiz = oix_h, oiy_h, oiz_h
         ix, iy, iz = ix_h, iy_h, iz_h
         vbv = vb_ref[:, :]
-        macc = jnp.zeros((SUB, 128), jnp.int32)
-        for k in range(K):
-            ax, ay, az, bx, by, bz = child_box(k, g)
-            t1 = ax * ix - oix
-            t2 = bx * ix - oix
-            u1 = ay * iy - oiy
-            u2 = by * iy - oiy
-            v1 = az * iz - oiz
-            v2 = bz * iz - oiz
-            tmin = jnp.maximum(
-                jnp.maximum(jnp.minimum(t1, t2), jnp.minimum(u1, u2)),
-                jnp.minimum(v1, v2))
-            tmax = jnp.minimum(
-                jnp.minimum(jnp.maximum(t1, t2), jnp.maximum(u1, u2)),
-                jnp.maximum(v1, v2))
-            fired = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < vbv)
-            macc = macc | jnp.where(fired, jnp.int32(1 << k), jnp.int32(0))
+        if FR:
+            macc_ref[:, :] = jnp.zeros((SUB, 128), jnp.int32)
+            for k in range(K):
+                ax, ay, az, bx, by, bz = child_box(k, g)
+                ok = frustum_pass(ax, ay, az, bx, by, bz)
+                if en is not None:
+                    ok = ok & en
+
+                @pl.when(ok)
+                def _(ax=ax, ay=ay, az=az, bx=bx, by=by, bz=bz, k=k):
+                    t1 = ax * ix - oix
+                    t2 = bx * ix - oix
+                    u1 = ay * iy - oiy
+                    u2 = by * iy - oiy
+                    v1 = az * iz - oiz
+                    v2 = bz * iz - oiz
+                    tmin = jnp.maximum(
+                        jnp.maximum(jnp.minimum(t1, t2), jnp.minimum(u1, u2)),
+                        jnp.minimum(v1, v2))
+                    tmax = jnp.minimum(
+                        jnp.minimum(jnp.maximum(t1, t2), jnp.maximum(u1, u2)),
+                        jnp.maximum(v1, v2))
+                    fired = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < vbv)
+                    macc_ref[:, :] = macc_ref[:, :] | jnp.where(
+                        fired, jnp.int32(1 << k), jnp.int32(0))
+            macc = macc_ref[:, :]
+        else:
+            macc = jnp.zeros((SUB, 128), jnp.int32)
+            for k in range(K):
+                ax, ay, az, bx, by, bz = child_box(k, g)
+                t1 = ax * ix - oix
+                t2 = bx * ix - oix
+                u1 = ay * iy - oiy
+                u2 = by * iy - oiy
+                v1 = az * iz - oiz
+                v2 = bz * iz - oiz
+                tmin = jnp.maximum(
+                    jnp.maximum(jnp.minimum(t1, t2), jnp.minimum(u1, u2)),
+                    jnp.minimum(v1, v2))
+                tmax = jnp.minimum(
+                    jnp.minimum(jnp.maximum(t1, t2), jnp.maximum(u1, u2)),
+                    jnp.maximum(v1, v2))
+                fired = (tmax >= jnp.maximum(tmin, 0.0)) & (tmin < vbv)
+                macc = macc | jnp.where(fired, jnp.int32(1 << k), jnp.int32(0))
         # log-tree OR fold: sublanes, then lane rotations, then one reduce
         # (jnp.max over an all-equal tile == the OR; masks are nonnegative)
         # SUB must be a power of two or the halving fold drops rows
@@ -1265,7 +1389,24 @@ def _wide_body(gnodes_ref, hints_ref, gate_ref, startg_ref, groups_ref,
             if en is not None:
                 m = jax.lax.select(en, m, jnp.int32(0))
             return jax.lax.bitwise_and(m, jax.lax.bitwise_not(lmask_p))
-        m = group_test(g)
+        if FRS:
+            # EXPERIMENT "frs": the scalar frustum mask IS the broadphase —
+            # a conservative SUPERSET of the vector fired mask (interval
+            # arithmetic over the packet bounds). No vector work, no
+            # reduce->scalar sync in the walk at all; exactness is the
+            # narrowphase's job (extra fired clusters only add real hit
+            # candidates >= the true closest). Tie-class ids may differ
+            # from the vector walk (looser vb pruning reaches tie
+            # candidates the exact walk pruned).
+            vbh = vbh_ref[0]
+            m = jnp.int32(0)
+            for k in range(K):
+                ok = frustum_pass(*child_box(k, g), vbh=vbh)
+                m = m | jax.lax.select(ok, jnp.int32(1 << k), jnp.int32(0))
+            if COUNT_VISITS:
+                cnt_ref[2] = cnt_ref[2] + 1
+        else:
+            m = group_test(g, en)
         if en is not None:
             m = jax.lax.select(en, m, jnp.int32(0))
         # leaf mask stored as a float VALUE (<= 2^K, exact in f32): scalar
@@ -1402,6 +1543,11 @@ def _trace_wide_jit(gnodes, hints, gate, start_g, groups, slab, lmat,
         # 2*WIDE_DMAX slots per walk stream; the "dual" experiment runs two
         pltpu.SMEM((4 * WIDE_DMAX,), jnp.int32),
         pltpu.SMEM((1,), jnp.int32),
+        # frustum-path fired-mask accumulator (per-child pl.when regions
+        # cannot carry a vector loop value; unused on the base path)
+        pltpu.VMEM((sub, 128), jnp.int32),
+        # scalar packet-max pruning bound (frs frustum broadphase)
+        pltpu.SMEM((1,), jnp.float32),
     ]
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
@@ -1634,12 +1780,12 @@ def trace_closest_hit_tight(scene, rays: Ray, tris=None, interpret: bool = False
         # default format, so an explicit wide= override would misread them
         assert wide == auto_wide, \
             "hints follow the scene's default walk; do not override wide="
-    sn = jnp.asarray(pn if pn is not None else scene.smem_nodes)
+    sn = _dev(pn if pn is not None else scene.smem_nodes)
     pg = None if pre_gate is None else pre_gate.astype(jnp.int32)
     if sweep and not skip_narrow:
         swn = getattr(scene, "sweep_nodes", None)
         if swn is not None:
-            swt, swp = jnp.asarray(swn), False
+            swt, swp = _dev(swn), False
         else:
             swt, swp = sn, pn is not None
         fired = _sweep_tight(swt, slab, num_nodes=int(swt.shape[1]),
@@ -1656,10 +1802,10 @@ def trace_closest_hit_tight(scene, rays: Ray, tris=None, interpret: bool = False
             (start_g.shape, p)
     if wide:
         out = _trace_wide(
-            jnp.asarray(gn),
+            _dev(gn),
             hints_arr,
             gate,
-            jnp.asarray(scene.groups),
+            _dev(scene.groups),
             slab,
             lmat,
             interpret=interpret,
@@ -1677,7 +1823,7 @@ def trace_closest_hit_tight(scene, rays: Ray, tris=None, interpret: bool = False
             sn,
             hints_arr,
             gate,
-            jnp.asarray(bg if bg is not None else scene.groups),
+            _dev(bg if bg is not None else scene.groups),
             slab,
             lmat,
             num_nodes=int(sn.shape[1]),
@@ -1702,7 +1848,7 @@ def trace_closest_hit_tight(scene, rays: Ray, tris=None, interpret: bool = False
             tm = tm[perm]
         t = jnp.where(t < tm, t, _INF)
     hit = jnp.isfinite(t)
-    tri_map = jnp.asarray(scene.tri_map)
+    tri_map = _dev(scene.tri_map)
     sid = jnp.where(hit, tri_map[jnp.clip(lane_id, 0, tri_map.shape[0] - 1)], -1)
     if tris is not None:
         from ..ray import ray_intersects_triangle
@@ -1723,6 +1869,69 @@ def trace_closest_hit_tight(scene, rays: Ray, tris=None, interpret: bool = False
         u = jnp.zeros_like(t)
         v = jnp.zeros_like(t)
     return HitRecord(t, u, v, sid)
+
+
+def make_tracer(scene, packet: int = 8192, sweep: bool = True,
+                sort: str | None = "octant", bits: int = 2,
+                tris=None, interpret: bool = False,
+                plan: str | None = None,
+                precision=jax.lax.Precision.HIGHEST):
+    """ONE-program closest-hit pipeline over a fixed scene.
+
+    ``trace_closest_hit_tight`` is a per-call API: each invocation
+    dispatches sort, gathers, pack, sweep, walk, and epilogue as separate
+    XLA programs. That is fine inside a larger jit (``diff.render_depth_fast``
+    composes it), but the bare call path leaves ~3x on the floor for
+    coherent camera batches (round-4 verdict item 2: plain camera 2.22 M
+    vs 6.43 M rays/s for the IDENTICAL trace inside the jitted fwd+bwd
+    leg). This factory closes over the scene's device tables and jits the
+    whole pipeline — raw (origins, directions) in, ORIGINAL-order
+    ``HitRecord`` out, one dispatch per call.
+
+    ``sort``: "octant" / "morton" coherence sort inside the program, or
+    None when the caller's rays are already coherent (camera tiles).
+    ``tris``: optional (a, b, c) vertex arrays for the exact-(u, v, t)
+    winner recompute, captured on device.
+    ``plan="key"``: fold the free subtree-entry planner
+    (``make_key_planner``) into the program — for aimed/convergent
+    workloads on wide scenes (pair with ``sort="morton"``).
+
+    Build once per scene (each factory call compiles its own program);
+    reuse across batches of the same size. Reference analog: the amortized
+    per-frame trace loop every renderer builds around flat_bvh.rs:396-431.
+    """
+    tris_d = None if tris is None else tuple(_dev(x) for x in tris)
+    planner = (make_key_planner(scene, packet=packet) if plan == "key"
+               else None)
+
+    @jax.jit
+    def tracer(origins, directions):
+        if sort is not None:
+            perm, inv = sort_rays_device(origins, directions, bits=bits,
+                                         mode=sort)
+            # presort (gather RAW o/d, then normalize) beats both the
+            # perm-folded pack AND a normalize-then-3-gather order on
+            # hardware: prep tracks gather COUNT, not bytes (NEXT.md; the
+            # 3-gather variant measured -12% on the headline)
+            rays_s = Ray.create(origins[perm], directions[perm])
+        else:
+            rays_s = Ray.create(origins, directions)
+        sg = planner(rays_s.origin) if planner is not None else None
+        out = trace_closest_hit_tight(scene, rays_s, tris=tris_d,
+                                      packet=packet, sweep=sweep,
+                                      interpret=interpret,
+                                      start_g=sg,
+                                      precision=precision)
+        if sort is None:
+            return out
+        if tris_d is None:
+            # u/v are zeros on this path: un-permuting them would add two
+            # [r]-gathers of nothing (measured on the headline)
+            return HitRecord(out.t[inv], out.u, out.v, out.shape_id[inv])
+        return HitRecord(out.t[inv], out.u[inv], out.v[inv],
+                         out.shape_id[inv])
+
+    return tracer
 
 
 def trace_any_hit_tight(scene, rays: Ray, t_max=None, interpret: bool = False,
@@ -1765,12 +1974,12 @@ def trace_any_hit_tight(scene, rays: Ray, t_max=None, interpret: bool = False,
         assert gn is not None, "scene built without wide tables (wide=False?)"
         assert bg is None and pn is None, \
             "wide walk composes with the default narrowphase only"
-    sn = jnp.asarray(pn if pn is not None else scene.smem_nodes)
+    sn = _dev(pn if pn is not None else scene.smem_nodes)
     pg = None if pre_gate is None else pre_gate.astype(jnp.int32)
     if sweep:
         swn = getattr(scene, "sweep_nodes", None)
         if swn is not None:
-            swt, swp = jnp.asarray(swn), False
+            swt, swp = _dev(swn), False
         else:
             swt, swp = sn, pn is not None
         fired = _sweep_tight(swt, slab, num_nodes=int(swt.shape[1]),
@@ -1783,10 +1992,10 @@ def trace_any_hit_tight(scene, rays: Ray, t_max=None, interpret: bool = False,
         gate = jnp.zeros((p,), jnp.int32)
     if wide:
         out = _trace_wide(
-            jnp.asarray(gn),
+            _dev(gn),
             jnp.zeros((p,), jnp.int32),
             gate,
-            jnp.asarray(scene.groups),
+            _dev(scene.groups),
             slab,
             lmat,
             interpret=interpret,
@@ -1802,7 +2011,7 @@ def trace_any_hit_tight(scene, rays: Ray, t_max=None, interpret: bool = False,
             sn,
             jnp.zeros((p,), jnp.int32),
             gate,
-            jnp.asarray(bg if bg is not None else scene.groups),
+            _dev(bg if bg is not None else scene.groups),
             slab,
             lmat,
             num_nodes=int(sn.shape[1]),
@@ -2022,12 +2231,12 @@ def count_visits_tight(scene, rays: Ray, packet: int = 2048,
     # the raw packed scalars — mixing them skews narrowphase distances and
     # therefore the pruning-dependent visit/fire counters
     pn = getattr(scene, "packed_nodes", None)
-    sn = jnp.asarray(pn if pn is not None else scene.smem_nodes)
+    sn = _dev(pn if pn is not None else scene.smem_nodes)
     out = _trace_tight(
         sn,
         jnp.zeros((p,), jnp.int32),
         jnp.zeros((p,), jnp.int32),
-        jnp.asarray(bg if bg is not None else scene.groups),
+        _dev(bg if bg is not None else scene.groups),
         slab,
         lmat,
         num_nodes=int(sn.shape[1]),
@@ -2063,10 +2272,10 @@ def count_visits_wide(scene, rays: Ray, packet: int = 2048,
     assert gn is not None, "scene built without wide tables"
     p, rp, slab, lmat = _pack_rays_tight(rays, packet, None)
     out = _trace_wide(
-        jnp.asarray(gn),
+        _dev(gn),
         jnp.zeros((p,), jnp.int32),
         jnp.zeros((p,), jnp.int32),
-        jnp.asarray(scene.groups),
+        _dev(scene.groups),
         slab,
         lmat,
         interpret=interpret,
@@ -2149,7 +2358,7 @@ def trace_closest_hit_chained(chained, rays: Ray, tris=None,
     base = _pack_rays_tight(rays, packet, None, perm=perm)
     for part, ids in zip(chained.parts, chained.orig_ids):
         # numpy slice is free; a device-built part's slice stays on device
-        root = jnp.asarray(part.smem_nodes[:6, 0])
+        root = _dev(part.smem_nodes)[:6, 0]
         gate = _part_root_gate(base[2], root,
                                jnp.where(jnp.isfinite(best_t), best_t, _INF))
         hit = trace_closest_hit_tight(part, rays, packet=packet,
@@ -2157,7 +2366,7 @@ def trace_closest_hit_chained(chained, rays: Ray, tris=None,
                                       t_max=jnp.where(jnp.isfinite(best_t),
                                                       best_t, _INF),
                                       sweep=sweep, pre_gate=gate, _base=base)
-        gids = jnp.asarray(ids)
+        gids = _dev(ids)
         closer = jnp.isfinite(hit.t) & (hit.t < best_t)
         best_t = jnp.where(closer, hit.t, best_t)
         best_id = jnp.where(
@@ -2208,7 +2417,7 @@ def trace_any_hit_chained(chained, rays: Ray, t_max=None, packet: int = 2048,
     base = _pack_rays_tight(rays, packet, None, perm=perm)
     for part in chained.parts:
         tm = jnp.where(occ, 0.0, tm0)
-        root = jnp.asarray(part.smem_nodes[:6, 0])
+        root = _dev(part.smem_nodes)[:6, 0]
         gate = _part_root_gate(base[2], root, tm)
         got = trace_any_hit_tight(part, rays, t_max=tm, packet=packet,
                                   precision=precision, interpret=interpret,
@@ -2383,5 +2592,117 @@ def make_planner(scene, packet: int = 2048, sample_stride: int = 32,
             e2 = jnp.where(two & exists2 & (d2 > 0), g2, e2)
         start_g = jnp.stack([e1, e2], axis=1).astype(jnp.int32)
         return hints, start_g
+
+    return plan
+
+
+def make_key_planner(scene, packet: int = 8192, grid_bits: int = 5):
+    """FREE per-packet subtree entry: ``plan(sorted_origins) -> start_g``.
+
+    ``make_planner`` predicts entries from a sampling pre-pass trace whose
+    cost INVERTS its benefit on the wide walk (round-3 hardware A/B: plain
+    2.64 M > hints 1.64 M > planner 1.53 M rays/s on the aimed workload).
+    This planner derives the same [p, 2] entry groups from the geometry the
+    presort already computed — packet origin BOUNDS — at the cost of one
+    segment-min/max over the sorted origins plus four table gathers: no
+    trace, no narrowphase, no host round trip.
+
+    Host precompute (once per scene): a ``2^grid_bits``-per-axis cell table
+    over the root box mapping each cell to the DEEPEST wide group whose
+    subtree box contains it (parent-first claim; overlap cells keep the
+    first claimant — a prediction tie, not a correctness issue). Per
+    packet: the origin bbox corners' cells look up two groups whose wide-
+    tree LCA (ancestor-table prefix compare, as in ``make_planner``)
+    becomes the phase-1 entry; packets whose corners span root children
+    enter the two corners' depth-1 subtrees instead. Exactness is the
+    kernel's two-phase contract: ANY start_g yields identical results
+    (phase 2 re-walks everything outside the entered subtrees).
+
+    Prediction model: entries warm the pruning bounds only when the
+    packet's HITS lie in the entered subtree, so this pays on workloads
+    whose origins sit near their targets (aimed/secondary bundles,
+    morton-sorted). Camera-at-infinity packets fall back to the plain walk
+    (origin cells map to the root => start -1).
+
+    Reference analog: pruned ordered descent,
+    /root/reference/src/bvh/bvh_node.rs:327-374 — packet-ized, with the
+    descent decision precomputed as a spatial table.
+    """
+    from .cluster import wide_group_meta
+
+    assert _traces_wide(scene), \
+        "subtree entry requires a scene whose default path is the wide " \
+        "group walk (gnodes present, bmat/packed off)"
+    gn = np.asarray(scene.gnodes)
+    K = (gn.shape[0] - 1) // 7
+    parent, gdepth, anc = wide_group_meta(scene.gnodes)
+    parent = np.asarray(parent)
+    Gn = gn.shape[1]
+    D = anc.shape[1]
+    n_root_int = int((parent == 0).sum())
+    deep_enough = int(np.asarray(gdepth).max()) >= 2
+
+    # per-group subtree box: union over populated child slots
+    bmin = np.full((Gn, 3), np.inf, np.float32)
+    bmax = np.full((Gn, 3), -np.inf, np.float32)
+    for k in range(K):
+        box = gn[7 * k:7 * k + 6]  # [6, Gn]
+        valid = np.isfinite(box[0])
+        bmin[valid] = np.minimum(bmin[valid], box[0:3, valid].T)
+        bmax[valid] = np.maximum(bmax[valid], box[3:6, valid].T)
+
+    cells = 1 << grid_bits
+    lo = bmin[0].copy()
+    span = np.maximum(bmax[0] - lo, 1e-30)
+    step = span / cells
+    cell_group = np.zeros((cells, cells, cells), np.int32)  # root everywhere
+    order = np.nonzero(parent >= 0)[0]  # ids ascend => parents first
+    for g in order:
+        # cell range FULLY covered by g's box (partial cells stay parent's)
+        i0 = np.ceil((bmin[g] - lo) / step - 1e-6).astype(np.int64)
+        i1 = np.floor((bmax[g] - lo) / step + 1e-6).astype(np.int64)
+        i0 = np.clip(i0, 0, cells)
+        i1 = np.clip(i1, 0, cells)
+        if (i1 <= i0).any():
+            continue
+        sub = cell_group[i0[0]:i1[0], i0[1]:i1[1], i0[2]:i1[2]]
+        sub[sub == parent[g]] = g
+    cell_j = jnp.asarray(cell_group.reshape(-1))
+    anc_j = jnp.asarray(np.asarray(anc), jnp.int32)
+    lo_j = jnp.asarray(lo)
+    inv_step_j = jnp.asarray((1.0 / step).astype(np.float32))
+
+    def _cell_of(pt):
+        q = jnp.clip(((pt - lo_j) * inv_step_j).astype(jnp.int32),
+                     0, cells - 1)
+        return cell_j[(q[:, 0] * cells + q[:, 1]) * cells + q[:, 2]]
+
+    def plan(origins):
+        """[r, 3] SORTED origins -> [p, 2] i32 start groups (jittable)."""
+        r = origins.shape[0]
+        pad = (-r) % packet
+        if pad:
+            origins = jnp.concatenate(
+                [origins, jnp.broadcast_to(origins[-1:], (pad, 3))])
+        p = origins.shape[0] // packet
+        ob = origins.reshape(p, packet, 3)
+        blo, bhi = ob.min(axis=1), ob.max(axis=1)
+        g1, g2 = _cell_of(blo), _cell_of(bhi)
+        A1, A2 = anc_j[g1], anc_j[g2]  # [p, D]
+        same = jnp.cumprod(((A1 == A2) & (A1 >= 0)).astype(jnp.int32),
+                           axis=1)
+        lca_d = jnp.sum(same, axis=1) - 1
+        ar = jnp.arange(p)
+        start = A1[ar, jnp.clip(lca_d, 0, D - 1)]
+        e1 = jnp.where(lca_d > 0, start, -1)
+        e2 = jnp.full((p,), -1, jnp.int32)
+        if D > 1 and n_root_int > 2 and deep_enough:
+            # corners under different root children: enter both depth-1
+            # subtrees (the planner's root-LCA tail treatment)
+            d1a, d1b = A1[:, 1], A2[:, 1]
+            two = (lca_d == 0) & (d1a >= 0)
+            e1 = jnp.where(two, d1a, e1)
+            e2 = jnp.where(two & (d1b >= 0) & (d1b != d1a), d1b, e2)
+        return jnp.stack([e1, e2], axis=1).astype(jnp.int32)
 
     return plan

@@ -60,7 +60,8 @@ def _delta_layout(max_moved: int, W: int):
         D += 1
 
 
-def make_updater(scene: TightScene, max_moved: int, delta_width: int = TIGHT):
+def make_updater(scene: TightScene, max_moved: int, delta_width: int = TIGHT,
+                 max_added: int = 0):
     """Build ``update(a, b, c, moved_idx) -> ChainedScene`` for a TightScene.
 
     ``a, b, c``: the FULL new vertex arrays ([n, 3] each; unmoved rows may
@@ -81,6 +82,18 @@ def make_updater(scene: TightScene, max_moved: int, delta_width: int = TIGHT):
     the fewest equal budget-fitting slices — D same-shape delta parts
     sharing one compiled build/trace program (``_delta_layout``).
 
+    **Scene growth** (the reference's ``add_shape``/``remove_shape``,
+    /root/reference/src/bvh/optimization.rs:70-209, 214-301, re-designed
+    for fixed-shape jit): pass ``max_added`` > 0 and the updater accepts
+    NEW triangle ids in ``moved_idx`` — rows ``n <= id < n + max_added``
+    of the (extended) vertex arrays. New triangles build into the delta
+    part exactly like moved ones (a device build IS the TPU analog of the
+    reference's SAH-guided insertion — a fresh SAH-quality subtree over
+    the dynamic set). Removal: pass ``alive=False`` for the entry — the
+    triangle's static lane is masked (if it had one) and it is excluded
+    from the delta. No host rebuild at any step; capacity is
+    ``max_moved + max_added`` delta slots.
+
     For scenes beyond one SMEM table (ChainedScene), make one updater per
     part and split ``moved_idx`` by part membership.
     """
@@ -89,11 +102,17 @@ def make_updater(scene: TightScene, max_moved: int, delta_width: int = TIGHT):
     n = int(tri_map.max()) + 1
     if max_moved < 1:
         raise ValueError("max_moved must be >= 1")
-    # inverse permutation: original triangle id -> lane
-    lanes_of = np.full(n, n_lanes, np.int32)  # OOB => scatter-drop
+    if max_added < 0:
+        raise ValueError("max_added must be >= 0")
+    n_total = n + max_added
+    # inverse permutation: original triangle id -> lane. Sized to the GROWN
+    # id space: added ids (>= n) must map to the scatter-drop sentinel, not
+    # clamp-gather onto some unrelated live lane.
+    lanes_of = np.full(n_total, n_lanes, np.int32)  # OOB => scatter-drop
     occ = tri_map >= 0
     lanes_of[tri_map[occ]] = np.nonzero(occ)[0].astype(np.int32)
     lanes_of_j = jnp.asarray(lanes_of)
+    max_moved = max_moved + max_added
 
     G = int(np.asarray(scene.groups).shape[0])
     groups_j = jnp.asarray(scene.groups)
@@ -113,16 +132,22 @@ def make_updater(scene: TightScene, max_moved: int, delta_width: int = TIGHT):
         gslot_d, gdepth_d = None, 0
 
     @jax.jit
-    def update_core(a, b, c, moved_idx):
+    def update_core(a, b, c, moved_idx, alive=None):
         a = jnp.asarray(a, jnp.float32)
         b = jnp.asarray(b, jnp.float32)
         c = jnp.asarray(c, jnp.float32)
         moved_idx = jnp.asarray(moved_idx, jnp.int32).reshape(-1)
         mvalid = moved_idx >= 0
         safe_m = jnp.maximum(moved_idx, 0)
+        # alive=False: mask-only entries (removals) — lane masked below,
+        # excluded from the delta build
+        dvalid = mvalid if alive is None else (
+            mvalid & jnp.asarray(alive, bool).reshape(-1))
 
         # 1) mask the moved lanes out of the static part's group rows
-        lanes = jnp.where(mvalid, lanes_of_j[safe_m], n_lanes)
+        # (added ids >= n map to the scatter-drop sentinel in lanes_of)
+        lanes = jnp.where(mvalid, lanes_of_j[jnp.minimum(safe_m, n_total - 1)],
+                          n_lanes)
         rows = groups_j.transpose(0, 2, 1).reshape(n_lanes, 16)
         rows = rows.at[lanes].set(0.0, mode="drop")
         masked_groups = rows.reshape(G, 128, 16).transpose(0, 2, 1)
@@ -132,9 +157,9 @@ def make_updater(scene: TightScene, max_moved: int, delta_width: int = TIGHT):
         if pad:
             z = jnp.zeros((pad,), jnp.int32)
             safe_b = jnp.concatenate([safe_m, z])
-            valid_b = jnp.concatenate([mvalid, z.astype(bool)])
+            valid_b = jnp.concatenate([dvalid, z.astype(bool)])
         else:
-            safe_b, valid_b = safe_m, mvalid
+            safe_b, valid_b = safe_m, dvalid
         if D > 1:
             # giant churn: Morton-partition the moved set into D spatially
             # compact equal slices (the chained-build slicing, update-sized)
@@ -159,13 +184,13 @@ def make_updater(scene: TightScene, max_moved: int, delta_width: int = TIGHT):
                 else jnp.zeros((D,), jnp.float32))
         return masked_groups, smem_d, groups_d, tmap_d, sl_s, gn_d
 
-    def update(a, b, c, moved_idx) -> ChainedScene:
+    def update(a, b, c, moved_idx, alive=None) -> ChainedScene:
         if np.shape(moved_idx)[0] > cap:
             raise ValueError(
-                f"{np.shape(moved_idx)[0]} moved ids > max_moved capacity "
-                f"{cap}; rebuild the scene (or raise max_moved)")
+                f"{np.shape(moved_idx)[0]} moved ids > capacity {cap} "
+                f"(max_moved + max_added); rebuild the scene (or raise them)")
         masked_groups, smem_d, groups_d, tmap_d, sl_s, gn_d = update_core(
-            a, b, c, moved_idx)
+            a, b, c, moved_idx, alive)
         # masked=True: vacated clusters keep their (now-stale) boxes, so a
         # box no longer proves live geometry inside — nearest queries must
         # not refine their pruning bound from these boxes

@@ -24,6 +24,7 @@ from jax.sharding import PartitionSpec as P
 
 from ..bvh.traverse import HitRecord
 from ..ray import Ray
+from ..ops.trace import _dev
 
 
 def sharded_trace_closest_hit(mesh, scene, rays: Ray, tris=None,
@@ -63,9 +64,9 @@ def sharded_trace_closest_hit(mesh, scene, rays: Ray, tris=None,
     # scene tables AND triangle arrays ride as explicit replicated operands
     # (a closure capture can get auto-sharded along the mesh when its length
     # divides the axis — the triangle count often does)
-    sn = jnp.asarray(scene.smem_nodes)
-    gr = jnp.asarray(scene.groups)
-    tmap = jnp.asarray(scene.tri_map)
+    sn = _dev(scene.smem_nodes)
+    gr = _dev(scene.groups)
+    tmap = _dev(scene.tri_map)
     bg = getattr(scene, "bgroups", None)
     bg_args = (jnp.asarray(bg),) if bg is not None else ()
     pn = getattr(scene, "packed_nodes", None)
@@ -148,9 +149,9 @@ def sharded_trace_any_hit(mesh, scene, rays: Ray, t_max=None,
         tm = padded(jnp.broadcast_to(
             jnp.asarray(t_max, jnp.float32).reshape(-1), (r,)), jnp.inf)
 
-    sn = jnp.asarray(scene.smem_nodes)
-    gr = jnp.asarray(scene.groups)
-    tmap = jnp.asarray(scene.tri_map)
+    sn = _dev(scene.smem_nodes)
+    gr = _dev(scene.groups)
+    tmap = _dev(scene.tri_map)
     bg = getattr(scene, "bgroups", None)
     bg_args = (jnp.asarray(bg),) if bg is not None else ()
     pn = getattr(scene, "packed_nodes", None)

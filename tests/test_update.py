@@ -316,3 +316,76 @@ def test_update_giant_churn_splits_delta(moved_setup, monkeypatch):
     rays2 = Ray.create(o, centers - o)
     hit2 = trace_closest_hit_chained(chained, rays2, interpret=True)
     assert np.isfinite(np.asarray(hit2.t)).all()
+
+
+def test_update_add_remove_growth():
+    """Kernel-tier scene GROWTH without a host rebuild: max_added slots let
+    new triangle ids (>= n) enter the delta part; alive=False entries are
+    removals (mask-only). Chained trace must match a fresh build over the
+    live geometry exactly (grid-mode scene). Reference semantics being
+    re-designed: add_shape's SAH-guided insert + remove_shape's sibling
+    promotion, /root/reference/src/bvh/optimization.rs:70-209, 214-301."""
+    rng = np.random.default_rng(31)
+    a, b, c = tb.create_n_cubes(60)  # 720 tris
+    a, b, c = np.asarray(a), np.asarray(b), np.asarray(c)
+    n = a.shape[0]
+    scene = build_tight_scene(a, b, c)
+
+    # new geometry: 2 cubes placed on fresh grid sites
+    na, nb, nc = tb.create_n_cubes(62)
+    na, nb, nc = (np.asarray(x)[60 * 12:] + 7.0 for x in (na, nb, nc))
+    n_add = na.shape[0]  # 24 tris
+
+    # removals: one whole cube; moves: one whole cube shifted
+    removed = (np.arange(12) + 12 * 5).astype(np.int32)
+    moved = (np.arange(12) + 12 * 17).astype(np.int32)
+    a_ext = np.concatenate([a, na]).astype(np.float32)
+    b_ext = np.concatenate([b, nb]).astype(np.float32)
+    c_ext = np.concatenate([c, nc]).astype(np.float32)
+    for arr in (a_ext, b_ext, c_ext):
+        arr[moved] += np.float32(31.0)
+
+    upd = make_updater(scene, max_moved=32, max_added=32)
+    ids = np.concatenate([moved, removed,
+                          np.arange(n, n + n_add, dtype=np.int32)])
+    alive = np.concatenate([np.ones(12, bool), np.zeros(12, bool),
+                            np.ones(n_add, bool)])
+    pad = upd.cap - ids.shape[0]
+    ids = np.concatenate([ids, np.full(pad, -1, np.int32)])
+    alive = np.concatenate([alive, np.zeros(pad, bool)])
+    ch = upd(a_ext, b_ext, c_ext, jnp.asarray(ids), jnp.asarray(alive))
+
+    # oracle: fresh build over exactly the live triangles
+    live = np.ones(n + n_add, bool)
+    live[removed] = False
+    live_ids = np.nonzero(live)[0]
+    oracle = build_tight_scene(a_ext[live], b_ext[live], c_ext[live])
+
+    rays = _aimed_rays(a_ext[live], b_ext[live], c_ext[live], 512,
+                       np.random.default_rng(5))
+    got = trace_closest_hit_chained(ch, rays, packet=512, interpret=True)
+    want = trace_closest_hit_tight(oracle, rays, packet=512, interpret=True)
+    tg, tw = np.asarray(got.t), np.asarray(want.t)
+    assert (np.isfinite(tg) == np.isfinite(tw)).all()
+    both = np.isfinite(tg)
+    # packed min-key band: the winner's t carries the lane in its low
+    # log2(W) bits, so chained-vs-oracle t may differ by W-1 ulps (~2e-6)
+    np.testing.assert_allclose(tg[both], tw[both], rtol=4e-6)
+    # ids: chained ids are GLOBAL (extended-array rows); map oracle's
+    # live-subset ids back to global and compare where t is unambiguous
+    sg = np.asarray(got.shape_id)
+    sw = np.asarray(want.shape_id)
+    sw_glob = np.where(sw >= 0, live_ids[np.clip(sw, 0, len(live_ids) - 1)], -1)
+    agree = (sg[both] == sw_glob[both]).mean()
+    assert agree > 0.99  # packed min-key ties may flip within ~128 ulps
+
+    # removed geometry must be gone: no hit may report a removed id
+    assert not np.isin(sg, removed).any()
+    # added geometry must be hittable: aim rays at each added triangle's
+    # centroid from 3 units off along its normal-ish offset
+    ctr = ((na + nb + nc) / 3.0).astype(np.float32)
+    o2 = (ctr + np.float32(3.0)).astype(np.float32)
+    d2 = (ctr - o2).astype(np.float32)
+    r2 = Ray.create(o2, d2)
+    got2 = trace_closest_hit_chained(ch, r2, packet=128, interpret=True)
+    assert (np.asarray(got2.shape_id) >= n).any()
