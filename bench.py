@@ -259,8 +259,15 @@ def main():
             from bvh_tpu.ops.cluster import build_chained_scene
             from bvh_tpu.ops.trace import trace_closest_hit_chained
 
+            # round-5 retune (scratch/sparse_diag.py + /tmp/sparse_parts):
+            # cost ≈ SUM over parts (long random rays cross most Morton
+            # blocks; cold gate passes 75-85%), so smaller parts win until
+            # per-part dispatch overhead bites: mp=200k 1.10 / mp=100k
+            # 1.24 / mp=50k 1.01 M rays/s; sweep pre-pass is net-negative
+            # (0.98 vs 1.10). W=128 single-table resident measured 0.10 M
+            # (the round-1 sparse-leaf failure class — huge leaf boxes).
             a_m, b_m, c_m = tb.create_n_cubes(84000)  # 1.008M triangles
-            ch = build_chained_scene(a_m, b_m, c_m)  # default 200k parts keep W=16
+            ch = build_chained_scene(a_m, b_m, c_m, max_part=100_000)
             if not wide_ok:
                 ch = _strip_wide(ch)
             seed_m = tb.seed_state_after(84000)
@@ -271,7 +278,7 @@ def main():
                 perm_m, inv_m = sort_rays_device(o_mj, d_mj, bits=2)
                 rays_ms = Ray.create(o_mj[perm_m], d_mj[perm_m])
                 out_m = trace_closest_hit_chained(ch, rays_ms, packet=packet,
-                                                  sweep=True)
+                                                  sweep=False)
                 t_m = out_m.t[inv_m]
                 return float(jnp.sum(jnp.where(jnp.isfinite(t_m), t_m, 0.0)))
 
@@ -684,8 +691,11 @@ def main():
             tgt_c = jnp.zeros((Wd * Hd,), jnp.float32)
 
             def loss_cam(av, bv, cv):
+                # P4096 (r5 A/B: 6.69 vs 6.52 M rays/s at P1024; fwd-only
+                # inside this jit is 8.56 — the differentiable winner
+                # recompute epilogue is XLA-bandwidth-bound, not the kernel)
                 depth, hit_m = render_depth_fast(scene_d, cam_tiled, av, bv, cv,
-                                                 packet=1024)
+                                                 packet=4096)
                 return jnp.sum(jnp.where(hit_m, (depth - tgt_c) ** 2, 0.0)) * 1e-9
 
             gcam = jax.jit(jax.value_and_grad(loss_cam, argnums=(0, 1, 2)))

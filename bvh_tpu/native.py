@@ -22,7 +22,7 @@ _TRIED = False
 # Bump alongside csrc/sah_builder.cpp's bvh_native_version: _load() rebuilds
 # a stale .so so new entry points (e.g. bvh_build_sah_hint) actually load
 # instead of silently degrading to their fallbacks (advisor r4).
-_EXPECTED_NATIVE_VERSION = 2
+_EXPECTED_NATIVE_VERSION = 3
 
 
 def _find_src_dir() -> str:
@@ -135,6 +135,23 @@ def _load():
             lib.bvh_build_sah.argtypes + [ctypes.c_int32])
     except AttributeError:  # stale .so: hinted builds fall back to exact
         pass
+    try:
+        fp_ = ctypes.POINTER(ctypes.c_float)
+        ip_ = ctypes.POINTER(ctypes.c_int32)
+        lp_ = ctypes.POINTER(ctypes.c_int64)
+        lib.bvh_build_sah_clusters.restype = ctypes.c_int64
+        lib.bvh_build_sah_clusters.argtypes = [
+            fp_, fp_, ctypes.c_int64, ctypes.c_int32, fp_, fp_, ip_, lp_]
+        lib.bvh_pack_clusters.restype = ctypes.c_int
+        lib.bvh_pack_clusters.argtypes = [
+            fp_, fp_, fp_, ip_, lp_, ctypes.c_int64, ctypes.c_int32, fp_,
+            fp_, ip_]
+        lib.bvh_build_wide.restype = ctypes.c_int64
+        lib.bvh_build_wide.argtypes = [
+            fp_, ctypes.c_int64, ctypes.c_int64, ctypes.c_int32, fp_,
+            ctypes.c_int64, ip_, ip_]
+    except AttributeError:  # stale .so: cluster fast path unavailable
+        pass
     _LIB = lib
     return _LIB
 
@@ -197,6 +214,100 @@ def build_sah_native(shape_min, shape_max, nthreads: int = 0,
     if rc != 0:
         raise RuntimeError(f"native builder failed with code {rc}")
     return FlatBvh(amin, amax, entry, exit_, shape, parent), s2n
+
+
+def build_sah_clusters_native(shape_min, shape_max, leaf_size: int):
+    """Cluster-stopping SAH build (csrc fast path): returns
+    ``(cl_min, cl_max, tri_order, cl_off)`` — per-cluster exact bounds
+    [C, 3], the DFS-packed triangle ids [n], and segment offsets [C + 1] —
+    or None when the library (or entry point) is unavailable.
+
+    Bit-identical cluster sets/bounds/lane-order to the full hint build +
+    ``cut_tight_native`` pipeline (the below-cut median splits never
+    reorder, so stopping at the cut changes nothing the tight scene
+    reads), at a fraction of the node construction: the ~2n-1-node flat
+    tree was otherwise built only to be dissolved."""
+    lib = _load()
+    if lib is None or getattr(lib, "bvh_build_sah_clusters", None) is None \
+            or lib.bvh_build_sah_clusters.argtypes is None:
+        return None
+    smin = np.ascontiguousarray(shape_min, np.float32)
+    smax = np.ascontiguousarray(shape_max, np.float32)
+    n = smin.shape[0]
+    if n == 0 or smin.shape[1] != 3:
+        return None
+    cl_min = np.empty((n, 3), np.float32)
+    cl_max = np.empty((n, 3), np.float32)
+    tri_order = np.empty(n, np.int32)
+    cl_off = np.empty(n + 1, np.int64)
+    fp = ctypes.POINTER(ctypes.c_float)
+    ip = ctypes.POINTER(ctypes.c_int32)
+    lp = ctypes.POINTER(ctypes.c_int64)
+    C = lib.bvh_build_sah_clusters(
+        smin.ctypes.data_as(fp), smax.ctypes.data_as(fp), ctypes.c_int64(n),
+        ctypes.c_int32(leaf_size), cl_min.ctypes.data_as(fp),
+        cl_max.ctypes.data_as(fp), tri_order.ctypes.data_as(ip),
+        cl_off.ctypes.data_as(lp))
+    if C <= 0:
+        return None
+    return (cl_min[:C].copy(), cl_max[:C].copy(), tri_order,
+            cl_off[: C + 1].copy())
+
+
+def pack_clusters_native(a, b, c, tri_order, cl_off, W: int, cc,
+                         groups, tri_map) -> bool:
+    """Native group-row pack straight from cluster segments (no flat-tree
+    walk); False when unavailable. Same row math as ``pack_tight_native``."""
+    lib = _load()
+    if lib is None or getattr(lib, "bvh_pack_clusters", None) is None \
+            or lib.bvh_pack_clusters.argtypes is None:
+        return False
+    a = np.ascontiguousarray(a, np.float32)
+    b = np.ascontiguousarray(b, np.float32)
+    c = np.ascontiguousarray(c, np.float32)
+    tri_order = np.ascontiguousarray(tri_order, np.int32)
+    cl_off = np.ascontiguousarray(cl_off, np.int64)
+    cc = np.ascontiguousarray(cc, np.float32)
+    C = cl_off.shape[0] - 1
+    fp = ctypes.POINTER(ctypes.c_float)
+    ip = ctypes.POINTER(ctypes.c_int32)
+    lp = ctypes.POINTER(ctypes.c_int64)
+    rc = lib.bvh_pack_clusters(
+        a.ctypes.data_as(fp), b.ctypes.data_as(fp), c.ctypes.data_as(fp),
+        tri_order.ctypes.data_as(ip), cl_off.ctypes.data_as(lp),
+        ctypes.c_int64(C), ctypes.c_int32(W), cc.ctypes.data_as(fp),
+        groups.ctypes.data_as(fp), tri_map.ctypes.data_as(ip))
+    return rc == 0
+
+
+def build_wide_native(smem_binary: np.ndarray, num_clusters: int,
+                      K: int = 16):
+    """Native wide-table construction (csrc/pack.cpp::bvh_build_wide);
+    None when unavailable or on any structural failure (caller falls back
+    to the numpy ``build_wide_table`` — identical output)."""
+    lib = _load()
+    if lib is None or getattr(lib, "bvh_build_wide", None) is None \
+            or lib.bvh_build_wide.argtypes is None:
+        return None
+    tab = np.ascontiguousarray(smem_binary, np.float32)
+    nn = tab.shape[1]
+    cap = max(3 * num_clusters + 64, 16)  # worst-case groups, bucketed
+    gnodes = np.empty((7 * K + 1, cap), np.float32)
+    gslot = np.zeros(num_clusters, np.int32)
+    depth = ctypes.c_int32(0)
+    fp = ctypes.POINTER(ctypes.c_float)
+    ip = ctypes.POINTER(ctypes.c_int32)
+    Gn = lib.bvh_build_wide(
+        tab.ctypes.data_as(fp), ctypes.c_int64(nn),
+        ctypes.c_int64(num_clusters), ctypes.c_int32(K),
+        gnodes.ctypes.data_as(fp), ctypes.c_int64(cap),
+        gslot.ctypes.data_as(ip), ctypes.byref(depth))
+    if Gn <= 0:
+        return None
+    # the C++ writes a dense [7K+1, Gn] block (column stride Gn) into the
+    # flat buffer; re-view by the real stride and drop the spare capacity
+    flat = gnodes.reshape(-1)[: (7 * K + 1) * Gn]
+    return flat.reshape(7 * K + 1, Gn).copy(), gslot, int(depth.value)
 
 
 def collapse_native(nodes: np.ndarray, K: int) -> np.ndarray | None:

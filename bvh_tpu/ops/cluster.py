@@ -385,6 +385,12 @@ def build_wide_table(smem_nodes: np.ndarray, num_clusters: int,
     Reference analog being re-designed: the one-box-per-step flat walk,
     /root/reference/src/flat_bvh.rs:396-431.
     """
+    from ..native import build_wide_native
+
+    nat = build_wide_native(smem_nodes, num_clusters, K)
+    if nat is not None:
+        return nat  # (gnodes, gslot, depth) — identical to the path below
+
     entry = smem_nodes[6].astype(np.int64)
     exit_ = smem_nodes[7].astype(np.int64)
     nn = smem_nodes.shape[1]
@@ -570,9 +576,12 @@ def build_tight_scene(
 
     if config is None:
         config = DEFAULT_CONFIG
-    a = np.asarray(a, np.float32)
-    b = np.asarray(b, np.float32)
-    c = np.asarray(c, np.float32)
+    # contiguous upfront: callers often pass strided views (tris[:, 0, :]),
+    # and every native entry would otherwise re-copy them (measured ~4 ms
+    # of ascontiguousarray per 120k build)
+    a = np.ascontiguousarray(a, np.float32)
+    b = np.ascontiguousarray(b, np.float32)
+    c = np.ascontiguousarray(c, np.float32)
     n = a.shape[0]
     if n == 0:
         raise ValueError("empty scene")
@@ -588,36 +597,63 @@ def build_tight_scene(
         raise ValueError("leaf_size must be 16/32/64/128 (VPU lane packing)")
     mnmx = tri_aabbs_native(a, b, c) if use_native else None
     mn, mx = mnmx if mnmx is not None else tri_aabbs(a, b, c)
-    if use_native:
-        # cluster_hint: everything below the <=leaf_size cluster cut is
-        # dissolved by the pack (the kernel narrowphases all W lanes of a
-        # leaf at once), so the native builder median-splits that region
-        # instead of paying the 6-bucket SAH sweep on ~15/16 of the
-        # internal nodes — same cluster sets/bounds, ~2x faster host build
-        # at 120k. Lane order within a cluster is median-order (result
-        # class unchanged: closest-hit min-reduces over all lanes).
-        flat, _ = build_sah_auto(mn, mx, config, cluster_hint=leaf_size)
-    else:
-        flat, _ = build_sah(mn, mx, config)
     # the numpy pack (and the bmat tables) need the leaf->cluster map;
     # the native pack derives it from the DFS ranges on the fly
     native_pack = use_native and not bmat
+    # FASTEST path (csrc bvh_build_sah_clusters): the tight scene only
+    # consumes the cluster cut, bounds, and intra-cluster DFS order — the
+    # full ~2n-1-node lower tree exists only to be dissolved. The
+    # cluster-stopping build emits exactly those, bit-identical to
+    # hint-build + cut (below the hint median splits never reorder).
+    # Needs a flat tree anyway when sweep_cut asks for a second cut or the
+    # numpy pack runs (packed/bmat).
+    fast = native_pack and not sweep_cut and not packed
+    flat = None
+    if not fast:
+        if use_native:
+            # cluster_hint: everything below the <=leaf_size cluster cut is
+            # dissolved by the pack (the kernel narrowphases all W lanes of
+            # a leaf at once), so the native builder median-splits that
+            # region instead of paying the 6-bucket SAH sweep on ~15/16 of
+            # the internal nodes — same cluster sets/bounds, ~2x faster
+            # host build at 120k. Lane order within a cluster is
+            # median-order (result class unchanged: closest-hit min-reduces
+            # over all lanes).
+            flat, _ = build_sah_auto(mn, mx, config, cluster_hint=leaf_size)
+        else:
+            flat, _ = build_sah(mn, mx, config)
 
     # Build the upper tree (with K-ary collapse) at the current leaf width;
     # widen auto-sized leaves until the SMEM node table (32 bytes/node) fits
     # the ~640KB scalar-memory budget. Collapse shrinks the table ~32%, so
     # W=16 stretches to roughly twice the triangle count it used to.
     while True:
-        roots = cut_tight_native(flat.entry, flat.exit, leaf_size) \
-            if native_pack else None
-        if roots is None:
-            native_pack = False
-            roots, leaves, cluster_of_leaf = cut_clusters(flat, leaf_size)
-        C = roots.shape[0]
+        cl_res = None
+        if fast:
+            from ..native import build_sah_clusters_native
 
-        # Cluster AABBs and centers from the cut roots (tight by construction).
-        cl_min = np.asarray(flat.aabb_min)[roots]
-        cl_max = np.asarray(flat.aabb_max)[roots]
+            cl_res = build_sah_clusters_native(mn, mx, leaf_size)
+            if cl_res is None:
+                # library predates the entry: fall back to the full build
+                fast = False
+                flat, _ = build_sah_auto(mn, mx, config,
+                                         cluster_hint=leaf_size)
+        if cl_res is not None:
+            cl_min, cl_max, tri_order_n, cl_off_n = cl_res
+            C = cl_min.shape[0]
+            roots = None
+        else:
+            roots = cut_tight_native(flat.entry, flat.exit, leaf_size) \
+                if native_pack else None
+            if roots is None:
+                native_pack = False
+                roots, leaves, cluster_of_leaf = cut_clusters(flat, leaf_size)
+            C = roots.shape[0]
+
+            # Cluster AABBs and centers from the cut roots (tight by
+            # construction).
+            cl_min = np.asarray(flat.aabb_min)[roots]
+            cl_max = np.asarray(flat.aabb_max)[roots]
         if packed:
             # the packed kernel's frame origin is the raw packed f32 value
             # of rows 0-2 at the leaf column (~the bf16 min corner); pack
@@ -740,8 +776,14 @@ def build_tight_scene(
         # written directly in the kernel's transposed layout
         groups = np.zeros((G, 16, 128), np.float32)
         tri_map_pad = np.full(G * 128, -1, np.int32)
-        ok = pack_tight_native(a, b, c, flat.shape, flat.entry, flat.exit,
-                               roots, W, cc, groups, tri_map_pad)
+        if fast:
+            from ..native import pack_clusters_native
+
+            ok = pack_clusters_native(a, b, c, tri_order_n, cl_off_n, W, cc,
+                                      groups, tri_map_pad)
+        else:
+            ok = pack_tight_native(a, b, c, flat.shape, flat.entry, flat.exit,
+                                   roots, W, cc, groups, tri_map_pad)
         if not ok:
             raise RuntimeError("native pack failed (cluster overflow?)")
         pn = pack_node_table_bf16(smem_nodes) if packed else None

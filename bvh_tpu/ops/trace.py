@@ -966,12 +966,29 @@ def _make_wide_kernel(packet: int, precision, K: int = 16, subtile: int = 1024,
                       width: int = 16, n_hints: int = 0, mode: str = "closest",
                       bounded: bool = False, count_visits: bool = False,
                       gated: bool = False, subtree: bool = False,
-                      exp: str = ""):
+                      resident: bool = False, exp: str = ""):
     def _kernel(gnodes_ref, hints_ref, gate_ref, startg_ref, groups_ref,
                 slab_ref, lmat_ref, out_ref, bestk_ref, bestc_ref, vb_ref,
-                cnt_ref, stk_ref, m2_ref, macc_ref, vbh_ref):
+                cnt_ref, stk_ref, m2_ref, macc_ref, vbh_ref, *rest):
+        if resident:
+            # beyond-~12MB group tables (one-table 1M-triangle scenes):
+            # groups arrive in ANY (HBM); copy ONCE into the persistent
+            # VMEM scratch at grid step 0 (the pipelined constant-index
+            # block fetch would re-DMA the whole table every packet —
+            # measured ~1.4 ms/packet at 41 MB on the tight kernel)
+            gvmem_ref, dma_sem = rest
+
+            @pl.when(pl.program_id(0) == 0)
+            def _():
+                cp = pltpu.make_async_copy(groups_ref, gvmem_ref, dma_sem)
+                cp.start()
+                cp.wait()
+
+            groups_use = gvmem_ref
+        else:
+            groups_use = groups_ref
         return _wide_body(gnodes_ref, hints_ref, gate_ref, startg_ref,
-                          groups_ref, slab_ref, lmat_ref, out_ref, bestk_ref,
+                          groups_use, slab_ref, lmat_ref, out_ref, bestk_ref,
                           bestc_ref, vb_ref, cnt_ref, stk_ref, m2_ref,
                           macc_ref, vbh_ref, packet,
                           precision, K, subtile, width, n_hints, mode, bounded,
@@ -1502,7 +1519,11 @@ def _trace_wide(gnodes, hints, gate, groups, slab, lmat, interpret=False,
                 packet=2048, precision=jax.lax.Precision.HIGHEST,
                 width=16, n_hints=0, mode="closest", bounded=False,
                 count_visits=False, gated=False, k_ary=16, start_g=None,
-                exp: str = ""):
+                resident=None, exp: str = ""):
+    if resident is None:
+        # beyond ~12 MB the per-packet constant-index block re-fetch hits
+        # the double-buffer cliff (CLAUDE.md); switch to the one-shot DMA
+        resident = groups.size * 4 > 12 * 1024 * 1024
     p = slab.shape[0]
     subtree = start_g is not None
     if start_g is None:
@@ -1520,19 +1541,20 @@ def _trace_wide(gnodes, hints, gate, groups, slab, lmat, interpret=False,
                            packet=packet, precision=precision, width=width,
                            n_hints=n_hints, mode=mode, bounded=bounded,
                            count_visits=count_visits, gated=gated,
-                           k_ary=k_ary, subtree=subtree, exp=exp)
+                           k_ary=k_ary, subtree=subtree, resident=resident,
+                           exp=exp)
 
 
 @partial(jax.jit, static_argnames=("interpret", "packet", "precision",
                                    "width", "n_hints", "mode", "bounded",
                                    "count_visits", "gated", "k_ary",
-                                   "subtree", "exp"))
+                                   "subtree", "resident", "exp"))
 def _trace_wide_jit(gnodes, hints, gate, start_g, groups, slab, lmat,
                     interpret=False, packet=2048,
                     precision=jax.lax.Precision.HIGHEST,
                     width=16, n_hints=0, mode="closest", bounded=False,
                     count_visits=False, gated=False, k_ary=16,
-                    subtree=False, exp: str = ""):
+                    subtree=False, resident=False, exp: str = ""):
     p = slab.shape[0]
     sub = packet // 128
     scratch = [
@@ -1549,12 +1571,19 @@ def _trace_wide_jit(gnodes, hints, gate, start_g, groups, slab, lmat,
         # scalar packet-max pruning bound (frs frustum broadphase)
         pltpu.SMEM((1,), jnp.float32),
     ]
+    if resident:
+        groups_spec = pl.BlockSpec(memory_space=pltpu.ANY)
+        scratch += [pltpu.VMEM(groups.shape, jnp.float32),
+                    pltpu.SemaphoreType.DMA]
+    else:
+        groups_spec = pl.BlockSpec(groups.shape, lambda i, *_: (0, 0, 0),
+                                   memory_space=pltpu.VMEM)
     grid_spec = pltpu.PrefetchScalarGridSpec(
         num_scalar_prefetch=4,
         grid=(p,),
         scratch_shapes=scratch,
         in_specs=[
-            pl.BlockSpec(groups.shape, lambda i, *_: (0, 0, 0), memory_space=pltpu.VMEM),
+            groups_spec,
             pl.BlockSpec((1,) + slab.shape[1:], lambda i, *_: (i, 0, 0, 0), memory_space=pltpu.VMEM),
             pl.BlockSpec((1,) + lmat.shape[1:], lambda i, *_: (i, 0, 0), memory_space=pltpu.VMEM),
         ],
@@ -1564,7 +1593,7 @@ def _trace_wide_jit(gnodes, hints, gate, start_g, groups, slab, lmat,
         _make_wide_kernel(packet, precision, K=k_ary, width=width,
                           n_hints=n_hints, mode=mode, bounded=bounded,
                           count_visits=count_visits, gated=gated,
-                          subtree=subtree, exp=exp),
+                          subtree=subtree, resident=resident, exp=exp),
         out_shape=jax.ShapeDtypeStruct((p, 2 * sub, 128), jnp.float32),
         grid_spec=grid_spec,
         interpret=interpret,

@@ -99,3 +99,148 @@ int bvh_pack_tight(const float* a, const float* b, const float* c,
 }
 
 }  // extern "C"
+
+// ---------------------------------------------------------------------------
+// Wide (K-ary group-walk) table construction — C++ port of
+// bvh_tpu/ops/cluster.py::build_wide_table (the hierarchical frontier cut).
+// Input: the BINARY upper entry/exit table [8, nn] (row-major, row r at
+// nodes + r*nn). Output: gnodes [(7K+1), Gn] (NaN empty boxes, payload -1,
+// leaf-mask row 7K), gslot [num_clusters], depth via out_depth.
+// Returns Gn (bucketed to a multiple of 8) or -1 on failure (caller falls
+// back to the numpy path; gnodes_cap is the allocated column capacity).
+// ---------------------------------------------------------------------------
+
+#include <cmath>
+#include <cstring>
+#include <vector>
+#include <algorithm>
+#include <cstdint>
+
+extern "C" int64_t bvh_build_wide(const float* nodes, int64_t nn,
+                                  int64_t num_clusters, int32_t K,
+                                  float* gnodes, int64_t gnodes_cap,
+                                  int32_t* gslot, int32_t* out_depth) {
+  if (nn <= 0 || K < 2) return -1;
+  const float* amin = nodes;            // rows 0..2
+  const float* amax = nodes + 3 * nn;   // rows 3..5
+  const float* entry_f = nodes + 6 * nn;
+  const float* exit_f = nodes + 7 * nn;
+  std::vector<int64_t> entry(nn), exit_(nn);
+  for (int64_t i = 0; i < nn; ++i) {
+    entry[i] = (int64_t)entry_f[i];
+    exit_[i] = (int64_t)exit_f[i];
+  }
+  const float NaN = std::nanf("");
+
+  auto fill_empty = [&](int64_t Gn) {
+    for (int64_t r = 0; r < 7 * K + 1; ++r) {
+      float v = (r < 7 * K && r % 7 == 6) ? -1.0f : ((r == 7 * K) ? 0.0f : NaN);
+      float* row = gnodes + r * Gn;
+      for (int64_t g = 0; g < Gn; ++g) row[g] = v;
+    }
+  };
+
+  if (entry[0] < 0) {  // single-leaf tree: one group, child 0 = the root
+    int64_t Gn = 8;
+    if (Gn > gnodes_cap) return -1;
+    fill_empty(Gn);
+    for (int r = 0; r < 3; ++r) gnodes[r * Gn] = amin[r * nn];
+    for (int r = 0; r < 3; ++r) gnodes[(3 + r) * Gn] = amax[r * nn];
+    gnodes[6 * Gn] = entry_f[0];
+    gnodes[(7 * K) * Gn] = 1.0f;
+    int64_t c0 = (int64_t)(-entry_f[0]) - 1;
+    if (c0 >= 0 && c0 < num_clusters) gslot[c0] = 0;
+    *out_depth = 1;
+    return Gn;
+  }
+
+  // parents (binary table: left = entry[i], right = exit[left])
+  std::vector<int64_t> parent(nn, -1);
+  for (int64_t i = 0; i < nn; ++i) {
+    if (entry[i] >= 0) {
+      int64_t l = entry[i], r = exit_[l];
+      if (l < 0 || l >= nn || r < 0 || r >= nn || r >= exit_[i]) return -1;
+      parent[l] = i;
+      parent[r] = i;
+    }
+  }
+
+  // levels: frontier cut, identical to the numpy algorithm
+  std::vector<std::vector<int64_t>> levels;
+  std::vector<int64_t> marks;
+  for (int64_t i = 0; i < nn; ++i)
+    if (entry[i] < 0) marks.push_back(i);
+  levels.push_back(marks);
+  while (!(marks.size() == 1 && marks[0] == 0)) {
+    std::vector<int64_t> roots;
+    std::vector<int64_t> cnt(nn);
+    for (int64_t i = 0; i < nn; ++i) {
+      auto lo = std::lower_bound(marks.begin(), marks.end(), i);
+      auto hi = std::lower_bound(marks.begin(), marks.end(), exit_[i]);
+      cnt[i] = hi - lo;
+    }
+    for (int64_t i = 0; i < nn; ++i) {
+      bool small_i = cnt[i] <= K;
+      bool psmall = parent[i] >= 0 && cnt[parent[i]] <= K;
+      if (small_i && !psmall && cnt[i] >= 1) roots.push_back(i);
+    }
+    if (!(roots.size() < marks.size() || roots.size() == 1)) return -1;
+    levels.push_back(roots);
+    marks = roots;
+  }
+  int64_t depth = (int64_t)levels.size() - 1;
+
+  int64_t n_groups = 0;
+  for (size_t lv = 1; lv < levels.size(); ++lv) n_groups += levels[lv].size();
+  // _bucket(n_groups, 8): ceil to a multiple of the 1/8-granularity
+  // power-of-two bucket (must match cluster.py::_bucket exactly — the
+  // numpy path pads to the same shape)
+  int64_t bl = 0;
+  for (int64_t t = n_groups; t; t >>= 1) ++bl;
+  int64_t bkt = (int64_t)1 << std::max<int64_t>(bl - 3, 0);
+  if (bkt < 8) bkt = 8;
+  int64_t Gn = ((n_groups + bkt - 1) / bkt) * bkt;
+  if (Gn < 8) Gn = 8;
+  if (Gn > gnodes_cap) return -1;
+  fill_empty(Gn);
+
+  // level-major ids, top level first (root group id 0)
+  std::vector<int64_t> offset(depth + 1, 0);
+  int64_t acc = 0;
+  for (int64_t lvl = depth; lvl >= 1; --lvl) {
+    offset[lvl] = acc;
+    acc += (int64_t)levels[lvl].size();
+  }
+  for (int64_t lvl = depth; lvl >= 1; --lvl) {
+    const auto& roots = levels[lvl];
+    const auto& prev = levels[lvl - 1];
+    size_t pi = 0;
+    for (size_t ri = 0; ri < roots.size(); ++ri) {
+      int64_t g = offset[lvl] + (int64_t)ri;
+      int64_t lim = exit_[roots[ri]];
+      int64_t k = 0;
+      while (pi < prev.size() && prev[pi] < lim) {
+        if (k >= K) return -1;
+        int64_t ch = prev[pi];
+        for (int r = 0; r < 3; ++r) gnodes[(7 * k + r) * Gn + g] = amin[r * nn + ch];
+        for (int r = 0; r < 3; ++r) gnodes[(7 * k + 3 + r) * Gn + g] = amax[r * nn + ch];
+        if (lvl == 1) {
+          float pay = entry_f[ch];  // -(cluster+1)
+          gnodes[(7 * k + 6) * Gn + g] = pay;
+          int64_t cl = (int64_t)(-pay) - 1;
+          if (cl < 0 || cl >= num_clusters) return -1;
+          gslot[cl] = (int32_t)(g * K + k);
+          gnodes[(7 * K) * Gn + g] += (float)(1 << k);
+        } else {
+          gnodes[(7 * k + 6) * Gn + g] = (float)(offset[lvl - 1] + (int64_t)pi);
+        }
+        ++pi;
+        ++k;
+      }
+      if (k < 1) return -1;
+    }
+    if (pi != prev.size()) return -1;
+  }
+  *out_depth = (int32_t)depth;
+  return Gn;
+}

@@ -307,6 +307,270 @@ void build_node(Ctx& ctx, int32_t* idx, int32_t* other, int8_t* bkt_buf,
 
 }  // namespace
 
+// ---------------------------------------------------------------------------
+// Cluster-stopping build (the tight-scene fast path).
+//
+// build_tight_scene only consumes three things from the full lower tree:
+// the cluster CUT (maximal subtrees <= leaf_size), each cluster's exact
+// bounds, and the DFS triangle order within clusters. The hint build
+// constructs all ~2n-1 nodes — ~15/16 of them BELOW the cut, built only to
+// be dissolved (below the hint, median splits don't even reorder idx, so
+// the DFS leaf order IS the segment order at the stop). This entry runs the
+// identical exact-SAH recursion ABOVE the cut and simply stops at <=
+// leaf_size, emitting (bounds, triangle segment) per cluster: bit-identical
+// cluster sets, bounds (the parent sweep's folded child bounds — the same
+// floats the full build stores at the cut roots), and lane order, at a
+// fraction of the node-construction work.
+//
+// SERIAL by design: clusters must be emitted in DFS order, and the target
+// host is single-core (the fork-join path in build_node never engages
+// there either).
+// ---------------------------------------------------------------------------
+
+namespace {
+
+struct CCtx {
+  std::vector<Rec> rec;
+  std::vector<int8_t> bucket_scratch;
+  float* cl_min;
+  float* cl_max;
+  int32_t* tri_order;
+  int64_t* cl_off;
+  int64_t n_clusters;
+  int64_t emitted;
+  int64_t leaf_size;
+};
+
+void build_cluster_node(CCtx& ctx, int32_t* idx, int32_t* other,
+                        int8_t* bkt_buf, int64_t len, const Bounds& b) {
+  if (len <= ctx.leaf_size) {
+    int64_t c = ctx.n_clusters++;
+    ctx.cl_min[3 * c] = b.amin.x;
+    ctx.cl_min[3 * c + 1] = b.amin.y;
+    ctx.cl_min[3 * c + 2] = b.amin.z;
+    ctx.cl_max[3 * c] = b.amax.x;
+    ctx.cl_max[3 * c + 1] = b.amax.y;
+    ctx.cl_max[3 * c + 2] = b.amax.z;
+    std::memcpy(ctx.tri_order + ctx.emitted, idx, len * sizeof(int32_t));
+    ctx.emitted += len;
+    ctx.cl_off[ctx.n_clusters] = ctx.emitted;
+    return;
+  }
+
+  // identical split logic to build_node's exact-SAH branch (above the cut
+  // len > leaf_size >= 1, so the len==1 leaf case never arises here)
+  float ext[3] = {b.cmax.x - b.cmin.x, b.cmax.y - b.cmin.y,
+                  b.cmax.z - b.cmin.z};
+  int axis = 0;
+  if (ext[1] > ext[axis]) axis = 1;
+  if (ext[2] > ext[axis]) axis = 2;
+  float axis_size = ext[axis];
+  float cmin_ax = axis == 0 ? b.cmin.x : (axis == 1 ? b.cmin.y : b.cmin.z);
+
+  int64_t l_count;
+  Bounds lb, rb;
+  bool partitioned = false;
+
+  if (axis_size < F32_EPS) {
+    l_count = len / 2;
+    // bounds_of needs a Ctx-shaped rec accessor; inline the scan here
+    auto scan = [&](const int32_t* p, int64_t m) {
+      Bounds r{{INF, INF, INF}, {-INF, -INF, -INF},
+               {INF, INF, INF}, {-INF, -INF, -INF}};
+      for (int64_t k = 0; k < m; ++k) {
+        const Rec& rc = ctx.rec[p[k]];
+        r.amin = vmin(r.amin, rc.mn);
+        r.amax = vmax(r.amax, rc.mx);
+        r.cmin = vmin(r.cmin, rc.c);
+        r.cmax = vmax(r.cmax, rc.c);
+      }
+      return r;
+    };
+    lb = scan(idx, l_count);
+    rb = scan(idx + l_count, len - l_count);
+  } else {
+    Bounds bb[NB];
+    int64_t cnt[NB] = {0};
+    int8_t* bucket = bkt_buf;
+#ifdef BVH_SSE
+    __m128 bamin[NB], bamax[NB], bcmin[NB], bcmax[NB];
+    for (int i = 0; i < NB; ++i) {
+      bamin[i] = _mm_set1_ps(INF);
+      bamax[i] = _mm_set1_ps(-INF);
+      bcmin[i] = _mm_set1_ps(INF);
+      bcmax[i] = _mm_set1_ps(-INF);
+    }
+    for (int64_t k = 0; k < len; ++k) {
+      const Rec& rc = ctx.rec[idx[k]];
+      float ca = axis == 0 ? rc.c.x : (axis == 1 ? rc.c.y : rc.c.z);
+      float rel = (ca - cmin_ax) / axis_size;
+      int bkt = (int)(rel * BUCKET_SCALE);
+      bucket[k] = (int8_t)bkt;
+      cnt[bkt]++;
+      __m128 mn4 = _mm_loadu_ps(&rc.mn.x);
+      __m128 mx4 = _mm_loadu_ps(&rc.mx.x);
+      __m128 c4 = _mm_loadu_ps(&rc.c.x);
+      bamin[bkt] = _mm_min_ps(bamin[bkt], mn4);
+      bamax[bkt] = _mm_max_ps(bamax[bkt], mx4);
+      bcmin[bkt] = _mm_min_ps(bcmin[bkt], c4);
+      bcmax[bkt] = _mm_max_ps(bcmax[bkt], c4);
+    }
+    for (int i = 0; i < NB; ++i) {
+      alignas(16) float a0[4], a1[4], c0[4], c1[4];
+      _mm_store_ps(a0, bamin[i]);
+      _mm_store_ps(a1, bamax[i]);
+      _mm_store_ps(c0, bcmin[i]);
+      _mm_store_ps(c1, bcmax[i]);
+      bb[i] = {{a0[0], a0[1], a0[2]}, {a1[0], a1[1], a1[2]},
+               {c0[0], c0[1], c0[2]}, {c1[0], c1[1], c1[2]}};
+    }
+#else
+    for (auto& x : bb)
+      x = {{INF, INF, INF}, {-INF, -INF, -INF},
+           {INF, INF, INF}, {-INF, -INF, -INF}};
+    for (int64_t k = 0; k < len; ++k) {
+      const Rec& rc = ctx.rec[idx[k]];
+      float ca = axis == 0 ? rc.c.x : (axis == 1 ? rc.c.y : rc.c.z);
+      float rel = (ca - cmin_ax) / axis_size;
+      int bkt = (int)(rel * BUCKET_SCALE);
+      bucket[k] = (int8_t)bkt;
+      cnt[bkt]++;
+      bb[bkt].amin = vmin(bb[bkt].amin, rc.mn);
+      bb[bkt].amax = vmax(bb[bkt].amax, rc.mx);
+      bb[bkt].cmin = vmin(bb[bkt].cmin, rc.c);
+      bb[bkt].cmax = vmax(bb[bkt].cmax, rc.c);
+    }
+#endif
+    float parent_sa = surface_area(b.amin, b.amax);
+    float best_cost = INF;
+    Bounds best_l, best_r;
+    int64_t best_lc = 0;
+    for (int plane = 0; plane < NB - 1; ++plane) {
+      Bounds l{{INF, INF, INF}, {-INF, -INF, -INF},
+               {INF, INF, INF}, {-INF, -INF, -INF}};
+      Bounds r = l;
+      int64_t nl = 0, nr = 0;
+      for (int i = 0; i <= plane; ++i) {
+        nl += cnt[i];
+        l.amin = vmin(l.amin, bb[i].amin);
+        l.amax = vmax(l.amax, bb[i].amax);
+        l.cmin = vmin(l.cmin, bb[i].cmin);
+        l.cmax = vmax(l.cmax, bb[i].cmax);
+      }
+      for (int i = plane + 1; i < NB; ++i) {
+        nr += cnt[i];
+        r.amin = vmin(r.amin, bb[i].amin);
+        r.amax = vmax(r.amax, bb[i].amax);
+        r.cmin = vmin(r.cmin, bb[i].cmin);
+        r.cmax = vmax(r.cmax, bb[i].cmax);
+      }
+      if (nl == 0 || nr == 0) continue;
+      float cost = ((float)nl * surface_area(l.amin, l.amax) +
+                    (float)nr * surface_area(r.amin, r.amax)) /
+                   parent_sa;
+      if (cost < best_cost) {
+        best_cost = cost;
+        best_l = l;
+        best_r = r;
+        best_lc = nl;
+      }
+    }
+    int64_t offs[NB + 1] = {0};
+    for (int i = 0; i < NB; ++i) offs[i + 1] = offs[i] + cnt[i];
+    int64_t pos[NB];
+    std::memcpy(pos, offs, sizeof(pos));
+    for (int64_t k = 0; k < len; ++k) other[pos[bucket[k]]++] = idx[k];
+    partitioned = true;
+    l_count = best_lc;
+    lb = best_l;
+    rb = best_r;
+  }
+  if (partitioned) std::swap(idx, other);
+  build_cluster_node(ctx, idx, other, bkt_buf, l_count, lb);
+  build_cluster_node(ctx, idx + l_count, other + l_count, bkt_buf + l_count,
+                     len - l_count, rb);
+}
+
+}  // namespace
+
+// Returns the cluster count C (>0), with cl_min/cl_max [C, 3] bounds,
+// tri_order [n] the packed triangle ids, cl_off [C+1] segment offsets.
+// Buffers must be sized for the worst case: n clusters, n+1 offsets.
+extern "C" int64_t bvh_build_sah_clusters(
+    const float* shape_min, const float* shape_max, int64_t n,
+    int32_t leaf_size, float* cl_min, float* cl_max, int32_t* tri_order,
+    int64_t* cl_off) {
+  if (n <= 0 || leaf_size < 1) return -1;
+  CCtx ctx;
+  ctx.cl_min = cl_min;
+  ctx.cl_max = cl_max;
+  ctx.tri_order = tri_order;
+  ctx.cl_off = cl_off;
+  ctx.n_clusters = 0;
+  ctx.emitted = 0;
+  ctx.leaf_size = leaf_size;
+  ctx.rec.resize(n + 1);
+  ctx.bucket_scratch.resize(n);
+  for (int64_t i = 0; i < n; ++i) {
+    V3 mn = load(shape_min, i), mx = load(shape_max, i);
+    ctx.rec[i] = {mn, mx,
+                  {mn.x * 0.5f + mx.x * 0.5f, mn.y * 0.5f + mx.y * 0.5f,
+                   mn.z * 0.5f + mx.z * 0.5f}};
+  }
+  std::vector<int32_t> idx(n), other(n);
+  for (int64_t i = 0; i < n; ++i) idx[i] = (int32_t)i;
+  cl_off[0] = 0;
+
+  // root bounds: direct scan (bit-identical to bounds_of's scalar fold)
+  Bounds root{{INF, INF, INF}, {-INF, -INF, -INF},
+              {INF, INF, INF}, {-INF, -INF, -INF}};
+  for (int64_t i = 0; i < n; ++i) {
+    const Rec& rc = ctx.rec[i];
+    root.amin = vmin(root.amin, rc.mn);
+    root.amax = vmax(root.amax, rc.mx);
+    root.cmin = vmin(root.cmin, rc.c);
+    root.cmax = vmax(root.cmax, rc.c);
+  }
+  build_cluster_node(ctx, idx.data(), other.data(),
+                     ctx.bucket_scratch.data(), n, root);
+  return ctx.n_clusters;
+}
+
+// Pack group rows straight from the cluster segments (no flat-tree walk):
+// lane = cluster * W + j, rows a' (cluster-frame) | e1 | e2 in the kernel's
+// [G, 16, 128] transposed layout. Mirrors bvh_pack_tight's row math.
+extern "C" int bvh_pack_clusters(const float* a, const float* b,
+                                 const float* c, const int32_t* tri_order,
+                                 const int64_t* cl_off, int64_t C, int32_t W,
+                                 const float* cc, float* groups,
+                                 int32_t* tri_map) {
+  if (C <= 0 || W < 1 || 128 % W) return -1;
+  for (int64_t ci = 0; ci < C; ++ci) {
+    int64_t lo = cl_off[ci], hi = cl_off[ci + 1];
+    if (hi - lo > W) return -2;
+    float ccx = cc[3 * ci], ccy = cc[3 * ci + 1], ccz = cc[3 * ci + 2];
+    int64_t g = ci / (128 / W);
+    int64_t lane0 = (ci % (128 / W)) * W;
+    float* grow = groups + g * 16 * 128;
+    for (int64_t k = lo; k < hi; ++k) {
+      int32_t t = tri_order[k];
+      int64_t lane = lane0 + (k - lo);
+      tri_map[ci * W + (k - lo)] = t;
+      float ax = a[3 * t], ay = a[3 * t + 1], az = a[3 * t + 2];
+      grow[0 * 128 + lane] = ax - ccx;
+      grow[1 * 128 + lane] = ay - ccy;
+      grow[2 * 128 + lane] = az - ccz;
+      grow[3 * 128 + lane] = b[3 * t] - ax;
+      grow[4 * 128 + lane] = b[3 * t + 1] - ay;
+      grow[5 * 128 + lane] = b[3 * t + 2] - az;
+      grow[6 * 128 + lane] = c[3 * t] - ax;
+      grow[7 * 128 + lane] = c[3 * t + 1] - ay;
+      grow[8 * 128 + lane] = c[3 * t + 2] - az;
+    }
+  }
+  return 0;
+}
+
 extern "C" int bvh_build_sah_hint(const float* shape_min, const float* shape_max,
                                   int64_t n, float* out_amin, float* out_amax,
                                   int32_t* entry, int32_t* exit_, int32_t* shape,
@@ -355,4 +619,4 @@ extern "C" int bvh_build_sah(const float* shape_min, const float* shape_max, int
                             exit_, shape, parent, s2n, nthreads, 0);
 }
 
-extern "C" int bvh_native_version() { return 2; }
+extern "C" int bvh_native_version() { return 3; }

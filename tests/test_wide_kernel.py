@@ -155,3 +155,30 @@ def test_wide_serialization_roundtrip(tmp_path):
         np.isnan(back.gnodes) == np.isnan(scene.gnodes)).all()
     assert (back.gslot == scene.gslot).all()
     assert back.gdepth == scene.gdepth
+
+
+def test_wide_resident_matches_blocked():
+    """resident=True (one-shot DMA of the groups table into persistent VMEM
+    scratch — the beyond-~12MB path for one-table million-triangle scenes)
+    must be bit-identical to the per-step blocked fetch."""
+    import jax.numpy as jnp
+    from bvh_tpu.ops import trace as tr
+    from bvh_tpu.ops.cluster import build_tight_scene
+
+    a, b, c = tb.create_n_cubes(40)
+    scene = build_tight_scene(a, b, c, use_native=False)
+    rng = np.random.default_rng(0)
+    centers = a.reshape(-1, 12, 3).mean(axis=1)
+    idx = np.resize(np.arange(len(centers)), 256)
+    o = (centers[idx] + rng.normal(size=(256, 3)).astype(np.float32) * 40
+         ).astype(np.float32)
+    d = (centers[idx] + 0.1 - o).astype(np.float32)
+    rays = Ray.create(jnp.asarray(o), jnp.asarray(d))
+    p, rp, slab, lmat = tr._pack_rays_tight(rays, 256, None)
+    zeros = jnp.zeros((p,), jnp.int32)
+    kw = dict(interpret=True, packet=256, width=int(scene.width))
+    outs = [tr._trace_wide(tr._dev(scene.gnodes), zeros, zeros,
+                           tr._dev(scene.groups), slab, lmat,
+                           resident=res, **kw)
+            for res in (False, True)]
+    np.testing.assert_array_equal(np.asarray(outs[0]), np.asarray(outs[1]))
