@@ -93,14 +93,16 @@ def main():
         return s._replace(gnodes=None, gslot=None, gdepth=0)
 
     def run(o, d):
-        perm, inv = sort_rays_device(o, d, bits=2)
-        # PRESORT (gather rays, then pack) beats the perm-folded pack on
-        # hardware: prep cost tracks the NUMBER of gather ops, not bytes
-        # (round-3 A/B). sweep=False: round-5 re-tune — once the device-
-        # table cache removed the per-call transfers, the sweep pre-pass
-        # (a full narrowphase-free walk) costs more than the gated main
-        # walk saves on this miss-heavy leg (7.61 vs 6.30 M rays/s,
-        # scratch/r5_tune.py).
+        # octmorton sort: octant-major (direction coherence dominates on
+        # random batches) with compact 3-D Morton cells minor — r5 A/B:
+        # 8.61 vs 7.48 M rays/s over the lex-cell octant key (iterations
+        # 121k -> 96.6k; /tmp/r5_sort_ab). PRESORT (gather rays, then
+        # pack) beats the perm-folded pack on hardware: prep cost tracks
+        # the NUMBER of gather ops, not bytes (round-3 A/B). sweep=False:
+        # r5 re-tune — once the device-table cache removed the per-call
+        # transfers, the sweep pre-pass costs more than it saves on this
+        # miss-heavy leg (7.61 vs 6.30, scratch/r5_tune.py).
+        perm, inv = sort_rays_device(o, d, mode="octmorton")
         rays_s = Ray.create(o[perm], d[perm])
         out = trace_closest_hit_tight(scene, rays_s, packet=packet,
                                       sweep=False)
@@ -194,10 +196,10 @@ def main():
     tgt = jnp.zeros((n_aimed,), jnp.float32)
 
     def loss(av, bv, cv):
-        # plain trace: planning measured net-negative on the wide walk
-        # (see the aimed leg note above)
+        # key-planned subtree entry (free, from the morton presort's
+        # packet origin bounds): 5.42 vs 4.94 M rays/s fwd+bwd (r5 A/B)
         depth, hit_m = render_depth_fast(scene, aimed, av, bv, cv,
-                                         packet=packet)
+                                         packet=packet, start_g=start_a)
         return jnp.sum(jnp.where(hit_m, (depth - tgt) ** 2, 0.0)) * 1e-9
 
     fwd_bwd_rays_per_s = None
@@ -275,7 +277,9 @@ def main():
             o_mj, d_mj = jnp.asarray(o_m), jnp.asarray(d_m)
 
             def run_m():
-                perm_m, inv_m = sort_rays_device(o_mj, d_mj, bits=2)
+                # octmorton: 1.41 vs 1.24 M rays/s (r5 A/B, /tmp/sparse_om)
+                perm_m, inv_m = sort_rays_device(o_mj, d_mj,
+                                                 mode="octmorton")
                 rays_ms = Ray.create(o_mj[perm_m], d_mj[perm_m])
                 out_m = trace_closest_hit_chained(ch, rays_ms, packet=packet,
                                                   sweep=False)
@@ -397,7 +401,8 @@ def main():
                     chained_q = hasattr(sc, "parts")
 
                     def run_q(sc=sc, chained_q=chained_q):
-                        perm, inv = sort_rays_device(o_dev, d_dev, bits=2)
+                        perm, inv = sort_rays_device(o_dev, d_dev,
+                                                     mode="octmorton")
                         rays_qs = Ray.create(o_dev[perm], d_dev[perm])
                         # sweep=False: round-5 retune (see the headline
                         # leg note; same miss-heavy workload)
@@ -432,7 +437,7 @@ def main():
             from bvh_tpu.ops.trace import (_pack_rays_tight, count_visits_tight,
                                            count_visits_wide)
 
-            perm, inv_r = sort_rays_device(o_dev, d_dev, bits=2)
+            perm, inv_r = sort_rays_device(o_dev, d_dev, mode="octmorton")
             rays_s = Ray.create(o_dev[perm], d_dev[perm])
             wide_path = getattr(scene, "gnodes", None) is not None
             if wide_path:
@@ -457,7 +462,7 @@ def main():
             # (round-3 advisor: timing pre-sorted rays here understated
             # kernel_epilogue_s by the sort+gather cost).
             def run_ungated():
-                perm_u, inv_u = sort_rays_device(o_dev, d_dev, bits=2)
+                perm_u, inv_u = sort_rays_device(o_dev, d_dev, mode="octmorton")
                 rays_u = Ray.create(o_dev[perm_u], d_dev[perm_u])
                 out_u = trace_closest_hit_tight(scene, rays_u, packet=packet)
                 tu = out_u.t[inv_u]
@@ -474,7 +479,7 @@ def main():
             # sums that force materialization cost ~0.5ms of HBM reads, noise
             # next to the gathers) — no assumed per-visit constant needed
             def run_prep():
-                perm_p, inv_p = sort_rays_device(o_dev, d_dev, bits=2)
+                perm_p, inv_p = sort_rays_device(o_dev, d_dev, mode="octmorton")
                 rays_p = Ray.create(o_dev[perm_p], d_dev[perm_p])
                 _, _, slab_p, lmat_p = _pack_rays_tight(rays_p, packet, None)
                 return float(jnp.sum(slab_p[:, :6]) + jnp.sum(lmat_p)

@@ -1430,15 +1430,17 @@ def _wide_body(gnodes_ref, hints_ref, gate_ref, startg_ref, groups_ref,
         # f32<->i32 bitcast does not lower in Mosaic, int conversion does
         lmask = gnodes_ref[7 * K, g].astype(jnp.int32)
         lm = jax.lax.bitwise_and(m, lmask)
-        if "nwhen" in EXP:
-            # EXPERIMENT: skip the nested narrow-mask loop entirely when no
-            # leaf fired (miss-heavy walks fire leaves on ~0% of
-            # iterations; the zero-trip nested while may still cost)
+        if "nobase" in EXP:
+            # pre-r5 behavior: unconditional nested loop (A/B reference)
+            narrow_mask(lm, g)
+        else:
+            # DEFAULT (was EXP "nwhen"): skip the nested narrow-mask loop
+            # when no leaf fired — miss-heavy walks fire leaves on ~0% of
+            # iterations, and the zero-trip nested while still costs
+            # (+2.7% ungated headline, results identical; r5 A/B)
             @pl.when(lm != 0)
             def _():
                 narrow_mask(lm, g)
-        else:
-            narrow_mask(lm, g)
         return jax.lax.bitwise_and(m, jax.lax.bitwise_not(lmask))
 
     def _count_iter():
@@ -2083,6 +2085,11 @@ def sort_rays_device(origins: jnp.ndarray, directions: jnp.ndarray,
     (``make_planner``) actually engages (measured: root-frac 1.0 -> <0.3
     on the aimed workload; ``bits`` is ignored — the cell grid is the
     Morton 512^3).
+
+    ``mode="octmorton"``: direction octant MAJOR, origin Morton cell
+    minor — octant-first like the default (direction coherence dominates
+    on sparse random batches) but with spatially-compact 3-D cells
+    instead of the lex key's thin x-slabs.
     """
     o = origins
     d = directions
@@ -2097,6 +2104,10 @@ def sort_rays_device(origins: jnp.ndarray, directions: jnp.ndarray,
         from ..bvh.lbvh import morton_codes
         m = morton_codes(o, lo, hi)  # 30-bit interleave, 1024^3
         key = ((m >> 3) << 3) | octant  # 512^3 cells + octant low bits
+    elif mode == "octmorton":
+        from ..bvh.lbvh import morton_codes
+        m = morton_codes(o, lo, hi)
+        key = (octant << 27) | (m >> 3)  # octant major, 512^3 cells minor
     else:
         scale = (2.0**bits - 1.0) / jnp.maximum(hi - lo, 1e-30)
         q = ((o - lo) * scale).astype(jnp.int32)
