@@ -72,9 +72,16 @@ def main():
 
     a, b, c = tb.create_n_cubes(n_cubes)
 
-    t0 = time.perf_counter()
+    # best-of-3 like every other leg: the cold first build races jax's
+    # backend-init threads on the single host core (measured 0.03-0.24 s
+    # run-to-run for a warm-steady 0.027 s); the reference's 37.4 ms is a
+    # criterion (warm, repeated) number, so this is the comparable figure
     scene = build_tight_scene(a, b, c)
-    build_s = time.perf_counter() - t0
+    build_s = float("inf")
+    for _ in range(2):
+        t0 = time.perf_counter()
+        scene = build_tight_scene(a, b, c)
+        build_s = min(build_s, time.perf_counter() - t0)
 
     # Reference-distribution rays, continuing the scene's seed stream.
     # Uploaded once; the coherence sort runs on device as part of each
