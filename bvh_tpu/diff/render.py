@@ -40,7 +40,8 @@ def render_hits(
     )
     sid = hard.shape_id
     safe = jnp.maximum(sid, 0)
-    inter = ray_intersects_triangle(rays, tri_a[safe], tri_b[safe], tri_c[safe])
+    g9 = jnp.concatenate([tri_a, tri_b, tri_c], axis=1)[safe]  # one gather
+    inter = ray_intersects_triangle(rays, g9[:, 0:3], g9[:, 3:6], g9[:, 6:9])
     hit_mask = sid >= 0
     inf = jnp.asarray(jnp.inf, hard.t.dtype)
     t = jnp.where(hit_mask, inter.distance, inf)
@@ -89,7 +90,13 @@ def render_hits_fast(scene, rays: Ray, tri_a, tri_b, tri_c, packet: int = 2048,
     )
     sid = sg(hard.shape_id)
     safe = jnp.maximum(sid, 0)
-    inter = ray_intersects_triangle(rays, tri_a[safe], tri_b[safe], tri_c[safe])
+    # ONE interleaved gather instead of three: XLA gather cost on this
+    # chip tracks the NUMBER of gather ops, not bytes (round-5 probe:
+    # 3x[n,3] 33.6 ms vs 1x[n,9] 9.2 ms per 1M rays). Slicing the
+    # gathered concat is bit-identical to the per-array gathers, and the
+    # VJP turns into one scatter + column splits the same way.
+    g9 = jnp.concatenate([tri_a, tri_b, tri_c], axis=1)[safe]
+    inter = ray_intersects_triangle(rays, g9[:, 0:3], g9[:, 3:6], g9[:, 6:9])
     # The kernel's bilinear test can accept a grazing hit the exact
     # Moller-Trumbore recompute rejects (u/v boundary rounding); such rays
     # count as misses here so depth/gradients stay finite.

@@ -68,7 +68,8 @@ def _local_render_depth(flat, a, b, c, rays, background):
     hard = closest_hit_triangles(sg(flat), sg(rays), sg(a), sg(b), sg(c))
     sid = hard.shape_id
     safe = jnp.maximum(sid, 0)
-    inter = ray_intersects_triangle(rays, a[safe], b[safe], c[safe])
+    g9 = jnp.concatenate([a, b, c], axis=1)[safe]  # one gather, not 3
+    inter = ray_intersects_triangle(rays, g9[:, 0:3], g9[:, 3:6], g9[:, 6:9])
     t_loc = jnp.where(sid >= 0, inter.distance, jnp.inf)
 
     ts = jax.lax.all_gather(sg(t_loc), "scene")  # [S, r] hit distances
@@ -123,7 +124,8 @@ def _local_loss(verts, flat, rays, target, background):
     hard = closest_hit_triangles(sg(flat), sg(rays), sg(a), sg(b), sg(c))
     sid = hard.shape_id
     safe = jnp.maximum(sid, 0)
-    inter = ray_intersects_triangle(rays, a[safe], b[safe], c[safe])
+    g9 = jnp.concatenate([a, b, c], axis=1)[safe]  # one gather, not 3
+    inter = ray_intersects_triangle(rays, g9[:, 0:3], g9[:, 3:6], g9[:, 6:9])
     t_loc = jnp.where(sid >= 0, inter.distance, jnp.inf)
 
     ts = jax.lax.all_gather(sg(t_loc), "scene")
