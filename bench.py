@@ -110,11 +110,20 @@ def main():
         # transfers, the sweep pre-pass costs more than it saves on this
         # miss-heavy leg (7.61 vs 6.30, scratch/r5_tune.py).
         perm, inv = sort_rays_device(o, d, mode="octmorton")
-        rays_s = Ray.create(o[perm], d[perm])
+        # fused single gathers in AND out (r5: gather cost tracks op
+        # COUNT; one [r,6] o+d gather and one [r,2] t+sid un-permute save
+        # ~26 ms/2M vs the split forms, bit-identical)
+        od = jnp.concatenate([o, d], axis=1)[perm]
+        rays_s = Ray.create(od[:, 0:3], od[:, 3:6])
         out = trace_closest_hit_tight(scene, rays_s, packet=packet,
                                       sweep=False)
-        t = out.t[inv]
-        sid = out.shape_id[inv]
+        # int-domain fusion: f32 data movement canonicalizes NaN payloads
+        # on hardware (sid=-1 bitcast to f32 is a NaN — r5 verify catch)
+        comb = jnp.stack(
+            [jax.lax.bitcast_convert_type(out.t, jnp.int32), out.shape_id],
+            axis=1)[inv]
+        t = jax.lax.bitcast_convert_type(comb[:, 0], jnp.float32)
+        sid = comb[:, 1]
         # NOTE: block_until_ready does not actually block on the axon
         # platform; a reduction forced to host is the only reliable fence.
         fence = float(jnp.sum(jnp.where(jnp.isfinite(t), t, 0.0)))
@@ -287,7 +296,8 @@ def main():
                 # octmorton: 1.41 vs 1.24 M rays/s (r5 A/B, /tmp/sparse_om)
                 perm_m, inv_m = sort_rays_device(o_mj, d_mj,
                                                  mode="octmorton")
-                rays_ms = Ray.create(o_mj[perm_m], d_mj[perm_m])
+                od_m = jnp.concatenate([o_mj, d_mj], axis=1)[perm_m]
+                rays_ms = Ray.create(od_m[:, 0:3], od_m[:, 3:6])
                 out_m = trace_closest_hit_chained(ch, rays_ms, packet=packet,
                                                   sweep=False)
                 t_m = out_m.t[inv_m]
@@ -410,7 +420,8 @@ def main():
                     def run_q(sc=sc, chained_q=chained_q):
                         perm, inv = sort_rays_device(o_dev, d_dev,
                                                      mode="octmorton")
-                        rays_qs = Ray.create(o_dev[perm], d_dev[perm])
+                        od_q = jnp.concatenate([o_dev, d_dev], axis=1)[perm]
+                        rays_qs = Ray.create(od_q[:, 0:3], od_q[:, 3:6])
                         # sweep=False: round-5 retune (see the headline
                         # leg note; same miss-heavy workload)
                         if chained_q:
@@ -470,7 +481,8 @@ def main():
             # kernel_epilogue_s by the sort+gather cost).
             def run_ungated():
                 perm_u, inv_u = sort_rays_device(o_dev, d_dev, mode="octmorton")
-                rays_u = Ray.create(o_dev[perm_u], d_dev[perm_u])
+                od_u = jnp.concatenate([o_dev, d_dev], axis=1)[perm_u]
+                rays_u = Ray.create(od_u[:, 0:3], od_u[:, 3:6])
                 out_u = trace_closest_hit_tight(scene, rays_u, packet=packet)
                 tu = out_u.t[inv_u]
                 return float(jnp.sum(jnp.where(jnp.isfinite(tu), tu, 0.0)))
@@ -487,7 +499,8 @@ def main():
             # next to the gathers) — no assumed per-visit constant needed
             def run_prep():
                 perm_p, inv_p = sort_rays_device(o_dev, d_dev, mode="octmorton")
-                rays_p = Ray.create(o_dev[perm_p], d_dev[perm_p])
+                od_p = jnp.concatenate([o_dev, d_dev], axis=1)[perm_p]
+                rays_p = Ray.create(od_p[:, 0:3], od_p[:, 3:6])
                 _, _, slab_p, lmat_p = _pack_rays_tight(rays_p, packet, None)
                 return float(jnp.sum(slab_p[:, :6]) + jnp.sum(lmat_p)
                              + jnp.sum(inv_p))

@@ -1946,11 +1946,13 @@ def make_tracer(scene, packet: int = 8192, sweep: bool = True,
         if sort is not None:
             perm, inv = sort_rays_device(origins, directions, bits=bits,
                                          mode=sort)
-            # presort (gather RAW o/d, then normalize) beats both the
-            # perm-folded pack AND a normalize-then-3-gather order on
-            # hardware: prep tracks gather COUNT, not bytes (NEXT.md; the
-            # 3-gather variant measured -12% on the headline)
-            rays_s = Ray.create(origins[perm], directions[perm])
+            # ONE fused [r, 6] gather for o+d, then normalize: gather cost
+            # tracks op COUNT, not bytes (r5 probes — the separate o/d
+            # gathers cost ~13 ms more per 2M rays, and a
+            # normalize-then-3-gather order another ~12%); bit-identical
+            # (elementwise normalize commutes with the permutation).
+            od = jnp.concatenate([origins, directions], axis=1)[perm]
+            rays_s = Ray.create(od[:, 0:3], od[:, 3:6])
         else:
             rays_s = Ray.create(origins, directions)
         sg = planner(rays_s.origin) if planner is not None else None
@@ -1961,12 +1963,25 @@ def make_tracer(scene, packet: int = 8192, sweep: bool = True,
                                       precision=precision)
         if sort is None:
             return out
+        bc = jax.lax.bitcast_convert_type
+        # fused un-permute: t (bitcast to i32) and shape_id share ONE
+        # gather. The fusion must run in the INT domain: hardware float
+        # data movement CANONICALIZES NaN payloads (sid=-1 bitcast to f32
+        # is 0xFFFFFFFF, a NaN, and came back 0x7FC00000 on the TPU —
+        # caught by the r5 hardware verify; interpret mode hides it).
+        # Int lanes carry any f32 bit pattern (inf included) inertly.
         if tris_d is None:
-            # u/v are zeros on this path: un-permuting them would add two
-            # [r]-gathers of nothing (measured on the headline)
-            return HitRecord(out.t[inv], out.u, out.v, out.shape_id[inv])
-        return HitRecord(out.t[inv], out.u[inv], out.v[inv],
-                         out.shape_id[inv])
+            # u/v are zeros on this path: no need to un-permute them
+            comb = jnp.stack([bc(out.t, jnp.int32), out.shape_id],
+                             axis=1)[inv]
+            return HitRecord(bc(comb[:, 0], jnp.float32), out.u, out.v,
+                             comb[:, 1])
+        comb = jnp.stack(
+            [bc(out.t, jnp.int32), bc(out.u, jnp.int32),
+             bc(out.v, jnp.int32), out.shape_id], axis=1)[inv]
+        return HitRecord(bc(comb[:, 0], jnp.float32),
+                         bc(comb[:, 1], jnp.float32),
+                         bc(comb[:, 2], jnp.float32), comb[:, 3])
 
     return tracer
 
