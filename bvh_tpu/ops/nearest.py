@@ -713,16 +713,22 @@ def nearest_chained(chained, points, packet: int = 2048, d_max=None,
     else:
         best_d = jnp.broadcast_to(
             jnp.asarray(d_max, jnp.float32).reshape(-1), (r,))
-    best_id = jnp.full((r,), -1, jnp.int32)
+    # per-part global-id gathers deferred to ONE end-of-chain gather
+    # (gather cost tracks op COUNT — see trace_closest_hit_chained)
+    best_loc = jnp.zeros((r,), jnp.int32)  # slot 0 = the -1 sentinel
+    off = 1
     for part, ids in zip(chained.parts, chained.orig_ids):
         sid, dist = nearest_tight(part, pts, packet=packet, d_max=best_d,
                                   interpret=interpret, precision=precision,
                                   sort=False)
-        gids = jnp.asarray(ids)
         closer = (sid >= 0) & (dist < best_d)
         best_d = jnp.where(closer, dist, best_d)
-        best_id = jnp.where(
-            closer, gids[jnp.clip(sid, 0, gids.shape[0] - 1)], best_id)
+        best_loc = jnp.where(closer, sid + off, best_loc)
+        off += int(np.shape(ids)[0])
+    ids_all = jnp.concatenate(
+        [jnp.full((1,), -1, jnp.int32)]
+        + [_dev(i).astype(jnp.int32) for i in chained.orig_ids])
+    best_id = ids_all[best_loc]
     best_d = jnp.where(best_id >= 0, best_d, _INF)
     return best_id, best_d
 

@@ -2413,10 +2413,15 @@ def trace_closest_hit_chained(chained, rays: Ray, tris=None,
         best_t = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32).reshape(-1), (r,))
         if perm is not None:
             best_t = best_t[perm]  # whole chain runs in sorted order
-    best_id = jnp.full((r,), -1, jnp.int32)
+    # per-part global-id gathers deferred to ONE end-of-chain gather:
+    # the loop tracks a LOCAL winner id with the part's slot offset folded
+    # in as a python constant (gather cost tracks op COUNT on this chip —
+    # r5; this removes one [r]-gather + one where per part)
+    best_loc = jnp.zeros((r,), jnp.int32)  # slot 0 = the -1 sentinel
     # rows 0-5 + lmat built once (perm folded into the pack; per-part t_max
     # rows below are already sorted-order so the base path needs no gather)
     base = _pack_rays_tight(rays, packet, None, perm=perm)
+    off = 1
     for part, ids in zip(chained.parts, chained.orig_ids):
         # numpy slice is free; a device-built part's slice stays on device
         root = _dev(part.smem_nodes)[:6, 0]
@@ -2427,11 +2432,16 @@ def trace_closest_hit_chained(chained, rays: Ray, tris=None,
                                       t_max=jnp.where(jnp.isfinite(best_t),
                                                       best_t, _INF),
                                       sweep=sweep, pre_gate=gate, _base=base)
-        gids = _dev(ids)
         closer = jnp.isfinite(hit.t) & (hit.t < best_t)
         best_t = jnp.where(closer, hit.t, best_t)
-        best_id = jnp.where(
-            closer, gids[jnp.clip(hit.shape_id, 0, gids.shape[0] - 1)], best_id)
+        # closer => a real hit => shape_id >= 0, so off + shape_id indexes
+        # this part's segment of the concatenated id table
+        best_loc = jnp.where(closer, hit.shape_id + off, best_loc)
+        off += int(np.shape(ids)[0])
+    ids_all = jnp.concatenate(
+        [jnp.full((1,), -1, jnp.int32)]
+        + [_dev(i).astype(jnp.int32) for i in chained.orig_ids])
+    best_id = ids_all[best_loc]
     if t_max is not None:
         tm = jnp.broadcast_to(jnp.asarray(t_max, jnp.float32).reshape(-1), (r,))
         if perm is not None:
