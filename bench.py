@@ -245,17 +245,22 @@ def main():
                 o_sj, d_sj = jnp.asarray(o_s), jnp.asarray(d_s)
 
                 def run_s():
-                    # tiny tables: coherence matters less, finer origin bits
-                    # keep packets tight (bits=2 measured -18% at 1.2k tris)
+                    # octmorton + fused in/out gathers (r5 A/B: 24.4/19.7
+                    # vs 19.3/15.5 M rays/s at 1.2k/12k). Tiny scenes: the
+                    # sweep's extra dispatch outweighs the traversal it
+                    # saves at 1.2k (measured -24%)
                     perm_s, inv_s = sort_rays_device(o_sj, d_sj,
-                                                     bits=4 if nc < 1000 else 2)
-                    # tiny scenes: the sweep's extra dispatch outweighs the
-                    # traversal it saves (measured -24% at 1.2k tris)
-                    rays_ss = Ray.create(o_sj[perm_s], d_sj[perm_s])
+                                                     mode="octmorton")
+                    od_s = jnp.concatenate([o_sj, d_sj], axis=1)[perm_s]
+                    rays_ss = Ray.create(od_s[:, 0:3], od_s[:, 3:6])
                     out_s = trace_closest_hit_tight(scene_s, rays_ss,
                                                     packet=packet,
                                                     sweep=nc >= 1000)
-                    ts = out_s.t[inv_s]
+                    comb_s = jnp.stack(
+                        [jax.lax.bitcast_convert_type(out_s.t, jnp.int32),
+                         out_s.shape_id], axis=1)[inv_s]
+                    ts = jax.lax.bitcast_convert_type(comb_s[:, 0],
+                                                      jnp.float32)
                     return float(jnp.sum(jnp.where(jnp.isfinite(ts), ts, 0.0)))
 
                 run_s()

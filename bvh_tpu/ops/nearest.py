@@ -629,7 +629,13 @@ def nearest_tight(scene, points, packet: int = 2048, d_max=None,
         sid_s, dist_s = nearest_tight(
             scene, pts[perm], packet=packet, d_max=dm, interpret=interpret,
             precision=precision, wide=wide, sort=False)
-        return sid_s[inv], dist_s[inv]
+        # one fused un-permute (int domain: f32 bits ride int32 lanes
+        # inertly; hardware float moves canonicalize NaN payloads — r5)
+        comb = jnp.stack(
+            [sid_s, jax.lax.bitcast_convert_type(dist_s, jnp.int32)],
+            axis=1)[inv]
+        return comb[:, 0], jax.lax.bitcast_convert_type(comb[:, 1],
+                                                        jnp.float32)
     assert getattr(scene, "packed_nodes", None) is None, \
         "nearest_tight reads f32 node tables (build with packed=False)"
     p, rp, pslab, pmat = _pack_points(pts, packet, d_max)
@@ -707,7 +713,11 @@ def nearest_chained(chained, points, packet: int = 2048, d_max=None,
         bid_s, bd_s = nearest_chained(chained, pts[perm], packet=packet,
                                       d_max=dm, interpret=interpret,
                                       precision=precision, sort=False)
-        return bid_s[inv], bd_s[inv]
+        comb = jnp.stack(
+            [bid_s, jax.lax.bitcast_convert_type(bd_s, jnp.int32)],
+            axis=1)[inv]  # one fused un-permute (int domain)
+        return comb[:, 0], jax.lax.bitcast_convert_type(comb[:, 1],
+                                                        jnp.float32)
     if d_max is None:
         best_d = jnp.full((r,), _INF, jnp.float32)
     else:
